@@ -1,0 +1,198 @@
+"""Kernel correctness vs numpy oracles.
+
+Tier-1 correctness in the reference's sense (scripts/test.py pins vLLM's own
+unit-test parameters): decode over random seq lens, full prefill, chunked
+prefill, mixed batches, GQA/MHA, sliding window, softcap, ALiBi, fp8 KV.
+Tolerance discipline follows the reference (benchmark.py:328-345: decode
+atol ~1e-3 of max value; fp8 KV at 1e-2).
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tests.utils import random_batch, random_cache
+from vllm_triton_backend_tpu.ops.attention import (
+    unified_attention,
+    xla_paged_attention,
+)
+from vllm_triton_backend_tpu.ops.refs import ref_paged_attention
+
+SCALE_BY_HD = lambda hd: hd ** -0.5
+
+
+def run_case(
+    query_lens,
+    context_lens,
+    num_q_heads=4,
+    num_kv_heads=2,
+    head_size=128,
+    block_size=16,
+    num_blocks=64,
+    sliding_window=0,
+    logits_soft_cap=0.0,
+    alibi=False,
+    cache_dtype=np.float32,
+    k_scale=1.0,
+    v_scale=1.0,
+    force_selection=None,
+    atol=2e-2,
+    seed=0,
+):
+    rng = np.random.default_rng(seed)
+    k_cache, v_cache = random_cache(
+        rng, num_kv_heads, num_blocks, block_size, head_size
+    )
+    q, block_table, meta = random_batch(
+        rng, query_lens, context_lens, num_q_heads, head_size,
+        block_size, num_blocks,
+    )
+    scale = SCALE_BY_HD(head_size)
+    alibi_slopes = (
+        np.geomspace(0.5, 0.01, num_q_heads).astype(np.float32)
+        if alibi else None
+    )
+
+    if cache_dtype == np.float32:
+        kc, vc = jnp.asarray(k_cache), jnp.asarray(v_cache)
+        ref_k, ref_v = k_cache, v_cache
+    else:
+        kc = jnp.asarray(k_cache / k_scale).astype(cache_dtype)
+        vc = jnp.asarray(v_cache / v_scale).astype(cache_dtype)
+        # oracle sees exactly what the kernel will dequantize
+        ref_k = np.asarray(kc.astype(jnp.float32)) * k_scale
+        ref_v = np.asarray(vc.astype(jnp.float32)) * v_scale
+
+    ref = ref_paged_attention(
+        q, ref_k, ref_v,
+        np.asarray(meta.query_start_loc), np.asarray(meta.seq_lens),
+        block_table, scale,
+        sliding_window=sliding_window, logits_soft_cap=logits_soft_cap,
+        alibi_slopes=alibi_slopes,
+    )
+
+    out = unified_attention(
+        jnp.asarray(q), kc, vc, meta,
+        scale=scale,
+        max_query_len=max(query_lens),
+        max_seq_len=max(c + ql for c, ql in zip(context_lens, query_lens)),
+        sliding_window=sliding_window,
+        logits_soft_cap=logits_soft_cap,
+        alibi_slopes=None if alibi_slopes is None else jnp.asarray(alibi_slopes),
+        k_scale=k_scale, v_scale=v_scale,
+        force_selection=force_selection,
+    )
+    np.testing.assert_allclose(np.asarray(out), ref, atol=atol, rtol=2e-2)
+    return out
+
+
+# ---------------- decode ----------------
+
+@pytest.mark.parametrize("head_size", [64, 128])
+@pytest.mark.parametrize("heads", [(4, 2), (4, 4), (8, 1)])
+def test_decode_basic(heads, head_size):
+    hq, hkv = heads
+    run_case([1, 1, 1, 1], [0, 16, 31, 33],
+             num_q_heads=hq, num_kv_heads=hkv, head_size=head_size,
+             atol=2e-3)
+
+
+def test_decode_block_size_32():
+    run_case([1, 1], [40, 70], block_size=32, atol=2e-3)
+
+
+def test_decode_sliding_window():
+    run_case([1, 1, 1], [5, 40, 64], sliding_window=16, atol=2e-3)
+
+
+def test_decode_softcap():
+    run_case([1, 1], [33, 7], logits_soft_cap=30.0, atol=2e-3)
+
+
+def test_decode_fp8_kv():
+    run_case([1, 1, 1], [9, 33, 64], cache_dtype=jnp.float8_e4m3fn,
+             k_scale=0.05, v_scale=0.05, atol=5e-2)
+
+
+def test_decode_padded_seqs():
+    """Zero-length padded sequences produce zeros and no NaNs."""
+    import jax.numpy as jnp
+    from tests.utils import random_batch, random_cache
+    rng = np.random.default_rng(3)
+    k_cache, v_cache = random_cache(rng, 2, 64, 16, 128)
+    q, block_table, meta = random_batch(
+        rng, [1, 1], [10, 20], 4, 128, 16, 64, max_num_seqs=4,
+        num_token_bucket=4,
+    )
+    out = unified_attention(
+        jnp.asarray(np.pad(q, ((0, 2), (0, 0), (0, 0)))),
+        jnp.asarray(k_cache), jnp.asarray(v_cache), meta,
+        scale=128 ** -0.5, max_query_len=1, max_seq_len=32,
+    )
+    assert np.isfinite(np.asarray(out)).all()
+    np.testing.assert_allclose(np.asarray(out)[2:], 0.0)
+
+
+# ---------------- prefill ----------------
+
+@pytest.mark.parametrize("heads", [(4, 2), (4, 4)])
+def test_prefill_full(heads):
+    hq, hkv = heads
+    run_case([17, 32, 5], [0, 0, 0], num_q_heads=hq, num_kv_heads=hkv,
+             atol=2e-3)
+
+
+def test_prefill_chunked():
+    """Chunked prefill: new tokens attend to cached context through pages."""
+    run_case([8, 16], [24, 9], atol=2e-3)
+
+
+def test_prefill_mixed_with_decode_rows():
+    """Mixed batch: decode rows (qlen=1) + partial + full prefill
+    (reference DEC_PRE batch composition, benchmark.py:80-84)."""
+    run_case([1, 7, 33], [20, 13, 0], atol=2e-3)
+
+
+def test_prefill_sliding_window():
+    run_case([16, 9], [10, 30], sliding_window=8, atol=2e-3)
+
+
+def test_prefill_softcap():
+    run_case([12, 20], [0, 11], logits_soft_cap=20.0, atol=2e-3)
+
+
+def test_prefill_alibi():
+    run_case([9, 17], [0, 0], alibi=True, atol=5e-3)
+
+
+def test_prefill_fp8_kv():
+    run_case([8, 21], [10, 0], cache_dtype=jnp.float8_e4m3fn,
+             k_scale=0.05, v_scale=0.05, atol=6e-2)
+
+
+def test_prefill_long_seq_multi_superblock():
+    """kv length spanning several super-blocks exercises the page-accumulate
+    flush path (block_size 16, super=512 -> use many pages)."""
+    run_case([64], [600], num_blocks=64, atol=2e-3)
+
+
+def test_force_selection_prefill_on_decode_batch():
+    run_case([1, 1], [10, 22], force_selection="prefill", atol=2e-3)
+
+
+# ---------------- XLA baseline ----------------
+
+def test_xla_baseline_matches_ref():
+    rng = np.random.default_rng(7)
+    k_cache, v_cache = random_cache(rng, 2, 64, 16, 64)
+    q, block_table, meta = random_batch(rng, [1, 9, 16], [30, 8, 0], 4, 64, 16, 64)
+    scale = 64 ** -0.5
+    ref = ref_paged_attention(
+        q, k_cache, v_cache, np.asarray(meta.query_start_loc),
+        np.asarray(meta.seq_lens), block_table, scale,
+    )
+    out = xla_paged_attention(
+        jnp.asarray(q), jnp.asarray(k_cache), jnp.asarray(v_cache), meta,
+        scale=scale, max_query_len=16, max_seq_len=31,
+    )
+    np.testing.assert_allclose(np.asarray(out), ref, atol=2e-3, rtol=2e-2)

@@ -1,0 +1,235 @@
+"""Layered configuration system.
+
+TPU re-design of the reference's config stack (SURVEY.md §5.6): the reference
+layers (1) ``.conf`` dotenv files whose values are JSON-decoded into
+whitelisted module globals (reference scripts/benchmark.py:179-244), (2) env
+vars, (3) CLI pass-through, (4) container defaults.  Here the same layering is
+expressed over typed dataclasses:
+
+  defaults (dataclass fields)  <  .conf file  <  environment  <  kwargs
+
+Env vars use the ``VTB_`` prefix with the upper-cased field name, e.g.
+``VTB_BLOCK_SIZE=32``.  Values are JSON-decoded when possible (so ``true``,
+``[1,2]``, ``0.5`` all work), mirroring the reference's ``json.loads`` of
+dotenv values.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from dataclasses import dataclass, field, fields
+from typing import Any
+
+ENV_PREFIX = "VTB_"
+
+
+def _json_or_str(raw: str) -> Any:
+    try:
+        return json.loads(raw)
+    except (json.JSONDecodeError, ValueError):
+        return raw
+
+
+def parse_conf_file(path: str) -> dict[str, Any]:
+    """Parse a dotenv-style ``.conf`` file with JSON-decoded values.
+
+    Format parity with the reference's setups/*.conf: one ``KEY=value`` per
+    line, ``#`` comments, values are JSON when decodable else raw strings.
+    """
+    out: dict[str, Any] = {}
+    with open(path) as f:
+        for line in f:
+            line = line.strip()
+            if not line or line.startswith("#") or "=" not in line:
+                continue
+            key, _, raw = line.partition("=")
+            out[key.strip()] = _json_or_str(raw.strip())
+    return out
+
+
+def _apply_layers(cls, conf_path: str | None, kwargs: dict[str, Any]):
+    """defaults < conf file < env < kwargs, for any config dataclass."""
+    values: dict[str, Any] = {}
+    names = {f.name for f in fields(cls)}
+    if conf_path:
+        for k, v in parse_conf_file(conf_path).items():
+            if k.lower() in names:
+                values[k.lower()] = v
+    for f in fields(cls):
+        env_key = ENV_PREFIX + f.name.upper()
+        if env_key in os.environ:
+            values[f.name] = _json_or_str(os.environ[env_key])
+    values.update({k: v for k, v in kwargs.items() if v is not None})
+    return cls(**values)
+
+
+@dataclass(frozen=True)
+class ModelConfig:
+    """Architecture hyperparameters for a decoder-only transformer.
+
+    Covers the Llama family (TinyLlama, Llama-2/3, granite-3.x): the granite
+    scalar multipliers default to the plain-Llama identity values.
+    """
+
+    vocab_size: int = 32000
+    hidden_size: int = 2048
+    intermediate_size: int = 5632
+    num_layers: int = 22
+    num_heads: int = 32
+    num_kv_heads: int = 4
+    head_dim: int | None = None  # defaults to hidden_size // num_heads
+    rope_theta: float = 10000.0
+    rope_scaling: dict | None = None  # llama3-style {"factor", "low_freq_factor", ...}
+    rms_norm_eps: float = 1e-5
+    max_position_embeddings: int = 2048
+    tie_word_embeddings: bool = False
+    dtype: str = "bfloat16"
+    # Granite multipliers (== 1.0 for Llama).
+    embedding_multiplier: float = 1.0
+    residual_multiplier: float = 1.0
+    attention_multiplier: float | None = None  # None -> 1/sqrt(head_dim)
+    logits_scaling: float = 1.0
+    # Sliding-window attention (None = full causal), reference
+    # backend/triton_attn.py:314-317 semantics: window of (w-1) past tokens.
+    sliding_window: int | None = None
+    # Attention logit softcapping (0 = off), reference
+    # kernels/triton_unified_attention.py:25-29 tanh softcap semantics.
+    logits_soft_cap: float = 0.0
+    # Weight quantization: "none" | "int8" | "fp8" (weight-only linears).
+    quantization: str = "none"
+    # Architecture family: "llama" (covers granite via multipliers) | "mamba".
+    architecture: str = "llama"
+
+    @property
+    def head_size(self) -> int:
+        return self.head_dim if self.head_dim is not None else self.hidden_size // self.num_heads
+
+    @property
+    def num_queries_per_kv(self) -> int:
+        return self.num_heads // self.num_kv_heads
+
+    @property
+    def attn_scale(self) -> float:
+        if self.attention_multiplier is not None:
+            return self.attention_multiplier
+        return self.head_size ** -0.5
+
+    @classmethod
+    def tiny(cls, **kw) -> "ModelConfig":
+        """A tiny debug model (fast CPU tests)."""
+        base = dict(
+            vocab_size=512, hidden_size=256, intermediate_size=512,
+            num_layers=2, num_heads=4, num_kv_heads=2,
+            max_position_embeddings=512,
+        )
+        base.update(kw)
+        return cls(**base)
+
+    @classmethod
+    def tinyllama_1_1b(cls, **kw) -> "ModelConfig":
+        """TinyLlama-1.1B (north-star config 1)."""
+        base = dict(
+            vocab_size=32000, hidden_size=2048, intermediate_size=5632,
+            num_layers=22, num_heads=32, num_kv_heads=4,
+            max_position_embeddings=2048, rope_theta=10000.0,
+        )
+        base.update(kw)
+        return cls(**base)
+
+    @classmethod
+    def llama3_8b(cls, **kw) -> "ModelConfig":
+        base = dict(
+            vocab_size=128256, hidden_size=4096, intermediate_size=14336,
+            num_layers=32, num_heads=32, num_kv_heads=8,
+            max_position_embeddings=8192, rope_theta=500000.0,
+            rms_norm_eps=1e-5,
+        )
+        base.update(kw)
+        return cls(**base)
+
+    @classmethod
+    def granite_3_1_8b(cls, **kw) -> "ModelConfig":
+        """granite-3.1-8B (the reference README's serving example model)."""
+        base = dict(
+            vocab_size=49155, hidden_size=4096, intermediate_size=12800,
+            num_layers=40, num_heads=32, num_kv_heads=8,
+            max_position_embeddings=4096, rope_theta=10000000.0,
+            embedding_multiplier=12.0, residual_multiplier=0.22,
+            attention_multiplier=0.0078125, logits_scaling=16.0,
+            tie_word_embeddings=True,
+        )
+        base.update(kw)
+        return cls(**base)
+
+
+@dataclass(frozen=True)
+class CacheConfig:
+    """Paged KV-cache configuration.
+
+    TPU-first layout: K and V are separate arrays of shape
+    ``[num_layers, num_kv_heads, num_blocks, block_size, head_size]`` so that
+    one (head, page) slab is a contiguous ``block_size x head_size`` tile —
+    the natural DMA unit for Pallas — unlike the reference's GPU layout
+    ``(2, num_blocks, block_size, num_kv_heads, head_size)``
+    (reference backend/triton_attn.py:269-277).
+    """
+
+    block_size: int = 16
+    num_blocks: int = 1024
+    # KV-cache dtype: "auto" (model dtype) | "fp8" (e4m3) | "int8".
+    cache_dtype: str = "auto"
+    # Slot id marking padded entries that must not be written
+    # (reference mamba_ssm.py PAD_SLOT_ID semantics).
+    pad_slot_id: int = -1
+
+
+@dataclass(frozen=True)
+class ParallelConfig:
+    """Mesh axes for multi-chip execution (SURVEY.md §2.6 build column)."""
+
+    data_parallel: int = 1
+    tensor_parallel: int = 1
+
+    @property
+    def world_size(self) -> int:
+        return self.data_parallel * self.tensor_parallel
+
+
+@dataclass(frozen=True)
+class SchedulerConfig:
+    """Continuous-batching scheduler limits (static-shape buckets)."""
+
+    max_num_seqs: int = 64
+    max_num_batched_tokens: int = 1024
+    max_model_len: int = 2048
+    # Chunked prefill: cap on new prefill tokens scheduled per step.
+    enable_chunked_prefill: bool = True
+    # Prefix caching: reuse full blocks across requests by content hash.
+    enable_prefix_caching: bool = True
+    # Static jit shape buckets for num_tokens (TPU's answer to CUDA graphs).
+    token_buckets: tuple[int, ...] = (8, 16, 32, 64, 128, 256, 512, 1024)
+
+
+@dataclass(frozen=True)
+class EngineConfig:
+    model: ModelConfig = field(default_factory=ModelConfig.tiny)
+    cache: CacheConfig = field(default_factory=CacheConfig)
+    parallel: ParallelConfig = field(default_factory=ParallelConfig)
+    scheduler: SchedulerConfig = field(default_factory=SchedulerConfig)
+    seed: int = 0
+
+    @classmethod
+    def from_layers(cls, conf_path: str | None = None, **kwargs) -> "EngineConfig":
+        """Build from the config layering (defaults < conf < env < kwargs)."""
+        sub = {}
+        for name, sub_cls in (
+            ("model", ModelConfig), ("cache", CacheConfig),
+            ("parallel", ParallelConfig), ("scheduler", SchedulerConfig),
+        ):
+            sub[name] = _apply_layers(sub_cls, conf_path, dict(kwargs.get(name) or {}))
+        return cls(**sub)
+
+    def replace(self, **kw) -> "EngineConfig":
+        return dataclasses.replace(self, **kw)

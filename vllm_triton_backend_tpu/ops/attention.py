@@ -1,0 +1,168 @@
+"""Unified attention dispatcher — the backend's forward entry point.
+
+TPU analog of the reference's host-side dispatcher ``unified_attention``
+(reference kernels/triton_unified_attention.py:839-1030): picks the decode
+kernel when the batch is decode-only (max_query_len == 1) and the
+prefill/mixed kernel otherwise, with a ``force_selection`` override for
+benchmarking (the reference's force_selection 2/3 knob, :884,859).
+
+Also provides ``xla_paged_attention`` — a pure-XLA gather + masked-softmax
+implementation.  It fills the role of the reference's baseline
+implementations-under-test (reference scripts/callers/*, SURVEY.md §2.4
+"baseline slots"): a correctness cross-check that runs on any backend, and
+the slow baseline in benchmarks.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from vllm_triton_backend_tpu.ops.metadata import AttentionMetadata
+from vllm_triton_backend_tpu.ops.pallas.decode_attention import (
+    paged_decode_attention,
+)
+from vllm_triton_backend_tpu.ops.pallas.prefill_attention import (
+    prefill_attention,
+)
+
+
+def unified_attention(
+    q: jax.Array,  # [num_tokens, num_q_heads, head_size]
+    k_cache: jax.Array,  # [Hkv, num_blocks, block_size, head_size]
+    v_cache: jax.Array,
+    metadata: AttentionMetadata,
+    *,
+    scale: float,
+    max_query_len: int,
+    max_seq_len: int,
+    sliding_window: int = 0,
+    logits_soft_cap: float = 0.0,
+    alibi_slopes: jax.Array | None = None,
+    k_scale: float = 1.0,
+    v_scale: float = 1.0,
+    force_selection: str | None = None,  # "decode" | "prefill" | None
+) -> jax.Array:
+    """Attention over the paged cache for a flat (possibly mixed) batch.
+
+    ``max_query_len``/``max_seq_len`` are static bucket bounds (Python ints);
+    the actual per-sequence lengths come from ``metadata``.
+    """
+    use_decode = max_query_len == 1 if force_selection is None else (
+        force_selection == "decode"
+    )
+    if use_decode:
+        if alibi_slopes is not None:
+            raise NotImplementedError(
+                "ALiBi decode is served by the prefill kernel for now; "
+                "pass force_selection='prefill'."
+            )
+        # one token per sequence: token order == sequence order
+        return paged_decode_attention(
+            q,
+            k_cache,
+            v_cache,
+            metadata.seq_lens,
+            metadata.block_table,
+            scale=scale,
+            max_seq_len=max_seq_len,
+            sliding_window=sliding_window,
+            logits_soft_cap=logits_soft_cap,
+            k_scale=k_scale,
+            v_scale=v_scale,
+        )
+    return prefill_attention(
+        q,
+        k_cache,
+        v_cache,
+        metadata.query_start_loc,
+        metadata.seq_lens,
+        metadata.block_table,
+        scale=scale,
+        max_query_len=max_query_len,
+        max_seq_len=max_seq_len,
+        sliding_window=sliding_window,
+        logits_soft_cap=logits_soft_cap,
+        alibi_slopes=alibi_slopes,
+        k_scale=k_scale,
+        v_scale=v_scale,
+    )
+
+
+def xla_paged_attention(
+    q: jax.Array,  # [num_tokens, num_q_heads, head_size]
+    k_cache: jax.Array,
+    v_cache: jax.Array,
+    metadata: AttentionMetadata,
+    *,
+    scale: float,
+    max_query_len: int,
+    max_seq_len: int,
+    sliding_window: int = 0,
+    logits_soft_cap: float = 0.0,
+    alibi_slopes: jax.Array | None = None,
+    k_scale: float = 1.0,
+    v_scale: float = 1.0,
+) -> jax.Array:
+    """Pure-XLA paged attention (gathers KV contiguous; O(S * max_seq_len))."""
+    total, num_q_heads, head_size = q.shape
+    num_kv_heads, _, block_size, _ = k_cache.shape
+    qpk = num_q_heads // num_kv_heads
+    num_seqs = metadata.seq_lens.shape[0]
+    num_blocks_needed = min(
+        -(-max_seq_len // block_size), metadata.block_table.shape[1]
+    )
+
+    pages = metadata.block_table[:, :num_blocks_needed]  # [S, KB]
+    kg = jnp.take(k_cache, pages, axis=1)  # [Hkv, S, KB, bs, hd]
+    vg = jnp.take(v_cache, pages, axis=1)
+    kv_len = num_blocks_needed * block_size
+
+    def dq(x, sc):
+        if x.dtype in (jnp.float32, jnp.bfloat16, jnp.float16):
+            return x.astype(jnp.float32)
+        return x.astype(jnp.float32) * sc
+
+    kg = dq(kg, k_scale).reshape(num_kv_heads, num_seqs, kv_len, head_size)
+    vg = dq(vg, v_scale).reshape(num_kv_heads, num_seqs, kv_len, head_size)
+
+    # pack ragged q: [S, QPAD, Hq, hd]
+    q_pad = max_query_len
+    t = jnp.arange(total, dtype=jnp.int32)
+    qsl = metadata.query_start_loc[: num_seqs + 1]
+    seq_ids = jnp.clip(
+        jnp.searchsorted(qsl, t, side="right") - 1, 0, num_seqs - 1
+    ).astype(jnp.int32)
+    local = t - qsl[seq_ids]
+    qp = jnp.zeros((num_seqs, q_pad, num_q_heads, head_size), jnp.float32)
+    qp = qp.at[seq_ids, local].set(q.astype(jnp.float32), mode="drop")
+    qp = qp.reshape(num_seqs, q_pad, num_kv_heads, qpk, head_size)
+
+    scores = jnp.einsum("sqhgd,hskd->shgqk", qp, kg) * scale
+    if logits_soft_cap > 0.0:
+        scores = logits_soft_cap * jnp.tanh(scores / logits_soft_cap)
+
+    q_lens = qsl[1:] - qsl[:-1]  # [S]
+    ctx = metadata.seq_lens - q_lens
+    qpos = ctx[:, None] + jnp.arange(q_pad)[None, :]  # [S, QPAD]
+    kpos = jnp.arange(kv_len)[None, :]  # [1, K]
+    allowed = kpos[:, None, :] <= qpos[:, :, None]  # [S, QPAD, K]
+    allowed &= kpos[:, None, :] < metadata.seq_lens[:, None, None]
+    if sliding_window > 0:
+        allowed &= (qpos[:, :, None] - kpos[:, None, :]) < sliding_window
+    bias = jnp.where(allowed, 0.0, -jnp.inf)[:, None, None]  # [S,1,1,QPAD,K]
+    if alibi_slopes is not None:
+        slopes = alibi_slopes.reshape(num_kv_heads, qpk)
+        dist = (kpos[:, None, :] - qpos[:, :, None]).astype(jnp.float32)
+        bias = bias + (
+            slopes[None, :, :, None, None] * dist[:, None, None, :, :]
+        )
+    scores = scores + bias
+    m = jnp.max(scores, axis=-1, keepdims=True)
+    p = jnp.exp(scores - jax.lax.stop_gradient(jnp.where(jnp.isfinite(m), m, 0.0)))
+    p = jnp.where(jnp.isfinite(scores), p, 0.0)
+    denom = jnp.sum(p, axis=-1, keepdims=True)
+    p = jnp.where(denom > 0, p / jnp.maximum(denom, 1e-30), 0.0)
+    out = jnp.einsum("shgqk,hskd->sqhgd", p, vg)
+    out = out.reshape(num_seqs, q_pad, num_q_heads, head_size)
+    return out[seq_ids, local].astype(q.dtype)

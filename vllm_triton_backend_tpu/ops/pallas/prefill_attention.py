@@ -1,0 +1,344 @@
+"""Paged prefill / chunked-prefill attention — Pallas TPU kernel.
+
+TPU re-design of the reference's 2D unified kernel
+(``kernel_unified_attention_2d``, reference
+kernels/triton_unified_attention.py:276-523) and the legacy prefix-prefill
+kernel (triton_prefix_prefill.py:25-765): one kernel handles full prefill,
+chunked prefill, and prefix-cache reuse, reading *all* K/V (context + new
+tokens) through the paged block table.  New tokens' K/V must already be in
+the cache (cache write precedes attention, as in the reference's forward,
+backend/triton_attn.py:396,446).
+
+TPU-specific design (not a translation):
+
+* **Page-accumulate super-blocks.** Cache pages are small (16-64 tokens); a
+  matmul against one page would use a sliver of the 128x128 MXU.  Instead
+  the innermost grid axis streams pages — auto-pipelined, double-buffered
+  DMAs via a scalar-prefetch block-table ``index_map`` — and the kernel
+  *accumulates* them (dequantized) into a VMEM super-block of ``SUPER``
+  tokens.  The online-softmax flash update then runs once per super-block on
+  a [q_tile, SUPER] score matrix: full MXU utilization independent of page
+  size.  (The reference needs no such step because Triton pointers gather
+  arbitrary pages per tile, triton_unified_attention.py:400-508.)
+* **GQA packing**: the q tile packs all ``q_per_kv`` query heads of a kv
+  head with BLOCK_Q query positions into one [q_per_kv * BLOCK_Q, head] tile
+  (reference's BLOCK_Q = BLOCK_M / num_queries_per_kv packing,
+  triton_unified_attention.py:323,343-346); the causal mask depends only on
+  ``row % BLOCK_Q``.
+* **Causal early-exit**: kv pages beyond a q-tile's causal horizon are
+  clamped to the last needed page in the index map — the pipeline re-uses
+  the resident block (no DMA) and compute is skipped (the reference's
+  ``max_seq_prefix_len`` early stop, triton_unified_attention.py:384-399).
+* **FP8/INT8 KV dequant** is fused into the page-accumulate copy.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from vllm_triton_backend_tpu.ops.pallas.common import MASK_VALUE, use_interpret
+from vllm_triton_backend_tpu.utils import cdiv, round_up
+
+
+def _dequant(x, scale):
+    if x.dtype in (jnp.float32, jnp.bfloat16, jnp.float16):
+        return x.astype(jnp.float32)
+    return x.astype(jnp.float32) * scale
+
+
+def _prefill_kernel(
+    # scalar prefetch
+    qsl_ref,  # [S+1] int32
+    sl_ref,  # [S] int32
+    tbl_ref,  # [S, max_blocks] int32
+    # inputs
+    q_ref,  # [1, 1, qpk, BQ, hd] f32
+    k_ref,  # [1, 1, bs, hd] cache dtype
+    v_ref,  # [1, 1, bs, hd] cache dtype
+    alibi_ref,  # [1, qpk_pad, 128] f32 or None (bound statically)
+    # outputs
+    o_ref,  # [1, 1, qpk, BQ, hd]
+    # scratch
+    k_buf,  # [SUPER, hd] f32
+    v_buf,  # [SUPER, hd] f32
+    m_scr,  # [M, 128] f32
+    l_scr,  # [M, 128] f32
+    acc_scr,  # [M, hd] f32
+    *,
+    scale: float,
+    block_size: int,
+    block_q: int,
+    super_size: int,
+    sliding_window: int,
+    logits_soft_cap: float,
+    k_scale: float,
+    v_scale: float,
+    has_alibi: bool,
+):
+    s = pl.program_id(0)
+    qb = pl.program_id(2)
+    kb = pl.program_id(3)
+    pages_per_super = super_size // block_size
+
+    seq_len = sl_ref[s]
+    q_len = qsl_ref[s + 1] - qsl_ref[s]
+    ctx_len = seq_len - q_len
+    # exclusive kv bound this q-tile may see (causal horizon)
+    kv_hi = jnp.minimum(seq_len, ctx_len + (qb + 1) * block_q)
+
+    @pl.when(kb == 0)
+    def _init():
+        m_scr[...] = jnp.full_like(m_scr, MASK_VALUE)
+        l_scr[...] = jnp.zeros_like(l_scr)
+        acc_scr[...] = jnp.zeros_like(acc_scr)
+
+    page_start = kb * block_size
+    i = kb % pages_per_super
+
+    # ---- page-accumulate: stage this page into the super-block buffer ----
+    @pl.when(page_start < kv_hi)
+    def _stage():
+        off = i * block_size
+        k_buf[pl.ds(off, block_size), :] = _dequant(k_ref[0, 0], k_scale)
+        v_buf[pl.ds(off, block_size), :] = _dequant(v_ref[0, 0], v_scale)
+
+    # Zero-fill pages beyond the causal horizon: the flash update reads the
+    # whole super-block, and uninitialized VMEM may hold NaNs that would
+    # poison the masked columns via 0 * NaN in p @ v.
+    @pl.when(page_start >= kv_hi)
+    def _zero():
+        off = i * block_size
+        k_buf[pl.ds(off, block_size), :] = jnp.zeros(
+            (block_size, k_buf.shape[1]), k_buf.dtype
+        )
+        v_buf[pl.ds(off, block_size), :] = jnp.zeros(
+            (block_size, v_buf.shape[1]), v_buf.dtype
+        )
+
+    sb_base = (kb - i) * block_size  # kv offset of this super-block
+
+    # ---- flash update once per super-block ----
+    @pl.when(jnp.logical_and(i == pages_per_super - 1, sb_base < kv_hi))
+    def _flash():
+        qpk, bq = q_ref.shape[2], q_ref.shape[3]
+        hd = q_ref.shape[4]
+        m_rows = qpk * bq
+        q = q_ref[0, 0].reshape(m_rows, hd)  # [M, hd] f32
+        k = k_buf[...]
+        s_blk = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale  # [M, SUPER]
+        if logits_soft_cap > 0.0:
+            s_blk = logits_soft_cap * jnp.tanh(s_blk / logits_soft_cap)
+
+        # absolute q position per row; rows are (g, qpos) with qpos = r % BQ
+        row_q = jax.lax.broadcasted_iota(jnp.int32, (m_rows, super_size), 0)
+        qpos = ctx_len + qb * block_q + row_q % bq
+        kpos = sb_base + jax.lax.broadcasted_iota(
+            jnp.int32, (m_rows, super_size), 1
+        )
+        mask = jnp.logical_and(kpos <= qpos, kpos < seq_len)
+        # rows past this sequence's query length are padding
+        mask = jnp.logical_and(mask, (qb * block_q + row_q % bq) < q_len)
+        if sliding_window > 0:
+            mask = jnp.logical_and(mask, qpos - kpos < sliding_window)
+        if has_alibi:
+            slopes = alibi_ref[0, :, :1]  # [qpk_pad, 1]
+            slope_row = jnp.broadcast_to(slopes[:qpk], (qpk, bq)).reshape(
+                m_rows, 1
+            )
+            s_blk = s_blk + slope_row * (kpos - qpos).astype(jnp.float32)
+        s_blk = jnp.where(mask, s_blk, MASK_VALUE)
+
+        m_prev = m_scr[...]
+        m_cur = jnp.max(s_blk, axis=1, keepdims=True)  # [M, 1]
+        m_new = jnp.maximum(m_prev, m_cur)
+        alpha = jnp.exp(m_prev[:, :1] - m_new[:, :1])  # [M, 1]
+        p = jnp.where(mask, jnp.exp(s_blk - m_new[:, :1]), 0.0)
+        l_scr[...] = l_scr[...] * alpha + jnp.sum(p, axis=1, keepdims=True)
+        pv = jax.lax.dot_general(
+            p, v_buf[...], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        acc_scr[...] = acc_scr[...] * alpha + pv
+        m_scr[...] = m_new
+
+    @pl.when(kb == pl.num_programs(3) - 1)
+    def _finish():
+        qpk, bq = o_ref.shape[2], o_ref.shape[3]
+        hd = o_ref.shape[4]
+        l = l_scr[:, :1]
+        safe = jnp.where(l == 0.0, 1.0, l)
+        out = jnp.where(l == 0.0, 0.0, acc_scr[...] / safe)
+        o_ref[0, 0] = out.reshape(qpk, bq, hd).astype(o_ref.dtype)
+
+
+def _pack_ragged(q, query_start_loc, num_seqs_static, q_pad):
+    """[T, Hq, hd] ragged -> [S, QPAD, Hq, hd] padded-per-sequence."""
+    total = q.shape[0]
+    t = jnp.arange(total, dtype=jnp.int32)
+    qsl = query_start_loc[: num_seqs_static + 1]
+    seq_ids = jnp.clip(
+        jnp.searchsorted(qsl, t, side="right") - 1, 0, num_seqs_static - 1
+    ).astype(jnp.int32)
+    local = t - qsl[seq_ids]
+    packed = jnp.zeros(
+        (num_seqs_static, q_pad) + q.shape[1:], dtype=q.dtype
+    )
+    packed = packed.at[seq_ids, local].set(q, mode="drop")
+    return packed, seq_ids, local
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "scale", "max_query_len", "max_seq_len", "sliding_window",
+        "logits_soft_cap", "k_scale", "v_scale",
+    ),
+)
+def prefill_attention(
+    q: jax.Array,  # [num_tokens, num_q_heads, head_size]
+    k_cache: jax.Array,  # [Hkv, num_blocks, block_size, head_size]
+    v_cache: jax.Array,
+    query_start_loc: jax.Array,  # [S+1] int32
+    seq_lens: jax.Array,  # [S] int32
+    block_table: jax.Array,  # [S, max_blocks] int32
+    *,
+    scale: float,
+    max_query_len: int,
+    max_seq_len: int,
+    sliding_window: int = 0,
+    logits_soft_cap: float = 0.0,
+    alibi_slopes: jax.Array | None = None,
+    k_scale: float = 1.0,
+    v_scale: float = 1.0,
+) -> jax.Array:
+    """Varlen prefill / chunked prefill over the paged cache.
+
+    ``max_query_len`` and ``max_seq_len`` are static shape buckets.  Handles
+    mixed batches (any per-seq query length >= 0, incl. decode rows).
+    """
+    total, num_q_heads, head_size = q.shape
+    num_kv_heads, _, block_size, _ = k_cache.shape
+    qpk = num_q_heads // num_kv_heads
+    num_seqs = seq_lens.shape[0]
+
+    block_q = min(128, max(8, round_up(max_query_len, 8)))
+    q_pad = round_up(max(max_query_len, 1), block_q)
+    num_q_blocks = q_pad // block_q
+
+    super_size = min(512, round_up(max_seq_len, block_size))
+    super_size = round_up(super_size, block_size)
+    pages_per_super = super_size // block_size
+    num_kv_pages = round_up(cdiv(max_seq_len, block_size), pages_per_super)
+
+    packed, seq_ids, local = _pack_ragged(
+        q.astype(jnp.float32), query_start_loc, num_seqs, q_pad
+    )
+    # [S, QPAD, Hq, hd] -> [S, Hkv, qpk, QPAD, hd]
+    qk = packed.reshape(num_seqs, q_pad, num_kv_heads, qpk, head_size)
+    qk = qk.transpose(0, 2, 3, 1, 4)
+
+    has_alibi = alibi_slopes is not None
+    qpk_pad = max(8, round_up(qpk, 8))
+    if has_alibi:
+        slopes = alibi_slopes.astype(jnp.float32).reshape(num_kv_heads, qpk)
+        slopes = jnp.pad(slopes, ((0, 0), (0, qpk_pad - qpk)))
+        slopes = jnp.broadcast_to(
+            slopes[:, :, None], (num_kv_heads, qpk_pad, 128)
+        )
+
+    params = dict(
+        scale=scale,
+        block_size=block_size,
+        block_q=block_q,
+        super_size=super_size,
+        sliding_window=sliding_window,
+        logits_soft_cap=logits_soft_cap,
+        k_scale=k_scale,
+        v_scale=v_scale,
+        has_alibi=has_alibi,
+    )
+    if has_alibi:
+        kernel = functools.partial(_prefill_kernel, **params)
+    else:
+        def kernel(qsl, sl, tbl, q_r, k_r, v_r, o_r, *scratch):
+            return _prefill_kernel(
+                qsl, sl, tbl, q_r, k_r, v_r, None, o_r, *scratch, **params
+            )
+
+    def q_map(s, h, qb, kb, qsl, sl, tbl):
+        del kb, qsl, sl, tbl
+        return (s, h, 0, qb, 0)
+
+    def kv_map(s, h, qb, kb, qsl, sl, tbl):
+        seq_len = sl[s]
+        q_len = qsl[s + 1] - qsl[s]
+        kv_hi = jnp.minimum(seq_len, seq_len - q_len + (qb + 1) * block_q)
+        last_pg = jnp.maximum(pl.cdiv(kv_hi, block_size) - 1, 0)
+        return (h, tbl[s, jnp.minimum(kb, last_pg)], 0, 0)
+
+    def alibi_map(s, h, qb, kb, qsl, sl, tbl):
+        del s, qb, kb, qsl, sl, tbl
+        return (h, 0, 0)
+
+    in_specs = [
+        pl.BlockSpec((1, 1, qpk, block_q, head_size), q_map),
+        pl.BlockSpec((1, 1, block_size, head_size), kv_map),
+        pl.BlockSpec((1, 1, block_size, head_size), kv_map),
+    ]
+    inputs = [qk, k_cache, v_cache]
+    if has_alibi:
+        in_specs.append(pl.BlockSpec((1, qpk_pad, 128), alibi_map))
+        inputs.append(slopes)
+
+    m_rows = qpk * block_q
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(num_seqs, num_kv_heads, num_q_blocks, num_kv_pages),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, 1, qpk, block_q, head_size), q_map),
+        scratch_shapes=[
+            pltpu.VMEM((super_size, head_size), jnp.float32),
+            pltpu.VMEM((super_size, head_size), jnp.float32),
+            pltpu.VMEM((m_rows, 128), jnp.float32),
+            pltpu.VMEM((m_rows, 128), jnp.float32),
+            pltpu.VMEM((m_rows, head_size), jnp.float32),
+        ],
+    )
+
+    kv_bytes = k_cache.dtype.itemsize
+    cost = pl.CostEstimate(
+        flops=4 * num_seqs * num_q_heads * q_pad * max_seq_len * head_size,
+        bytes_accessed=(
+            2 * num_seqs * num_kv_heads * max_seq_len * head_size * kv_bytes
+        ),
+        transcendentals=num_seqs * num_q_heads * q_pad * max_seq_len,
+    )
+
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(
+            (num_seqs, num_kv_heads, qpk, q_pad, head_size), q.dtype
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=(
+                "parallel", "parallel", "parallel", "arbitrary"
+            ),
+        ),
+        cost_estimate=cost,
+        interpret=use_interpret(),
+    )(query_start_loc, seq_lens, block_table, *inputs)
+
+    # [S, Hkv, qpk, QPAD, hd] -> flat [T, Hq, hd]
+    out = out.transpose(0, 3, 1, 2, 4).reshape(
+        num_seqs, q_pad, num_q_heads, head_size
+    )
+    return out[seq_ids, local].astype(q.dtype)
