@@ -1,0 +1,70 @@
+"""HF checkpoint parity: our engine's logits vs transformers' reference.
+
+Builds a tiny random LlamaForCausalLM with transformers (torch CPU), saves
+it as safetensors, loads it through models/hf.py, and compares prefill
+logits.  This is the accuracy baseline discipline of BASELINE.md ("match
+reference perplexity"): exact architecture parity against the canonical
+implementation.
+"""
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+transformers = pytest.importorskip("transformers")
+
+import jax.numpy as jnp
+
+from vllm_triton_backend_tpu.models.hf import config_from_hf, load_params
+from vllm_triton_backend_tpu.models.llama import (
+    ForwardExtras,
+    forward,
+    make_kv_caches,
+)
+from vllm_triton_backend_tpu.ops.metadata import make_metadata
+
+
+@pytest.fixture(scope="module")
+def tiny_hf_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("tiny_llama_hf")
+    cfg = transformers.LlamaConfig(
+        vocab_size=256,
+        hidden_size=64,
+        intermediate_size=128,
+        num_hidden_layers=2,
+        num_attention_heads=4,
+        num_key_value_heads=2,
+        max_position_embeddings=128,
+        rope_theta=10000.0,
+        tie_word_embeddings=False,
+    )
+    torch.manual_seed(0)
+    model = transformers.LlamaForCausalLM(cfg)
+    model.save_pretrained(d, safe_serialization=True)
+    return str(d), model
+
+
+def test_prefill_logits_match_transformers(tiny_hf_dir):
+    d, hf_model = tiny_hf_dir
+    cfg, params = load_params(d, config_from_hf(d, dtype="float32"))
+
+    rng = np.random.default_rng(0)
+    prompt = rng.integers(0, cfg.vocab_size, size=17)
+
+    with torch.no_grad():
+        ref = hf_model(torch.tensor(prompt[None])).logits[0].numpy()
+
+    block_size, num_blocks = 16, 8
+    k_cache, v_cache = make_kv_caches(cfg, num_blocks, block_size)
+    bt = np.arange(2, dtype=np.int32).reshape(1, 2)
+    meta = make_metadata([len(prompt)], [0], bt, block_size)
+    logits, _, _ = forward(
+        params, cfg,
+        jnp.asarray(prompt, jnp.int32),
+        jnp.arange(len(prompt), dtype=jnp.int32),
+        k_cache, v_cache, meta,
+        ForwardExtras(max_query_len=32, max_seq_len=32),
+    )
+    np.testing.assert_allclose(
+        np.asarray(logits), ref, atol=2e-3, rtol=1e-3
+    )

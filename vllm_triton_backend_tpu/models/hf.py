@@ -1,0 +1,123 @@
+"""HuggingFace checkpoint loading — config.json + safetensors → LlamaParams.
+
+The reference relies on vLLM's loader pulling HF weights
+(reference scripts/offline_inference.py:44); here loading is native: parse
+``config.json`` into :class:`ModelConfig` and stream ``*.safetensors``
+shards into the stacked-layer pytree (one device transfer per stacked
+tensor, not per layer).
+
+Supported architectures: LlamaForCausalLM (TinyLlama, Llama-2/3),
+GraniteForCausalLM (granite-3.x scalar multipliers).
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+
+import jax.numpy as jnp
+import numpy as np
+
+from vllm_triton_backend_tpu.config import ModelConfig
+from vllm_triton_backend_tpu.models.llama import LayerParams, LlamaParams
+
+_SUPPORTED = {"LlamaForCausalLM", "GraniteForCausalLM", "MistralForCausalLM"}
+
+
+def config_from_hf(model_dir: str, **overrides) -> ModelConfig:
+    with open(os.path.join(model_dir, "config.json")) as f:
+        hf = json.load(f)
+    arch = (hf.get("architectures") or ["LlamaForCausalLM"])[0]
+    if arch not in _SUPPORTED:
+        raise ValueError(f"unsupported architecture {arch!r}")
+    kw = dict(
+        vocab_size=hf["vocab_size"],
+        hidden_size=hf["hidden_size"],
+        intermediate_size=hf["intermediate_size"],
+        num_layers=hf["num_hidden_layers"],
+        num_heads=hf["num_attention_heads"],
+        num_kv_heads=hf.get(
+            "num_key_value_heads", hf["num_attention_heads"]
+        ),
+        head_dim=hf.get("head_dim"),
+        rope_theta=float(hf.get("rope_theta", 10000.0)),
+        rope_scaling=hf.get("rope_scaling"),
+        rms_norm_eps=float(hf.get("rms_norm_eps", 1e-5)),
+        max_position_embeddings=hf.get("max_position_embeddings", 2048),
+        tie_word_embeddings=hf.get("tie_word_embeddings", False),
+        sliding_window=hf.get("sliding_window"),
+        # granite multipliers (absent for plain llama -> identity)
+        embedding_multiplier=float(hf.get("embedding_multiplier", 1.0)),
+        residual_multiplier=float(hf.get("residual_multiplier", 1.0)),
+        attention_multiplier=hf.get("attention_multiplier"),
+        logits_scaling=float(hf.get("logits_scaling", 1.0)),
+    )
+    kw.update(overrides)
+    return ModelConfig(**kw)
+
+
+def _load_state_dict(model_dir: str) -> dict[str, np.ndarray]:
+    """Load all safetensors shards into a host numpy dict."""
+    from safetensors import safe_open
+
+    paths = sorted(glob.glob(os.path.join(model_dir, "*.safetensors")))
+    if not paths:
+        raise FileNotFoundError(f"no .safetensors under {model_dir}")
+    state: dict[str, np.ndarray] = {}
+    for p in paths:
+        with safe_open(p, framework="numpy") as f:
+            for name in f.keys():
+                state[name] = f.get_tensor(name)
+    return state
+
+
+def load_params(
+    model_dir: str, cfg: ModelConfig | None = None
+) -> tuple[ModelConfig, LlamaParams]:
+    """Load an HF Llama-family checkpoint into the stacked pytree."""
+    cfg = cfg or config_from_hf(model_dir)
+    state = _load_state_dict(model_dir)
+    dtype = jnp.dtype(cfg.dtype)
+    nl = cfg.num_layers
+
+    def get(name: str) -> np.ndarray:
+        t = state[name]
+        # bf16 safetensors arrive as uint16 views under numpy; let
+        # ml_dtypes handle it via jnp conversion at stack time.
+        return t
+
+    def stack_linear(fmt: str) -> jnp.ndarray:
+        # HF stores Linear as [out, in]; our layout is [in, out].
+        mats = [get(fmt.format(i)).T for i in range(nl)]
+        return jnp.asarray(np.stack(mats), dtype=dtype)
+
+    def stack_norm(fmt: str) -> jnp.ndarray:
+        return jnp.asarray(
+            np.stack([get(fmt.format(i)) for i in range(nl)]), dtype=dtype
+        )
+
+    p = "model.layers.{}."
+    layers = LayerParams(
+        input_norm=stack_norm(p + "input_layernorm.weight"),
+        q_proj=stack_linear(p + "self_attn.q_proj.weight"),
+        k_proj=stack_linear(p + "self_attn.k_proj.weight"),
+        v_proj=stack_linear(p + "self_attn.v_proj.weight"),
+        o_proj=stack_linear(p + "self_attn.o_proj.weight"),
+        post_attn_norm=stack_norm(p + "post_attention_layernorm.weight"),
+        gate_proj=stack_linear(p + "mlp.gate_proj.weight"),
+        up_proj=stack_linear(p + "mlp.up_proj.weight"),
+        down_proj=stack_linear(p + "mlp.down_proj.weight"),
+    )
+    embed = jnp.asarray(state["model.embed_tokens.weight"], dtype=dtype)
+    if cfg.tie_word_embeddings or "lm_head.weight" not in state:
+        lm_head = embed.T
+    else:
+        lm_head = jnp.asarray(state["lm_head.weight"].T, dtype=dtype)
+    params = LlamaParams(
+        embed=embed,
+        layers=layers,
+        final_norm=jnp.asarray(state["model.norm.weight"], dtype=dtype),
+        lm_head=lm_head,
+    )
+    return cfg, params

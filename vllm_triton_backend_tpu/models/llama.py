@@ -1,0 +1,234 @@
+"""Llama-family decoder (TinyLlama / Llama-2/3 / granite-3.x) — pure JAX.
+
+TPU-first design notes (this layer has no reference counterpart to port —
+the reference delegates model execution to vLLM's model runner, SURVEY.md §1
+L5 — so the design is native JAX):
+
+* **Stacked layer params + ``lax.scan``.** All decoder layers' weights are
+  stacked along a leading layer axis and the layer loop is a single
+  ``lax.scan`` — one traced layer body regardless of depth, so XLA compiles
+  22- or 80-layer models in the time of one layer and the paged KV-cache
+  ``[L, ...]`` arrays thread through as scan xs/ys.
+* **Flat-token batch.** The forward consumes the scheduler's flat ragged
+  token batch ``[num_tokens]`` plus :class:`AttentionMetadata` — the same
+  contract the reference's attention backend consumes per step (reference
+  backend/triton_attn.py:60-103) — so prefill, chunked prefill, and decode
+  are all the same executable per (num_tokens, max_query_len) bucket.
+* **bf16 matmuls, f32 norms/softmax.** MXU-friendly: weights and
+  activations stay bf16; RMSNorm statistics and attention softmax run f32.
+* Granite's scalar multipliers (embedding/residual/attention/logits,
+  config.py) reduce to the Llama identity values of 1.0.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from vllm_triton_backend_tpu.config import ModelConfig
+from vllm_triton_backend_tpu.ops.attention import unified_attention
+from vllm_triton_backend_tpu.ops.metadata import AttentionMetadata
+from vllm_triton_backend_tpu.ops.pallas.cache_ops import reshape_and_cache
+
+
+class LayerParams(NamedTuple):
+    """One decoder layer's weights; in the model pytree these are stacked
+    with a leading ``[num_layers]`` axis for ``lax.scan``."""
+
+    input_norm: jax.Array  # [hidden]
+    q_proj: jax.Array  # [hidden, num_heads * head]
+    k_proj: jax.Array  # [hidden, num_kv_heads * head]
+    v_proj: jax.Array  # [hidden, num_kv_heads * head]
+    o_proj: jax.Array  # [num_heads * head, hidden]
+    post_attn_norm: jax.Array  # [hidden]
+    gate_proj: jax.Array  # [hidden, intermediate]
+    up_proj: jax.Array  # [hidden, intermediate]
+    down_proj: jax.Array  # [intermediate, hidden]
+
+
+class LlamaParams(NamedTuple):
+    embed: jax.Array  # [vocab, hidden]
+    layers: LayerParams  # stacked: leading [num_layers] axis
+    final_norm: jax.Array  # [hidden]
+    lm_head: jax.Array  # [hidden, vocab] (embed.T if tied)
+
+
+def init_params(cfg: ModelConfig, key: jax.Array) -> LlamaParams:
+    """Random initialization (tests / benchmarks; real weights via hf.py)."""
+    dtype = jnp.dtype(cfg.dtype)
+    h, inter, hd = cfg.hidden_size, cfg.intermediate_size, cfg.head_size
+    nl = cfg.num_layers
+    keys = jax.random.split(key, 12)
+
+    def init(k, shape, fan_in):
+        return (
+            jax.random.normal(k, shape, jnp.float32) * (fan_in**-0.5)
+        ).astype(dtype)
+
+    embed = init(keys[0], (cfg.vocab_size, h), h)
+    layers = LayerParams(
+        input_norm=jnp.ones((nl, h), dtype),
+        q_proj=init(keys[1], (nl, h, cfg.num_heads * hd), h),
+        k_proj=init(keys[2], (nl, h, cfg.num_kv_heads * hd), h),
+        v_proj=init(keys[3], (nl, h, cfg.num_kv_heads * hd), h),
+        o_proj=init(keys[4], (nl, cfg.num_heads * hd, h), cfg.num_heads * hd),
+        post_attn_norm=jnp.ones((nl, h), dtype),
+        gate_proj=init(keys[5], (nl, h, inter), h),
+        up_proj=init(keys[6], (nl, h, inter), h),
+        down_proj=init(keys[7], (nl, inter, h), inter),
+    )
+    lm_head = embed.T if cfg.tie_word_embeddings else init(
+        keys[8], (h, cfg.vocab_size), h
+    )
+    return LlamaParams(
+        embed=embed,
+        layers=layers,
+        final_norm=jnp.ones((h,), dtype),
+        lm_head=lm_head,
+    )
+
+
+def rms_norm(x: jax.Array, weight: jax.Array, eps: float) -> jax.Array:
+    xf = x.astype(jnp.float32)
+    var = jnp.mean(xf * xf, axis=-1, keepdims=True)
+    return (xf * jax.lax.rsqrt(var + eps)).astype(x.dtype) * weight
+
+
+def _rope_inv_freq(cfg: ModelConfig) -> jax.Array:
+    """Rotary inverse frequencies, with optional llama3-style scaling."""
+    hd = cfg.head_size
+    inv_freq = 1.0 / (
+        cfg.rope_theta ** (jnp.arange(0, hd, 2, dtype=jnp.float32) / hd)
+    )
+    rs = cfg.rope_scaling
+    if rs and rs.get("rope_type", rs.get("type")) == "llama3":
+        factor = rs["factor"]
+        low = rs["low_freq_factor"]
+        high = rs["high_freq_factor"]
+        old_ctx = rs["original_max_position_embeddings"]
+        wavelen = 2 * jnp.pi / inv_freq
+        smooth = (old_ctx / wavelen - low) / (high - low)
+        smooth = jnp.clip(smooth, 0.0, 1.0)
+        scaled = inv_freq / factor
+        blended = (1 - smooth) * scaled + smooth * inv_freq
+        inv_freq = jnp.where(
+            wavelen > old_ctx / low,
+            scaled,
+            jnp.where(wavelen < old_ctx / high, inv_freq, blended),
+        )
+    return inv_freq
+
+
+def apply_rope(
+    x: jax.Array,  # [T, heads, head_size]
+    positions: jax.Array,  # [T] int32
+    inv_freq: jax.Array,  # [head_size // 2]
+) -> jax.Array:
+    angles = positions[:, None].astype(jnp.float32) * inv_freq[None, :]
+    cos = jnp.cos(angles)[:, None, :]  # [T, 1, hd/2]
+    sin = jnp.sin(angles)[:, None, :]
+    x1, x2 = jnp.split(x.astype(jnp.float32), 2, axis=-1)
+    out = jnp.concatenate(
+        (x1 * cos - x2 * sin, x2 * cos + x1 * sin), axis=-1
+    )
+    return out.astype(x.dtype)
+
+
+class ForwardExtras(NamedTuple):
+    """Static knobs threaded into the forward (hashable, jit-static)."""
+
+    max_query_len: int
+    max_seq_len: int
+    k_scale: float = 1.0
+    v_scale: float = 1.0
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "extras"),
+    donate_argnames=("k_cache", "v_cache"),
+)
+def forward(
+    params: LlamaParams,
+    cfg: ModelConfig,
+    token_ids: jax.Array,  # [num_tokens] int32
+    positions: jax.Array,  # [num_tokens] int32
+    k_cache: jax.Array,  # [L, Hkv, num_blocks, block_size, head]
+    v_cache: jax.Array,
+    metadata: AttentionMetadata,
+    extras: ForwardExtras,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """One engine step: embeds the flat token batch, runs all layers with
+    paged-cache attention, returns (logits [T, vocab], new k/v caches).
+
+    Caches are donated: the XLA executable updates them in place.
+    """
+    dtype = jnp.dtype(cfg.dtype)
+    hd = cfg.head_size
+    inv_freq = _rope_inv_freq(cfg)
+
+    x = params.embed[token_ids].astype(dtype)
+    if cfg.embedding_multiplier != 1.0:
+        x = x * cfg.embedding_multiplier
+
+    def layer_body(h_in, xs):
+        lp, kc, vc = xs  # LayerParams slice, per-layer caches
+        t = token_ids.shape[0]
+
+        normed = rms_norm(h_in, lp.input_norm, cfg.rms_norm_eps)
+        q = (normed @ lp.q_proj).reshape(t, cfg.num_heads, hd)
+        k = (normed @ lp.k_proj).reshape(t, cfg.num_kv_heads, hd)
+        v = (normed @ lp.v_proj).reshape(t, cfg.num_kv_heads, hd)
+        q = apply_rope(q, positions, inv_freq)
+        k = apply_rope(k, positions, inv_freq)
+
+        kc, vc = reshape_and_cache(
+            k, v, kc, vc, metadata.slot_mapping,
+            extras.k_scale, extras.v_scale,
+        )
+        attn = unified_attention(
+            q, kc, vc, metadata,
+            scale=cfg.attn_scale,
+            max_query_len=extras.max_query_len,
+            max_seq_len=extras.max_seq_len,
+            sliding_window=cfg.sliding_window or 0,
+            logits_soft_cap=cfg.logits_soft_cap,
+            k_scale=extras.k_scale,
+            v_scale=extras.v_scale,
+        )
+        attn_out = attn.reshape(t, cfg.num_heads * hd) @ lp.o_proj
+        h_mid = h_in + attn_out * cfg.residual_multiplier
+
+        normed2 = rms_norm(h_mid, lp.post_attn_norm, cfg.rms_norm_eps)
+        gate = jax.nn.silu((normed2 @ lp.gate_proj).astype(jnp.float32))
+        mlp = (gate.astype(dtype) * (normed2 @ lp.up_proj)) @ lp.down_proj
+        h_out = h_mid + mlp * cfg.residual_multiplier
+        return h_out, (kc, vc)
+
+    x, (k_cache, v_cache) = jax.lax.scan(
+        layer_body, x, (params.layers, k_cache, v_cache)
+    )
+
+    x = rms_norm(x, params.final_norm, cfg.rms_norm_eps)
+    logits = (x @ params.lm_head).astype(jnp.float32)
+    if cfg.logits_scaling != 1.0:
+        logits = logits / cfg.logits_scaling
+    return logits, k_cache, v_cache
+
+
+def make_kv_caches(
+    cfg: ModelConfig,
+    num_blocks: int,
+    block_size: int,
+    cache_dtype: Any = None,
+) -> tuple[jax.Array, jax.Array]:
+    """Allocate zeroed paged KV caches ``[L, Hkv, blocks, bs, head]``."""
+    dtype = cache_dtype or jnp.dtype(cfg.dtype)
+    shape = (
+        cfg.num_layers, cfg.num_kv_heads, num_blocks, block_size,
+        cfg.head_size,
+    )
+    return jnp.zeros(shape, dtype), jnp.zeros(shape, dtype)
