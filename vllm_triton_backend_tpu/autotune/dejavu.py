@@ -1,0 +1,338 @@
+"""Persistent Pallas-config autotuner (the triton-dejavu analog).
+
+Semantics recreated from the reference's consumed API surface (SURVEY.md
+§2.3; reference kernels/triton_unified_attention.py:205-266):
+
+* ``@autotune(config_space=ConfigSpace({...}), key=[...])`` wraps a kernel
+  *launcher* whose tunable knobs are keyword args (block shapes, super-block
+  sizes, dimension semantics — the TPU analog of BLOCK_M/N/warps/stages).
+* First call with a new key tuple benchmarks the config space (time-capped,
+  ``search_max_t``), picks the fastest, and persists it to a JSON cache DB.
+  Subsequent calls (any process) are pure lookups — zero overhead.
+* Cache DB path layering mirrors the reference's storage scheme
+  (dejavu_data/<dejavu-version>/<runtime>/<gpu>/<kernel>/cache.json —
+  SURVEY.md §2.2 dejavu_data): here
+  ``$VTB_DEJAVU_STORAGE/<tag>/jax_<ver>/<chip>/<kernel>/<space-hash>/cache.json``.
+* Miss behavior when tuning is disabled (``VTB_DEJAVU_FORCE_FALLBACK=1``):
+  ``informed_fallback`` picks the cached config of the *nearest* key
+  (reference ``informed_fallback_next``, triton_unified_attention.py:82-91),
+  else the static ``fallback_heuristic`` decision rule (reference
+  ``fallback_heuristic_dt2``, :56-79).
+* ``global_cache_lock`` freezes tuning during timed benchmark runs
+  (reference benchmark.py:427-429).
+
+Env contract (reference Dockerfile:256-264 family):
+  VTB_DEJAVU_STORAGE, VTB_DEJAVU_FORCE_FALLBACK, VTB_DEJAVU_TAG,
+  VTB_DEJAVU_DEBUG, VTB_PRINT_AUTOTUNING.
+"""
+
+from __future__ import annotations
+
+import functools
+import hashlib
+import inspect
+import itertools
+import json
+import os
+import threading
+import time
+from dataclasses import dataclass, field
+from typing import Any, Callable, Sequence
+
+
+class CacheLock:
+    """Freeze tuning while benchmarks time kernels (dejavu
+    global_cache_lock analog)."""
+
+    def __init__(self):
+        self._locked = False
+        self._mu = threading.Lock()
+
+    def lock(self):
+        with self._mu:
+            self._locked = True
+
+    def unlock(self):
+        with self._mu:
+            self._locked = False
+
+    @property
+    def is_locked(self) -> bool:
+        return self._locked
+
+
+global_cache_lock = CacheLock()
+
+
+@dataclass(frozen=True)
+class ConfigSpace:
+    """Cartesian product of tunable knob values, with optional filters.
+
+    ``conditions`` receive the candidate config dict and must all return
+    True (the reference's kwarg_conditions, e.g. excluding known-bad
+    configs — SURVEY.md §4 "known-bug guards").
+    """
+
+    space: dict[str, Sequence[Any]]
+    conditions: tuple[Callable[[dict], bool], ...] = ()
+
+    def configs(self) -> list[dict[str, Any]]:
+        names = list(self.space)
+        out = []
+        for combo in itertools.product(*(self.space[n] for n in names)):
+            cfg = dict(zip(names, combo))
+            if all(c(cfg) for c in self.conditions):
+                out.append(cfg)
+        return out
+
+    def space_hash(self) -> str:
+        blob = json.dumps(
+            {k: [repr(v) for v in vs] for k, vs in self.space.items()},
+            sort_keys=True,
+        )
+        return hashlib.sha256(blob.encode()).hexdigest()[:16]
+
+
+def _chip_label() -> str:
+    try:
+        import jax
+
+        d = jax.devices()[0]
+        return f"{d.platform}_{getattr(d, 'device_kind', 'unknown')}".replace(
+            " ", "_"
+        )
+    except Exception:
+        return "unknown"
+
+
+def _storage_root() -> str:
+    return os.environ.get(
+        "VTB_DEJAVU_STORAGE",
+        os.path.join(os.path.expanduser("~"), ".cache", "vtb_dejavu"),
+    )
+
+
+def _debug(*a):
+    if os.environ.get("VTB_DEJAVU_DEBUG"):
+        print("[dejavu]", *a)
+
+
+class Autotuner:
+    def __init__(
+        self,
+        fn: Callable,
+        config_space: ConfigSpace,
+        key: Sequence[str],
+        *,
+        name: str | None = None,
+        search_max_t: float = 120.0,
+        fallback_heuristic: Callable[[tuple], dict] | None = None,
+        warmup: int = 2,
+        rep: int = 10,
+    ):
+        self.fn = fn
+        self.space = config_space
+        self.key_names = list(key)
+        self.name = name or fn.__name__
+        self.search_max_t = search_max_t
+        self.fallback_heuristic = fallback_heuristic
+        self.warmup = warmup
+        self.rep = rep
+        self._mem: dict[tuple, dict] = {}
+        self._db_loaded = False
+        self._mu = threading.Lock()
+        try:
+            src = inspect.getsource(fn)
+        except OSError:
+            src = self.name
+        self._code_hash = hashlib.sha256(src.encode()).hexdigest()[:16]
+        functools.update_wrapper(self, fn)
+
+    # ---------------- persistence ----------------
+
+    def _db_path(self) -> str:
+        tag = os.environ.get("VTB_DEJAVU_TAG", "default")
+        import jax
+
+        return os.path.join(
+            _storage_root(),
+            tag,
+            f"jax_{jax.__version__}",
+            _chip_label(),
+            f"{self.name}_{self._code_hash}",
+            self.space.space_hash(),
+            "cache.json",
+        )
+
+    def _load_db(self):
+        if self._db_loaded:
+            return
+        self._db_loaded = True
+        path = self._db_path()
+        if not os.path.exists(path):
+            return
+        try:
+            with open(path) as f:
+                db = json.load(f)
+            for k, v in db.get("cache", {}).items():
+                self._mem[tuple(json.loads(k))] = v
+            _debug(f"loaded {len(self._mem)} entries from {path}")
+        except (OSError, json.JSONDecodeError) as e:
+            _debug("db load failed:", e)
+
+    def _save_db(self, timings: dict | None = None, bench_time: float = 0.0):
+        path = self._db_path()
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        prev = {}
+        if os.path.exists(path):
+            try:
+                with open(path) as f:
+                    prev = json.load(f)
+            except (OSError, json.JSONDecodeError):
+                prev = {}
+        db = {
+            "signature": self.name,
+            "code_hash": self._code_hash,
+            "keys": self.key_names,
+            "evaluated_configs": len(self.space.configs()),
+            "total_bench_time_s": prev.get("total_bench_time_s", 0.0)
+            + bench_time,
+            "cache": {
+                json.dumps(list(k)): v for k, v in self._mem.items()
+            },
+            "timings": {**prev.get("timings", {}), **(timings or {})},
+        }
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(db, f, indent=1)
+        os.replace(tmp, path)
+
+    # ---------------- lookup / tune ----------------
+
+    def _make_key(self, kwargs: dict) -> tuple:
+        return tuple(kwargs[k] for k in self.key_names)
+
+    def _nearest_key(self, key: tuple) -> tuple | None:
+        """Informed fallback: cached key minimizing L1 distance over the
+        numeric key elements (reference informed_fallback_next)."""
+        best, best_d = None, None
+        for k in self._mem:
+            d = sum(
+                abs(a - b)
+                for a, b in zip(k, key)
+                if isinstance(a, (int, float)) and isinstance(b, (int, float))
+            )
+            if best_d is None or d < best_d:
+                best, best_d = k, d
+        return best
+
+    def _pick_fallback(self, key: tuple) -> dict:
+        if self._mem:
+            near = self._nearest_key(key)
+            if near is not None:
+                _debug(f"informed fallback {key} -> {near}")
+                return dict(self._mem[near])
+        if self.fallback_heuristic is not None:
+            return self.fallback_heuristic(key)
+        configs = self.space.configs()
+        return configs[len(configs) // 2]  # arbitrary-but-stable default
+
+    def _bench_config(self, cfg: dict, args, kwargs) -> float:
+        import jax
+
+        def call():
+            r = self.fn(*args, **kwargs, **cfg)
+            leaf = jax.tree_util.tree_leaves(r)[0]
+            leaf.block_until_ready()
+            return r
+
+        for _ in range(self.warmup):
+            call()
+        t0 = time.perf_counter()
+        for _ in range(self.rep):
+            call()
+        return (time.perf_counter() - t0) / self.rep
+
+    def tune(self, *args, **kwargs) -> dict:
+        """Benchmark the config space for this call's key; persist winner."""
+        key = self._make_key(kwargs)
+        t_start = time.perf_counter()
+        timings = {}
+        best_cfg, best_t = None, None
+        for cfg in self.space.configs():
+            if time.perf_counter() - t_start > self.search_max_t and best_cfg:
+                _debug("search time cap hit")
+                break
+            try:
+                t = self._bench_config(cfg, args, kwargs)
+            except Exception as e:  # invalid config (e.g. VMEM overflow)
+                _debug(f"config {cfg} failed: {type(e).__name__}")
+                continue
+            timings[json.dumps(cfg)] = t
+            if os.environ.get("VTB_PRINT_AUTOTUNING"):
+                print(f"[autotune {self.name}] {cfg} -> {t*1e3:.3f} ms")
+            if best_t is None or t < best_t:
+                best_cfg, best_t = cfg, t
+        if best_cfg is None:
+            raise RuntimeError(f"no valid config for {self.name} key={key}")
+        with self._mu:
+            self._mem[key] = best_cfg
+            self._save_db(timings, time.perf_counter() - t_start)
+        if os.environ.get("VTB_PRINT_AUTOTUNING"):
+            print(
+                f"[autotune {self.name}] key={key} winner={best_cfg} "
+                f"({best_t*1e3:.3f} ms)"
+            )
+        return best_cfg
+
+    def lookup(self, **kwargs) -> dict:
+        """Resolve the config for this call without running the kernel."""
+        self._load_db()
+        key = self._make_key(kwargs)
+        cfg = self._mem.get(key)
+        if cfg is not None:
+            return dict(cfg)
+        return self._pick_fallback(key)
+
+    @staticmethod
+    def _is_tracing(args, kwargs) -> bool:
+        import jax
+
+        return any(
+            isinstance(leaf, jax.core.Tracer)
+            for leaf in jax.tree_util.tree_leaves((args, kwargs))
+        )
+
+    def __call__(self, *args, **kwargs):
+        self._load_db()
+        key = self._make_key(kwargs)
+        cfg = self._mem.get(key)
+        if cfg is None:
+            # Benchmarking needs concrete arrays: under a jit trace (the
+            # engine's forward) resolve via fallback only — tuning happens
+            # out-of-band (bench harness / tune script), mirroring the
+            # reference's shipped pre-tuned DBs (SURVEY.md §5.4).
+            tuning_allowed = (
+                not global_cache_lock.is_locked
+                and os.environ.get("VTB_DEJAVU_FORCE_FALLBACK", "0") != "1"
+                and not self._is_tracing(args, kwargs)
+            )
+            if tuning_allowed:
+                cfg = self.tune(*args, **kwargs)
+            else:
+                cfg = self._pick_fallback(key)
+        return self.fn(*args, **kwargs, **cfg)
+
+
+def autotune(
+    config_space: ConfigSpace,
+    key: Sequence[str],
+    **opts,
+):
+    """Decorator: ``@autotune(config_space=..., key=[...])`` over a launcher
+    whose tunable knobs are trailing keyword args."""
+
+    def deco(fn):
+        return Autotuner(fn, config_space, key, **opts)
+
+    return deco

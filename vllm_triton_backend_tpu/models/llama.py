@@ -146,12 +146,7 @@ class ForwardExtras(NamedTuple):
     v_scale: float = 1.0
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("cfg", "extras"),
-    donate_argnames=("k_cache", "v_cache"),
-)
-def forward(
+def forward_fn(
     params: LlamaParams,
     cfg: ModelConfig,
     token_ids: jax.Array,  # [num_tokens] int32
@@ -160,15 +155,25 @@ def forward(
     v_cache: jax.Array,
     metadata: AttentionMetadata,
     extras: ForwardExtras,
+    tp_axis: str | None = None,
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """One engine step: embeds the flat token batch, runs all layers with
     paged-cache attention, returns (logits [T, vocab], new k/v caches).
 
-    Caches are donated: the XLA executable updates them in place.
+    With ``tp_axis`` set (inside ``shard_map`` over a mesh axis of that
+    name), ``cfg`` must carry the *per-shard* head counts and the projection
+    weights/caches must be the local shards; partial sums after o_proj and
+    down_proj are reduced with ``psum`` over the axis and vocab-sharded
+    logits are all-gathered (Megatron-style TP, SURVEY.md §2.6 build
+    column).  The attention math itself needs no communication: each shard
+    owns whole kv-head groups.
     """
     dtype = jnp.dtype(cfg.dtype)
     hd = cfg.head_size
     inv_freq = _rope_inv_freq(cfg)
+
+    def maybe_psum(x):
+        return jax.lax.psum(x, tp_axis) if tp_axis else x
 
     x = params.embed[token_ids].astype(dtype)
     if cfg.embedding_multiplier != 1.0:
@@ -199,12 +204,14 @@ def forward(
             k_scale=extras.k_scale,
             v_scale=extras.v_scale,
         )
-        attn_out = attn.reshape(t, cfg.num_heads * hd) @ lp.o_proj
+        attn_out = maybe_psum(attn.reshape(t, cfg.num_heads * hd) @ lp.o_proj)
         h_mid = h_in + attn_out * cfg.residual_multiplier
 
         normed2 = rms_norm(h_mid, lp.post_attn_norm, cfg.rms_norm_eps)
         gate = jax.nn.silu((normed2 @ lp.gate_proj).astype(jnp.float32))
-        mlp = (gate.astype(dtype) * (normed2 @ lp.up_proj)) @ lp.down_proj
+        mlp = maybe_psum(
+            (gate.astype(dtype) * (normed2 @ lp.up_proj)) @ lp.down_proj
+        )
         h_out = h_mid + mlp * cfg.residual_multiplier
         return h_out, (kc, vc)
 
@@ -214,9 +221,21 @@ def forward(
 
     x = rms_norm(x, params.final_norm, cfg.rms_norm_eps)
     logits = (x @ params.lm_head).astype(jnp.float32)
+    if tp_axis:
+        # lm_head is vocab-sharded: gather shards into the full vocab axis
+        logits = jax.lax.all_gather(
+            logits, tp_axis, axis=1, tiled=True
+        )
     if cfg.logits_scaling != 1.0:
         logits = logits / cfg.logits_scaling
     return logits, k_cache, v_cache
+
+
+forward = functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "extras"),
+    donate_argnames=("k_cache", "v_cache"),
+)(functools.partial(forward_fn, tp_axis=None))
 
 
 def make_kv_caches(

@@ -199,10 +199,10 @@ def _pack_ragged(q, query_start_loc, num_seqs_static, q_pad):
     jax.jit,
     static_argnames=(
         "scale", "max_query_len", "max_seq_len", "sliding_window",
-        "logits_soft_cap", "k_scale", "v_scale",
+        "logits_soft_cap", "k_scale", "v_scale", "block_q", "super_size",
     ),
 )
-def prefill_attention(
+def _prefill_attention_impl(
     q: jax.Array,  # [num_tokens, num_q_heads, head_size]
     k_cache: jax.Array,  # [Hkv, num_blocks, block_size, head_size]
     v_cache: jax.Array,
@@ -218,22 +218,30 @@ def prefill_attention(
     alibi_slopes: jax.Array | None = None,
     k_scale: float = 1.0,
     v_scale: float = 1.0,
+    block_q: int = 0,  # 0 -> heuristic
+    super_size: int = 0,  # 0 -> heuristic
 ) -> jax.Array:
     """Varlen prefill / chunked prefill over the paged cache.
 
     ``max_query_len`` and ``max_seq_len`` are static shape buckets.  Handles
     mixed batches (any per-seq query length >= 0, incl. decode rows).
+    ``block_q`` / ``super_size`` are the tunable block shapes (autotuned by
+    the dejavu layer via :func:`prefill_attention`).
     """
     total, num_q_heads, head_size = q.shape
     num_kv_heads, _, block_size, _ = k_cache.shape
     qpk = num_q_heads // num_kv_heads
     num_seqs = seq_lens.shape[0]
 
-    block_q = min(128, max(8, round_up(max_query_len, 8)))
+    if not block_q:
+        block_q = min(128, max(8, round_up(max_query_len, 8)))
+    block_q = min(block_q, max(8, round_up(max_query_len, 8)))
     q_pad = round_up(max(max_query_len, 1), block_q)
     num_q_blocks = q_pad // block_q
 
-    super_size = min(512, round_up(max_seq_len, block_size))
+    if not super_size:
+        super_size = min(512, round_up(max_seq_len, block_size))
+    super_size = min(super_size, round_up(max_seq_len, block_size))
     super_size = round_up(super_size, block_size)
     pages_per_super = super_size // block_size
     num_kv_pages = round_up(cdiv(max_seq_len, block_size), pages_per_super)
@@ -342,3 +350,106 @@ def prefill_attention(
         num_seqs, q_pad, num_q_heads, head_size
     )
     return out[seq_ids, local].astype(q.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Autotuned public entry: block_q / super_size resolved by the dejavu layer
+# (the reference tunes the same kernel's BLOCK_M/BLOCK_N/warps/stages via
+# triton-dejavu, reference triton_unified_attention.py:232-266).
+# ---------------------------------------------------------------------------
+
+from vllm_triton_backend_tpu.autotune import ConfigSpace, autotune  # noqa: E402
+from vllm_triton_backend_tpu.utils import next_power_of_2  # noqa: E402
+
+PREFILL_CONFIG_SPACE = ConfigSpace(
+    space={
+        "block_q": [16, 32, 64, 128],
+        "super_size": [256, 512, 1024],
+    },
+    conditions=(
+        # VMEM budget: 2 super-buffers + q/o tiles must fit comfortably
+        lambda c: c["super_size"] * 4 * 2 <= 1024 * 1024,
+    ),
+)
+
+
+def _prefill_fallback(key: tuple) -> dict:
+    """Static decision rule when no tuning data exists (the reference's
+    fallback_heuristic_dt2 analog, triton_unified_attention.py:56-79)."""
+    max_q, max_s = key[0], key[1]
+    return {
+        "block_q": 32 if max_q <= 64 else 128,
+        "super_size": 256 if max_s <= 512 else 512,
+    }
+
+
+@autotune(
+    config_space=PREFILL_CONFIG_SPACE,
+    key=[
+        "max_query_len_p2", "max_seq_len_p2", "num_q_heads",
+        "num_kv_heads", "head_size", "block_size", "kv_dtype",
+    ],
+    name="prefill_attention",
+    fallback_heuristic=_prefill_fallback,
+)
+def _prefill_launch(
+    q, k_cache, v_cache, query_start_loc, seq_lens, block_table,
+    *,
+    scale, max_query_len, max_seq_len, sliding_window, logits_soft_cap,
+    alibi_slopes, k_scale, v_scale,
+    # autotune key fields (consumed here, not by the impl)
+    max_query_len_p2, max_seq_len_p2, num_q_heads, num_kv_heads,
+    head_size, block_size, kv_dtype,
+    # tuned knobs (injected by the autotuner)
+    block_q, super_size,
+):
+    return _prefill_attention_impl(
+        q, k_cache, v_cache, query_start_loc, seq_lens, block_table,
+        scale=scale, max_query_len=max_query_len, max_seq_len=max_seq_len,
+        sliding_window=sliding_window, logits_soft_cap=logits_soft_cap,
+        alibi_slopes=alibi_slopes, k_scale=k_scale, v_scale=v_scale,
+        block_q=block_q, super_size=super_size,
+    )
+
+
+def prefill_attention(
+    q, k_cache, v_cache, query_start_loc, seq_lens, block_table,
+    *,
+    scale,
+    max_query_len,
+    max_seq_len,
+    sliding_window=0,
+    logits_soft_cap=0.0,
+    alibi_slopes=None,
+    k_scale=1.0,
+    v_scale=1.0,
+    block_q=None,
+    super_size=None,
+):
+    """Autotuned varlen prefill/chunked-prefill attention.
+
+    Explicit ``block_q``/``super_size`` bypass the autotuner (bench use);
+    otherwise the dejavu cache resolves them from the shape-bucket key.
+    """
+    if block_q is not None or super_size is not None:
+        return _prefill_attention_impl(
+            q, k_cache, v_cache, query_start_loc, seq_lens, block_table,
+            scale=scale, max_query_len=max_query_len,
+            max_seq_len=max_seq_len, sliding_window=sliding_window,
+            logits_soft_cap=logits_soft_cap, alibi_slopes=alibi_slopes,
+            k_scale=k_scale, v_scale=v_scale,
+            block_q=block_q or 0, super_size=super_size or 0,
+        )
+    return _prefill_launch(
+        q, k_cache, v_cache, query_start_loc, seq_lens, block_table,
+        scale=scale, max_query_len=max_query_len, max_seq_len=max_seq_len,
+        sliding_window=sliding_window, logits_soft_cap=logits_soft_cap,
+        alibi_slopes=alibi_slopes, k_scale=k_scale, v_scale=v_scale,
+        max_query_len_p2=next_power_of_2(max_query_len),
+        max_seq_len_p2=next_power_of_2(max_seq_len),
+        num_q_heads=q.shape[1],
+        num_kv_heads=k_cache.shape[0],
+        head_size=q.shape[2],
+        block_size=k_cache.shape[2],
+        kv_dtype=str(k_cache.dtype),
+    )

@@ -1,0 +1,133 @@
+"""Sharded model execution: Megatron-style TP + replica DP via shard_map.
+
+Sharding layout (the scaling-book TP recipe; SURVEY.md §2.6 build column):
+
+  weights   q/k/v/gate/up_proj  [L, h, out]    out-dim over ``model``
+            o_proj/down_proj    [L, in, h]     in-dim  over ``model``
+            lm_head             [h, vocab]     vocab   over ``model``
+            embed / norms       replicated
+  kv-cache  [L, Hkv, blocks, bs, hd]           Hkv over ``model``,
+                                               blocks over ``data``
+  batch     leading [data] axis: each data shard runs its own scheduler
+            batch (independent sequences, own page pool)
+
+Inside the ``shard_map`` each shard runs the ordinary single-chip
+``forward_fn`` (models/llama.py) with per-shard head counts; the only
+communication is one ``psum`` after o_proj, one after down_proj, and a
+vocab ``all_gather`` for logits — all compiler-scheduled over ICI.  The
+Pallas attention kernels run unchanged on local heads: TP needs zero
+changes to the kernels (the reference's plugin is likewise TP-oblivious,
+seeing per-rank head counts only — SURVEY.md §2.6).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from vllm_triton_backend_tpu.config import ModelConfig
+from vllm_triton_backend_tpu.models.llama import (
+    ForwardExtras,
+    LayerParams,
+    LlamaParams,
+    forward_fn,
+)
+from vllm_triton_backend_tpu.ops.metadata import AttentionMetadata
+
+PARAM_SPECS = LlamaParams(
+    embed=P(None, None),
+    layers=LayerParams(
+        input_norm=P(None, None),
+        q_proj=P(None, None, "model"),
+        k_proj=P(None, None, "model"),
+        v_proj=P(None, None, "model"),
+        o_proj=P(None, "model", None),
+        post_attn_norm=P(None, None),
+        gate_proj=P(None, None, "model"),
+        up_proj=P(None, None, "model"),
+        down_proj=P(None, "model", None),
+    ),
+    final_norm=P(None),
+    lm_head=P(None, "model"),
+)
+
+CACHE_SPEC = P(None, "model", "data", None, None)
+
+
+def shard_params(params: LlamaParams, mesh: Mesh) -> LlamaParams:
+    """Place a (host or single-device) param pytree onto the mesh."""
+    return jax.tree.map(
+        lambda x, spec: jax.device_put(x, NamedSharding(mesh, spec)),
+        params,
+        PARAM_SPECS,
+    )
+
+
+def shard_caches(k_cache, v_cache, mesh: Mesh):
+    s = NamedSharding(mesh, CACHE_SPEC)
+    return jax.device_put(k_cache, s), jax.device_put(v_cache, s)
+
+
+def local_model_config(cfg: ModelConfig, tp: int) -> ModelConfig:
+    """Per-shard head counts for a model axis of size ``tp``."""
+    if cfg.num_kv_heads % tp or cfg.num_heads % tp:
+        raise ValueError(
+            f"model axis {tp} must divide heads "
+            f"({cfg.num_heads}, kv {cfg.num_kv_heads})"
+        )
+    return dataclasses.replace(
+        cfg,
+        num_heads=cfg.num_heads // tp,
+        num_kv_heads=cfg.num_kv_heads // tp,
+        head_dim=cfg.head_size,  # pin: head size must not change
+    )
+
+
+def make_sharded_forward(cfg: ModelConfig, mesh: Mesh, extras: ForwardExtras):
+    """Build the jitted multi-chip step.
+
+    Returns ``step(params, token_ids, positions, k_cache, v_cache, *meta)``
+    where the batch arrays carry a leading ``[data]`` replica axis:
+
+      token_ids/positions/slot_mapping [D, T], query_start_loc [D, S+1],
+      seq_lens [D, S], block_table [D, S, B] — each data shard's scheduler
+      emits one row (block-table page ids are *local* to that shard's pool).
+
+    Output logits are [D, T, vocab] (replicated over model).
+    """
+    tp = mesh.shape["model"]
+    lcfg = local_model_config(cfg, tp)
+
+    def step(
+        params, token_ids, positions, k_cache, v_cache,
+        query_start_loc, seq_lens, block_table, slot_mapping,
+    ):
+        meta = AttentionMetadata(
+            query_start_loc=query_start_loc[0],
+            seq_lens=seq_lens[0],
+            block_table=block_table[0],
+            slot_mapping=slot_mapping[0],
+            num_seqs=jnp.int32(seq_lens.shape[1]),
+        )
+        logits, kc, vc = forward_fn(
+            params, lcfg, token_ids[0], positions[0], k_cache, v_cache,
+            meta, extras, tp_axis="model",
+        )
+        return logits[None], kc, vc
+
+    batch_spec = P("data")
+    mapped = jax.shard_map(
+        step,
+        mesh=mesh,
+        in_specs=(
+            PARAM_SPECS, batch_spec, batch_spec, CACHE_SPEC, CACHE_SPEC,
+            batch_spec, batch_spec, batch_spec, batch_spec,
+        ),
+        out_specs=(P("data"), CACHE_SPEC, CACHE_SPEC),
+        check_vma=False,
+    )
+    return jax.jit(mapped, donate_argnums=(3, 4))
