@@ -1,0 +1,77 @@
+"""Weight-only quantized linear correctness + quantized model accuracy."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vllm_triton_backend_tpu.config import ModelConfig
+from vllm_triton_backend_tpu.models.llama import (
+    ForwardExtras,
+    forward,
+    init_params,
+    make_kv_caches,
+    quantize_params,
+)
+from vllm_triton_backend_tpu.ops.metadata import make_metadata
+from vllm_triton_backend_tpu.ops.pallas.quant_linear import (
+    quant_matmul,
+    quantize_weights,
+)
+
+
+@pytest.mark.parametrize("qdtype", ["int8", "fp8"])
+@pytest.mark.parametrize(
+    "t,k,n", [(8, 256, 512), (3, 300, 130), (64, 512, 512)]
+)
+def test_quant_matmul_matches_dense(qdtype, t, k, n):
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((t, k)).astype(np.float32) * 0.5
+    w = rng.standard_normal((k, n)).astype(np.float32) * 0.1
+    qw = quantize_weights(jnp.asarray(w), qdtype)
+    out = np.asarray(quant_matmul(jnp.asarray(x), qw))
+    # oracle: dequantize then dense matmul in f64
+    wq = np.asarray(qw.w_q, np.float32) * np.asarray(qw.scales)[None, :]
+    expect = x.astype(np.float64) @ wq.astype(np.float64)
+    np.testing.assert_allclose(out, expect, atol=5e-3, rtol=1e-3)
+
+
+@pytest.mark.parametrize("qdtype", ["int8", "fp8"])
+def test_quant_error_bounded(qdtype):
+    """Quantized matmul must stay close to the *original* dense weights
+    (weight-only quantization noise, not kernel bugs)."""
+    rng = np.random.default_rng(1)
+    x = rng.standard_normal((16, 512)).astype(np.float32) * 0.3
+    w = rng.standard_normal((512, 256)).astype(np.float32) * 0.05
+    qw = quantize_weights(jnp.asarray(w), qdtype)
+    out = np.asarray(quant_matmul(jnp.asarray(x), qw))
+    dense = x @ w
+    rel = np.abs(out - dense).max() / (np.abs(dense).max() + 1e-9)
+    assert rel < (0.02 if qdtype == "int8" else 0.05)
+
+
+def test_quantized_model_close_to_dense():
+    cfg = ModelConfig.tiny(dtype="float32")
+    params = init_params(cfg, jax.random.key(0))
+    qparams = quantize_params(params, "int8")
+
+    prompt = np.random.default_rng(0).integers(0, cfg.vocab_size, 12)
+    bt = np.arange(2, dtype=np.int32).reshape(1, 2)
+    meta = make_metadata([12], [0], bt, 16)
+    extras = ForwardExtras(max_query_len=16, max_seq_len=32)
+
+    def run(p):
+        kc, vc = make_kv_caches(cfg, 16, 16)
+        logits, _, _ = forward(
+            p, cfg, jnp.asarray(prompt, jnp.int32),
+            jnp.arange(12, dtype=jnp.int32), kc, vc, meta, extras,
+        )
+        return np.asarray(logits)
+
+    dense = run(params)
+    quant = run(qparams)
+    # top-1 agreement on nearly all positions + small relative error
+    agree = (dense.argmax(-1) == quant.argmax(-1)).mean()
+    assert agree >= 0.9, f"top-1 agreement {agree}"
+    rel = np.abs(dense - quant).max() / np.abs(dense).max()
+    assert rel < 0.1, f"relative logits error {rel}"

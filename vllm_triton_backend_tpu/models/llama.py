@@ -32,6 +32,11 @@ from vllm_triton_backend_tpu.config import ModelConfig
 from vllm_triton_backend_tpu.ops.attention import unified_attention
 from vllm_triton_backend_tpu.ops.metadata import AttentionMetadata
 from vllm_triton_backend_tpu.ops.pallas.cache_ops import reshape_and_cache
+from vllm_triton_backend_tpu.ops.pallas.quant_linear import (
+    QuantizedLinear,
+    linear,
+    quantize_weights,
+)
 
 
 class LayerParams(NamedTuple):
@@ -184,9 +189,9 @@ def forward_fn(
         t = token_ids.shape[0]
 
         normed = rms_norm(h_in, lp.input_norm, cfg.rms_norm_eps)
-        q = (normed @ lp.q_proj).reshape(t, cfg.num_heads, hd)
-        k = (normed @ lp.k_proj).reshape(t, cfg.num_kv_heads, hd)
-        v = (normed @ lp.v_proj).reshape(t, cfg.num_kv_heads, hd)
+        q = linear(normed, lp.q_proj).reshape(t, cfg.num_heads, hd)
+        k = linear(normed, lp.k_proj).reshape(t, cfg.num_kv_heads, hd)
+        v = linear(normed, lp.v_proj).reshape(t, cfg.num_kv_heads, hd)
         q = apply_rope(q, positions, inv_freq)
         k = apply_rope(k, positions, inv_freq)
 
@@ -204,13 +209,18 @@ def forward_fn(
             k_scale=extras.k_scale,
             v_scale=extras.v_scale,
         )
-        attn_out = maybe_psum(attn.reshape(t, cfg.num_heads * hd) @ lp.o_proj)
+        attn_out = maybe_psum(
+            linear(attn.reshape(t, cfg.num_heads * hd), lp.o_proj)
+        )
         h_mid = h_in + attn_out * cfg.residual_multiplier
 
         normed2 = rms_norm(h_mid, lp.post_attn_norm, cfg.rms_norm_eps)
-        gate = jax.nn.silu((normed2 @ lp.gate_proj).astype(jnp.float32))
+        gate = jax.nn.silu(linear(normed2, lp.gate_proj).astype(jnp.float32))
         mlp = maybe_psum(
-            (gate.astype(dtype) * (normed2 @ lp.up_proj)) @ lp.down_proj
+            linear(
+                gate.astype(dtype) * linear(normed2, lp.up_proj),
+                lp.down_proj,
+            )
         )
         h_out = h_mid + mlp * cfg.residual_multiplier
         return h_out, (kc, vc)
@@ -220,7 +230,7 @@ def forward_fn(
     )
 
     x = rms_norm(x, params.final_norm, cfg.rms_norm_eps)
-    logits = (x @ params.lm_head).astype(jnp.float32)
+    logits = linear(x, params.lm_head).astype(jnp.float32)
     if tp_axis:
         # lm_head is vocab-sharded: gather shards into the full vocab axis
         logits = jax.lax.all_gather(
@@ -236,6 +246,23 @@ forward = functools.partial(
     static_argnames=("cfg", "extras"),
     donate_argnames=("k_cache", "v_cache"),
 )(functools.partial(forward_fn, tp_axis=None))
+
+
+def quantize_params(params: LlamaParams, dtype: str = "int8") -> LlamaParams:
+    """Weight-only quantization of all projection matrices (embed and norms
+    stay dense).  Works on the stacked [L, K, N] layer weights via vmap."""
+    qw = functools.partial(quantize_weights, dtype=dtype)
+    stacked = jax.vmap(qw)
+    layers = params.layers._replace(
+        q_proj=stacked(params.layers.q_proj),
+        k_proj=stacked(params.layers.k_proj),
+        v_proj=stacked(params.layers.v_proj),
+        o_proj=stacked(params.layers.o_proj),
+        gate_proj=stacked(params.layers.gate_proj),
+        up_proj=stacked(params.layers.up_proj),
+        down_proj=stacked(params.layers.down_proj),
+    )
+    return params._replace(layers=layers, lm_head=qw(params.lm_head))
 
 
 def make_kv_caches(
