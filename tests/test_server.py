@@ -1,0 +1,135 @@
+"""OpenAI-compatible server integration test (aiohttp test client)."""
+
+import asyncio
+import json
+
+import pytest
+
+aiohttp = pytest.importorskip("aiohttp")
+from aiohttp.test_utils import TestClient, TestServer  # noqa: E402
+
+from vllm_triton_backend_tpu.config import (
+    CacheConfig,
+    EngineConfig,
+    ModelConfig,
+    SchedulerConfig,
+)
+from vllm_triton_backend_tpu.entrypoints.openai_server import (
+    EngineWorker,
+    build_app,
+)
+from vllm_triton_backend_tpu.runtime.engine import LLMEngine
+
+
+@pytest.fixture()
+def worker():
+    cfg = EngineConfig(
+        model=ModelConfig.tiny(),
+        cache=CacheConfig(block_size=16, num_blocks=64),
+        scheduler=SchedulerConfig(
+            max_num_seqs=4,
+            max_num_batched_tokens=64,
+            max_model_len=64,
+            token_buckets=(8, 16, 32, 64),
+        ),
+    )
+    w = EngineWorker(LLMEngine(cfg))
+    w.start()
+    yield w
+    w.stop()
+
+
+def test_completions_and_health(worker):
+    async def run():
+        app = build_app(worker)
+        server = TestServer(app)
+        client = TestClient(server)
+        await client.start_server()
+        try:
+            r = await client.get("/health")
+            assert r.status == 200
+
+            r = await client.get("/v1/models")
+            data = await r.json()
+            assert data["data"][0]["id"] == "vtb-model"
+
+            r = await client.post(
+                "/v1/completions",
+                json={"prompt": [1, 2, 3, 4], "max_tokens": 5},
+            )
+            assert r.status == 200
+            data = await r.json()
+            assert data["object"] == "text_completion"
+            assert data["usage"]["completion_tokens"] == 5
+            assert data["choices"][0]["finish_reason"] == "length"
+
+            # concurrent requests batch through the engine
+            results = await asyncio.gather(
+                *[
+                    client.post(
+                        "/v1/completions",
+                        json={"prompt": [i + 1, i + 2], "max_tokens": 4},
+                    )
+                    for i in range(3)
+                ]
+            )
+            for r in results:
+                d = await r.json()
+                assert d["usage"]["completion_tokens"] == 4
+
+            r = await client.post(
+                "/v1/chat/completions",
+                json={
+                    "messages": [{"role": "user", "content": "3 5 7"}],
+                    "max_tokens": 3,
+                },
+            )
+            d = await r.json()
+            assert d["object"] == "chat.completion"
+            assert d["choices"][0]["message"]["role"] == "assistant"
+
+            r = await client.get("/metrics")
+            text = await r.text()
+            assert "vtb_requests_total" in text
+        finally:
+            await client.close()
+
+    asyncio.run(run())
+
+
+def test_streaming(worker):
+    async def run():
+        app = build_app(worker)
+        server = TestServer(app)
+        client = TestClient(server)
+        await client.start_server()
+        try:
+            r = await client.post(
+                "/v1/completions",
+                json={
+                    "prompt": [5, 6, 7],
+                    "max_tokens": 4,
+                    "stream": True,
+                },
+            )
+            assert r.status == 200
+            body = await r.text()
+            events = [
+                line[len("data: "):]
+                for line in body.splitlines()
+                if line.startswith("data: ")
+            ]
+            assert events[-1] == "[DONE]"
+            payloads = [json.loads(e) for e in events[:-1]]
+            finishes = [
+                p["choices"][0]["finish_reason"] for p in payloads
+            ]
+            assert finishes[-1] == "length"
+            # at least one delta with text before the finish chunk
+            assert any(
+                p["choices"][0]["text"] for p in payloads[:-1]
+            )
+        finally:
+            await client.close()
+
+    asyncio.run(run())

@@ -20,6 +20,35 @@ Layer map (TPU edition of SURVEY.md §1):
 
 __version__ = "0.1.0"
 
+import os as _os
+
+
+def _enable_compilation_cache() -> None:
+    """Persistent XLA compilation cache (set VTB_COMPILE_CACHE=0 to skip).
+
+    First Mosaic/XLA compiles dominate cold-start latency; the on-disk
+    cache makes every subsequent process reuse them — the same
+    persistence story as the autotuner DB (SURVEY.md §5.4)."""
+    if _os.environ.get("VTB_COMPILE_CACHE", "1") == "0":
+        return
+    try:
+        import jax
+
+        path = _os.environ.get(
+            "VTB_COMPILE_CACHE_DIR",
+            _os.path.join(
+                _os.path.expanduser("~"), ".cache", "vtb_jax_cache"
+            ),
+        )
+        _os.makedirs(path, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:  # pragma: no cover - cache is best-effort
+        pass
+
+
+_enable_compilation_cache()
+
 from vllm_triton_backend_tpu.config import CacheConfig, EngineConfig, ModelConfig
 
 __all__ = [

@@ -1,0 +1,324 @@
+"""OpenAI-compatible HTTP server (aiohttp) over the continuous-batching
+engine.
+
+Role parity: the reference serves through vLLM's api_server (SURVEY.md §1
+L5/L6; bench drivers hit it over HTTP, bench_vllm_user_range.py:72-79).
+Here the server is native: a background engine thread drives ``step()``
+continuously; asyncio handlers enqueue requests and await completion (or
+stream deltas) through thread-safe queues.
+
+Endpoints: /v1/completions, /v1/chat/completions (SSE streaming
+supported), /v1/models, /health, /metrics (text counters).
+
+Usage:
+  python -m vllm_triton_backend_tpu.entrypoints.openai_server \
+      [--model-dir PATH] [--port 8000]
+"""
+
+from __future__ import annotations
+
+import argparse
+import asyncio
+import itertools
+import json
+import queue
+import threading
+import time
+import uuid
+
+try:
+    from aiohttp import web
+except ImportError:  # pragma: no cover - aiohttp is in the base image
+    web = None
+
+from vllm_triton_backend_tpu.runtime.engine import LLMEngine
+from vllm_triton_backend_tpu.runtime.sampler import SamplingParams
+
+
+class EngineWorker:
+    """Background thread: admits queued requests, steps the engine, and
+    publishes per-request incremental outputs."""
+
+    def __init__(self, engine: LLMEngine, tokenizer=None):
+        self.engine = engine
+        self.tokenizer = tokenizer
+        self.new_requests: queue.Queue = queue.Queue()
+        self.streams: dict[str, queue.Queue] = {}
+        self.metrics = {
+            "requests_total": 0,
+            "tokens_generated_total": 0,
+            "steps_total": 0,
+        }
+        self._stop = threading.Event()
+        self._thread = threading.Thread(target=self._loop, daemon=True)
+        self._prev_lens: dict[str, int] = {}
+
+    def start(self):
+        self._thread.start()
+
+    def stop(self):
+        self._stop.set()
+        self._thread.join(timeout=5)
+
+    def submit(
+        self, prompt_ids: list[int], sampling: SamplingParams
+    ) -> tuple[str, queue.Queue]:
+        req_id = f"cmpl-{uuid.uuid4().hex[:24]}"
+        out_q: queue.Queue = queue.Queue()
+        self.streams[req_id] = out_q
+        self.new_requests.put((req_id, prompt_ids, sampling))
+        self.metrics["requests_total"] += 1
+        return req_id, out_q
+
+    def _loop(self):
+        while not self._stop.is_set():
+            admitted = False
+            while True:
+                try:
+                    req_id, ids, sp = self.new_requests.get_nowait()
+                except queue.Empty:
+                    break
+                self.engine.add_request(ids, sp, req_id=req_id)
+                self._prev_lens[req_id] = 0
+                admitted = True
+            if not self.engine.has_unfinished():
+                if not admitted:
+                    time.sleep(0.005)
+                continue
+            finished = self.engine.step()
+            self.metrics["steps_total"] += 1
+            # incremental deltas for streaming consumers
+            for req_id, q in list(self.streams.items()):
+                req = self.engine.scheduler.requests.get(req_id)
+                if req is None:
+                    continue
+                prev = self._prev_lens.get(req_id, 0)
+                cur = len(req.output_token_ids)
+                if cur > prev:
+                    q.put(("delta", req.output_token_ids[prev:cur]))
+                    self.metrics["tokens_generated_total"] += cur - prev
+                    self._prev_lens[req_id] = cur
+            for out in finished:
+                q = self.streams.pop(out.req_id, None)
+                self._prev_lens.pop(out.req_id, None)
+                if q is not None:
+                    q.put(("done", out))
+
+
+def _decode(tokenizer, ids: list[int]) -> str:
+    if tokenizer is None:
+        return " ".join(map(str, ids))
+    return tokenizer.decode(ids)
+
+
+def _encode(tokenizer, text: str) -> list[int]:
+    if tokenizer is None:
+        # tokenizer-less (test) serving: numeric tokens pass through,
+        # other words hash to a stable id
+        ids = []
+        for t in text.split():
+            try:
+                ids.append(int(t) % 32000)
+            except ValueError:
+                ids.append(
+                    int.from_bytes(t.encode()[:4].ljust(4, b"\0")) % 32000
+                )
+        return ids or [1]
+    return tokenizer.encode(text).ids
+
+
+def build_app(worker: EngineWorker, model_name: str = "vtb-model"):
+    if web is None:
+        raise RuntimeError("aiohttp unavailable")
+    app = web.Application()
+
+    def sampling_from(body: dict) -> SamplingParams:
+        return SamplingParams(
+            temperature=float(body.get("temperature", 0.0)),
+            top_p=float(body.get("top_p", 1.0)),
+            top_k=int(body.get("top_k", 0)),
+            max_tokens=int(body.get("max_tokens", 128)),
+        )
+
+    async def wait_result(out_q: queue.Queue, stream_cb=None):
+        loop = asyncio.get_event_loop()
+        while True:
+            kind, payload = await loop.run_in_executor(None, out_q.get)
+            if kind == "delta" and stream_cb is not None:
+                await stream_cb(payload)
+            if kind == "done":
+                return payload
+
+    async def completions(request: web.Request):
+        body = await request.json()
+        prompt = body.get("prompt", "")
+        if isinstance(prompt, list) and prompt and isinstance(prompt[0], int):
+            ids = prompt
+        else:
+            ids = _encode(worker.tokenizer, str(prompt))
+        sp = sampling_from(body)
+        req_id, out_q = worker.submit(ids, sp)
+        created = int(time.time())
+
+        if body.get("stream"):
+            resp = web.StreamResponse(
+                headers={"Content-Type": "text/event-stream"}
+            )
+            await resp.prepare(request)
+
+            async def send_delta(tok_ids):
+                chunk = {
+                    "id": req_id,
+                    "object": "text_completion",
+                    "created": created,
+                    "model": model_name,
+                    "choices": [
+                        {
+                            "index": 0,
+                            "text": _decode(worker.tokenizer, tok_ids),
+                            "finish_reason": None,
+                        }
+                    ],
+                }
+                await resp.write(
+                    f"data: {json.dumps(chunk)}\n\n".encode()
+                )
+
+            out = await wait_result(out_q, send_delta)
+            final = {
+                "id": req_id,
+                "object": "text_completion",
+                "created": created,
+                "model": model_name,
+                "choices": [
+                    {"index": 0, "text": "",
+                     "finish_reason": out.finish_reason}
+                ],
+            }
+            await resp.write(f"data: {json.dumps(final)}\n\n".encode())
+            await resp.write(b"data: [DONE]\n\n")
+            await resp.write_eof()
+            return resp
+
+        out = await wait_result(out_q)
+        return web.json_response(
+            {
+                "id": req_id,
+                "object": "text_completion",
+                "created": created,
+                "model": model_name,
+                "choices": [
+                    {
+                        "index": 0,
+                        "text": _decode(
+                            worker.tokenizer, out.output_token_ids
+                        ),
+                        "finish_reason": out.finish_reason,
+                    }
+                ],
+                "usage": {
+                    "prompt_tokens": len(ids),
+                    "completion_tokens": len(out.output_token_ids),
+                    "total_tokens": len(ids) + len(out.output_token_ids),
+                },
+            }
+        )
+
+    async def chat_completions(request: web.Request):
+        body = await request.json()
+        messages = body.get("messages", [])
+        text = "\n".join(
+            f"{m.get('role', 'user')}: {m.get('content', '')}"
+            for m in messages
+        ) + "\nassistant:"
+        ids = _encode(worker.tokenizer, text)
+        sp = sampling_from(body)
+        req_id, out_q = worker.submit(ids, sp)
+        out = await wait_result(out_q)
+        return web.json_response(
+            {
+                "id": req_id,
+                "object": "chat.completion",
+                "created": int(time.time()),
+                "model": model_name,
+                "choices": [
+                    {
+                        "index": 0,
+                        "message": {
+                            "role": "assistant",
+                            "content": _decode(
+                                worker.tokenizer, out.output_token_ids
+                            ),
+                        },
+                        "finish_reason": out.finish_reason,
+                    }
+                ],
+            }
+        )
+
+    async def models(request: web.Request):
+        return web.json_response(
+            {
+                "object": "list",
+                "data": [
+                    {
+                        "id": model_name,
+                        "object": "model",
+                        "owned_by": "vtb",
+                    }
+                ],
+            }
+        )
+
+    async def health(request: web.Request):
+        return web.json_response({"status": "ok"})
+
+    async def metrics(request: web.Request):
+        lines = [
+            f"vtb_{k} {v}" for k, v in worker.metrics.items()
+        ]
+        return web.Response(text="\n".join(lines) + "\n")
+
+    app.router.add_post("/v1/completions", completions)
+    app.router.add_post("/v1/chat/completions", chat_completions)
+    app.router.add_get("/v1/models", models)
+    app.router.add_get("/health", health)
+    app.router.add_get("/metrics", metrics)
+    return app
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--model-dir", default=None)
+    ap.add_argument("--host", default="127.0.0.1")
+    ap.add_argument("--port", type=int, default=8000)
+    args = ap.parse_args()
+
+    from vllm_triton_backend_tpu.config import EngineConfig, ModelConfig
+
+    tokenizer = None
+    if args.model_dir:
+        from vllm_triton_backend_tpu.models.hf import load_params
+
+        mc, params = load_params(args.model_dir)
+        cfg = EngineConfig().replace(model=mc)
+        engine = LLMEngine(cfg, params=params)
+        try:
+            from tokenizers import Tokenizer
+
+            tokenizer = Tokenizer.from_file(
+                f"{args.model_dir}/tokenizer.json"
+            )
+        except Exception:
+            pass
+    else:
+        engine = LLMEngine(EngineConfig(model=ModelConfig.tiny()))
+
+    worker = EngineWorker(engine, tokenizer)
+    worker.start()
+    app = build_app(worker)
+    web.run_app(app, host=args.host, port=args.port)
+
+
+if __name__ == "__main__":
+    main()

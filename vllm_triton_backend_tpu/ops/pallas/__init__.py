@@ -7,3 +7,20 @@ __all__ = [
     "prefill_attention",
     "reshape_and_cache",
 ]
+from vllm_triton_backend_tpu.ops.pallas.mamba import (
+    selective_scan,
+    selective_state_update,
+)
+from vllm_triton_backend_tpu.ops.pallas.quant_linear import (
+    QuantizedLinear,
+    quant_matmul,
+    quantize_weights,
+)
+
+__all__ += [
+    "QuantizedLinear",
+    "quant_matmul",
+    "quantize_weights",
+    "selective_scan",
+    "selective_state_update",
+]

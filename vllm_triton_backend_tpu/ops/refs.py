@@ -160,6 +160,99 @@ def _ref_attention_per_head(q, k, v, scale, mask, logits_soft_cap):
     return np.einsum("hqk,khd->qhd", p, v)
 
 
+def ref_selective_state_update(
+    state: np.ndarray,  # [num_slots, nheads, dim, dstate] (mutated)
+    x: np.ndarray,  # [batch, nheads, dim]
+    dt: np.ndarray,
+    A: np.ndarray,  # [nheads, dim, dstate]
+    B: np.ndarray,  # [batch, ngroups, dstate]
+    C: np.ndarray,
+    D: np.ndarray | None = None,
+    z: np.ndarray | None = None,
+    dt_bias: np.ndarray | None = None,
+    dt_softplus: bool = False,
+    state_batch_indices: np.ndarray | None = None,
+) -> np.ndarray:
+    """Oracle for the single-token SSM recurrence (reference
+    mamba_ssm.py:106-257 semantics, incl. PAD_SLOT_ID skip)."""
+    batch, nheads, dim = x.shape
+    dstate = state.shape[-1]
+    ngroups = B.shape[1]
+    hpg = nheads // ngroups
+    if state_batch_indices is None:
+        state_batch_indices = np.arange(batch)
+    out = np.zeros((batch, nheads, dim), np.float32)
+    for b in range(batch):
+        slot = int(state_batch_indices[b])
+        if slot < 0:
+            continue
+        for h in range(nheads):
+            d_ = dt[b, h].astype(np.float64)
+            if dt_bias is not None:
+                d_ = d_ + dt_bias[h]
+            if dt_softplus:
+                d_ = np.where(d_ <= 20.0, np.log1p(np.exp(d_)), d_)
+            a = A[h].astype(np.float64)  # [dim, dstate]
+            bb = B[b, h // hpg].astype(np.float64)  # [dstate]
+            c = C[b, h // hpg].astype(np.float64)
+            s = state[slot, h].astype(np.float64)
+            dA = np.exp(a * d_[:, None])
+            s_new = s * dA + (d_ * x[b, h].astype(np.float64))[:, None] * bb
+            state[slot, h] = s_new.astype(state.dtype)
+            o = (s_new * c[None, :]).sum(axis=1)
+            if D is not None:
+                o = o + D[h].astype(np.float64) * x[b, h]
+            if z is not None:
+                zz = z[b, h].astype(np.float64)
+                o = o * (zz / (1 + np.exp(-zz)))
+            out[b, h] = o.astype(np.float32)
+    return out
+
+
+def ref_selective_scan(
+    u: np.ndarray,  # [batch, dim, seqlen]
+    delta: np.ndarray,
+    A: np.ndarray,  # [dim, dstate]
+    B: np.ndarray,  # [batch, ngroups, dstate, seqlen]
+    C: np.ndarray,
+    D: np.ndarray | None = None,
+    z: np.ndarray | None = None,
+    delta_bias: np.ndarray | None = None,
+    delta_softplus: bool = False,
+    initial_state: np.ndarray | None = None,
+):
+    """Sequential oracle for the multi-token scan (reference delegates to
+    CUDA selective_scan_fwd; semantics per mamba_ssm.py:414-507)."""
+    batch, dim, seqlen = u.shape
+    dstate = A.shape[-1]
+    ngroups = B.shape[1]
+    dpg = dim // ngroups
+    h = (
+        initial_state.astype(np.float64).copy()
+        if initial_state is not None
+        else np.zeros((batch, dim, dstate), np.float64)
+    )
+    out = np.zeros((batch, dim, seqlen), np.float64)
+    d_all = delta.astype(np.float64)
+    if delta_bias is not None:
+        d_all = d_all + delta_bias.astype(np.float64)[None, :, None]
+    if delta_softplus:
+        d_all = np.where(d_all <= 20.0, np.log1p(np.exp(d_all)), d_all)
+    for t in range(seqlen):
+        d_t = d_all[:, :, t]  # [b, dim]
+        Bt = np.repeat(B[:, :, :, t].astype(np.float64), dpg, axis=1)
+        Ct = np.repeat(C[:, :, :, t].astype(np.float64), dpg, axis=1)
+        dA = np.exp(A.astype(np.float64)[None] * d_t[:, :, None])
+        h = h * dA + (d_t * u[:, :, t].astype(np.float64))[:, :, None] * Bt
+        out[:, :, t] = (h * Ct).sum(axis=2)
+    if D is not None:
+        out = out + D.astype(np.float64)[None, :, None] * u
+    if z is not None:
+        zf = z.astype(np.float64)
+        out = out * (zf / (1 + np.exp(-zf)))
+    return out.astype(np.float32), h.astype(np.float32)
+
+
 def ref_reshape_and_cache(
     key: np.ndarray,  # [num_tokens, Hkv, hd]
     value: np.ndarray,

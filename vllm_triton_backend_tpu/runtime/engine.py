@@ -65,9 +65,14 @@ class LLMEngine:
         self.eos_token_id = eos_token_id
         self._key = jax.random.key(rng_seed)
         self._id_counter = itertools.count()
-        # kv scales for quantized caches (static; per-tensor calibration TODO)
-        self.k_scale = 1.0
-        self.v_scale = 1.0
+        # kv scales for quantized caches (static; per-tensor calibration is
+        # a TODO — these defaults assume O(1)-magnitude K/V activations).
+        # fp8-e4m3 has enough dynamic range for scale 1.0; int8 needs the
+        # fixed-point range mapped to ~[-8, 8].
+        if cc.cache_dtype == "int8":
+            self.k_scale = self.v_scale = 1.0 / 16.0
+        else:
+            self.k_scale = self.v_scale = 1.0
 
     # ---------------- request API ----------------
 

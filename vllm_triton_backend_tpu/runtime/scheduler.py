@@ -90,11 +90,17 @@ class Scheduler:
         self.config = scheduler_config
         self.cache_config = cache_config
         self.block_size = cache_config.block_size
-        self.allocator = allocator or BlockAllocator(
-            cache_config.num_blocks,
-            cache_config.block_size,
-            scheduler_config.enable_prefix_caching,
-        )
+        if allocator is None:
+            from vllm_triton_backend_tpu.runtime.native_pool import (
+                make_block_allocator,
+            )
+
+            allocator = make_block_allocator(
+                cache_config.num_blocks,
+                cache_config.block_size,
+                scheduler_config.enable_prefix_caching,
+            )
+        self.allocator = allocator
         self.waiting: list[Request] = []
         self.running: list[Request] = []
         self.requests: dict[str, Request] = {}
