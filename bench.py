@@ -116,22 +116,24 @@ def main() -> None:
         ),
     )
     engine = LLMEngine(cfg)
-    n_seqs, prompt_len, n_new = 16, 128, 40
-    for i in range(n_seqs):
-        prompt = rng.integers(0, cfg.model.vocab_size, size=prompt_len)
-        engine.add_request(
-            prompt.tolist(), SamplingParams(max_tokens=n_new)
-        )
-    # prefill + warmup decode steps (compile both buckets)
-    for _ in range(8):
-        engine.step()
-    t0 = time.perf_counter()
-    steps = 0
-    while engine.has_unfinished() and steps < 24:
-        engine.step()
-        steps += 1
-    dt = time.perf_counter() - t0
-    decode_tps = n_seqs * steps / dt
+    n_seqs, prompt_len, n_new = 16, 128, 256
+
+    def run_workload():
+        for _ in range(n_seqs):
+            prompt = rng.integers(0, cfg.model.vocab_size, size=prompt_len)
+            engine.add_request(
+                prompt.tolist(), SamplingParams(max_tokens=n_new)
+            )
+        tokens = 0
+        t0 = time.perf_counter()
+        while engine.has_unfinished() and time.perf_counter() - t0 < 300:
+            for out in engine.step():
+                tokens += len(out.output_token_ids)
+        return tokens, time.perf_counter() - t0
+
+    run_workload()  # warmup: compiles prefill + decode-session executables
+    tokens, dt = run_workload()
+    decode_tps = tokens / dt
 
     print(
         json.dumps(

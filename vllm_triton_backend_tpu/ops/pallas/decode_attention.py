@@ -60,18 +60,19 @@ def _decode_kernel(
     v_ref,  # [1, 1, bs, hd] cache dtype
     # outputs
     o_ref,  # [1, 1, QPK_PAD, hd]
-    # scratch
-    m_ref,  # [QPK_PAD, 128] f32
-    l_ref,  # [QPK_PAD, 128] f32
-    acc_ref,  # [QPK_PAD, hd] f32
-    *,
+    *rest,  # partials mode: (m_out, l_out) refs then scratch
     scale: float,
     block_size: int,
     sliding_window: int,
     logits_soft_cap: float,
     k_scale: float,
     v_scale: float,
+    return_partials: bool = False,
 ):
+    if return_partials:
+        m_out, l_out, m_ref, l_ref, acc_ref = rest
+    else:
+        m_ref, l_ref, acc_ref = rest
     s = pl.program_id(0)
     b = pl.program_id(2)
     seq_len = seq_lens_ref[s]
@@ -125,17 +126,25 @@ def _decode_kernel(
     @pl.when(b == pl.num_programs(2) - 1)
     def _finish():
         l = l_ref[:, :1]
-        safe = jnp.where(l == 0.0, 1.0, l)
-        o_ref[0, 0] = jnp.where(
-            l == 0.0, 0.0, acc_ref[...] / safe
-        ).astype(o_ref.dtype)
+        if return_partials:
+            # unnormalized accumulator + running (max, expsum) — the
+            # cross-chip merge (merge_softmax_segments / ring attention)
+            # normalizes after combining shards
+            o_ref[0, 0] = acc_ref[...].astype(o_ref.dtype)
+            m_out[0, 0] = m_ref[...]
+            l_out[0, 0] = l_ref[...]
+        else:
+            safe = jnp.where(l == 0.0, 1.0, l)
+            o_ref[0, 0] = jnp.where(
+                l == 0.0, 0.0, acc_ref[...] / safe
+            ).astype(o_ref.dtype)
 
 
 @functools.partial(
     jax.jit,
     static_argnames=(
         "scale", "max_seq_len", "sliding_window", "logits_soft_cap",
-        "k_scale", "v_scale",
+        "k_scale", "v_scale", "return_partials",
     ),
 )
 def paged_decode_attention(
@@ -151,12 +160,19 @@ def paged_decode_attention(
     logits_soft_cap: float = 0.0,
     k_scale: float = 1.0,
     v_scale: float = 1.0,
+    return_partials: bool = False,
 ) -> jax.Array:
     """Single-token-per-sequence paged attention (the decode hot path).
 
     ``max_seq_len`` is the static kv-length bucket: the grid covers
     ``cdiv(max_seq_len, block_size)`` kv pages per sequence, masked down to
     each sequence's true ``seq_lens[i]``.
+
+    With ``return_partials`` the result is ``(acc, m, l)`` — the
+    *unnormalized* flash accumulator plus running max/expsum per q row
+    ([S, Hq], f32) — for cross-chip sequence-parallel merging
+    (``common.merge_softmax_segments``; SURVEY.md §5.7: the multi-device
+    generalization of the reference's reduce_segments).
     """
     num_seqs, num_q_heads, head_size = q.shape
     num_kv_heads, _, block_size, _ = k_cache.shape
@@ -177,6 +193,7 @@ def paged_decode_attention(
         logits_soft_cap=logits_soft_cap,
         k_scale=k_scale,
         v_scale=v_scale,
+        return_partials=return_partials,
     )
 
     def q_map(s, h, b, sl, tbl):
@@ -187,6 +204,19 @@ def paged_decode_attention(
         nb = jnp.maximum(pl.cdiv(sl[s], block_size) - 1, 0)
         return (h, tbl[s, jnp.minimum(b, nb)], 0, 0)
 
+    out_specs = pl.BlockSpec((1, 1, qpk_pad, head_size), q_map)
+    out_shape = jax.ShapeDtypeStruct(
+        (num_seqs, num_kv_heads, qpk_pad, head_size),
+        jnp.float32 if return_partials else q.dtype,
+    )
+    if return_partials:
+        ml_spec = pl.BlockSpec((1, 1, qpk_pad, 128), q_map)
+        ml_shape = jax.ShapeDtypeStruct(
+            (num_seqs, num_kv_heads, qpk_pad, 128), jnp.float32
+        )
+        out_specs = [out_specs, ml_spec, ml_spec]
+        out_shape = [out_shape, ml_shape, ml_shape]
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(num_seqs, num_kv_heads, num_kv_blocks),
@@ -195,7 +225,7 @@ def paged_decode_attention(
             pl.BlockSpec((1, 1, block_size, head_size), kv_map),
             pl.BlockSpec((1, 1, block_size, head_size), kv_map),
         ],
-        out_specs=pl.BlockSpec((1, 1, qpk_pad, head_size), q_map),
+        out_specs=out_specs,
         scratch_shapes=[
             pltpu.VMEM((qpk_pad, 128), jnp.float32),
             pltpu.VMEM((qpk_pad, 128), jnp.float32),
@@ -212,12 +242,10 @@ def paged_decode_attention(
         transcendentals=num_seqs * num_q_heads * max_seq_len,
     )
 
-    out = pl.pallas_call(
+    result = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct(
-            (num_seqs, num_kv_heads, qpk_pad, head_size), q.dtype
-        ),
+        out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
@@ -225,5 +253,12 @@ def paged_decode_attention(
         interpret=use_interpret(),
     )(seq_lens, block_table, qr, k_cache, v_cache)
 
-    out = out[:, :, :qpk, :].reshape(num_seqs, num_q_heads, head_size)
+    if return_partials:
+        acc, m, l = result
+        acc = acc[:, :, :qpk, :].reshape(num_seqs, num_q_heads, head_size)
+        m = m[:, :, :qpk, 0].reshape(num_seqs, num_q_heads)
+        l = l[:, :, :qpk, 0].reshape(num_seqs, num_q_heads)
+        return acc, m, l
+
+    out = result[:, :, :qpk, :].reshape(num_seqs, num_q_heads, head_size)
     return out.astype(q.dtype)

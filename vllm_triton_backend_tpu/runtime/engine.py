@@ -22,13 +22,15 @@ from vllm_triton_backend_tpu.config import EngineConfig
 from vllm_triton_backend_tpu.models import llama
 from vllm_triton_backend_tpu.models.llama import ForwardExtras
 from vllm_triton_backend_tpu.ops.metadata import AttentionMetadata
+from vllm_triton_backend_tpu.runtime.multistep import decode_steps
 from vllm_triton_backend_tpu.runtime.sampler import SamplingParams, sample
 from vllm_triton_backend_tpu.runtime.scheduler import (
     Request,
+    RequestStatus,
     ScheduledBatch,
     Scheduler,
 )
-from vllm_triton_backend_tpu.utils import get_dtype
+from vllm_triton_backend_tpu.utils import get_dtype, next_power_of_2
 
 
 @dataclass
@@ -47,6 +49,7 @@ class LLMEngine:
         params=None,
         eos_token_id: int | None = None,
         rng_seed: int = 0,
+        multistep: int = 32,
     ):
         self.config = config
         mc, cc = config.model, config.cache
@@ -65,6 +68,8 @@ class LLMEngine:
         self.eos_token_id = eos_token_id
         self._key = jax.random.key(rng_seed)
         self._id_counter = itertools.count()
+        # fused multi-step decode chunk size (0/1 disables)
+        self.multistep = multistep
         # kv scales for quantized caches (static; per-tensor calibration is
         # a TODO — these defaults assume O(1)-magnitude K/V activations).
         # fp8-e4m3 has enough dynamic range for scale 1.0; int8 needs the
@@ -93,7 +98,226 @@ class LLMEngine:
 
     # ---------------- step ----------------
 
+    # ---------------- fused multi-step decode fast path ----------------
+
+    def _decode_session_applies(self) -> bool:
+        """True when the batch is in steady-state decode: no waiting work
+        and every running request has exactly its last sampled token
+        pending."""
+        sched = self.scheduler
+        if self.multistep <= 1 or sched.waiting or not sched.running:
+            return False
+        if len(sched.running) > sched.config.max_num_seqs:
+            return False
+        for r in sched.running:
+            if not r.output_token_ids:
+                return False
+            if r.num_computed_tokens != r.num_tokens - 1:
+                return False
+        return True
+
+    def _session_chunk_budget(self, reqs) -> int:
+        sched = self.scheduler
+        max_len = max(r.num_tokens for r in reqs)
+        k = min(
+            self.multistep,
+            sched.config.max_model_len - max_len,
+            min(
+                r.sampling.max_tokens - len(r.output_token_ids)
+                for r in reqs
+            )
+            + 1,
+        )
+        # round down to a power of two: bounds the number of distinct
+        # fused executables (one per K) across workloads
+        if k >= 2:
+            k = 1 << (k.bit_length() - 1)
+        return k
+
+    def _process_chunk(self, reqs, sampled: np.ndarray) -> list[Request]:
+        """Apply one chunk's sampled tokens [K, S] to the request states;
+        returns requests finished by this chunk.  Tokens for requests that
+        already finished in an earlier chunk are discarded."""
+        sched = self.scheduler
+        k = sampled.shape[0]
+        finished = []
+        for i, r in enumerate(reqs):
+            if r.is_finished:
+                continue
+            sp = r.sampling
+            stop = set(sp.stop_token_ids)
+            if self.eos_token_id is not None and not sp.ignore_eos:
+                stop.add(self.eos_token_id)
+            for j in range(k):
+                r.num_computed_tokens += 1
+                tok = int(sampled[j, i])
+                r.output_token_ids.append(tok)
+                if tok in stop:
+                    r.status = RequestStatus.FINISHED_STOPPED
+                elif len(r.output_token_ids) >= sp.max_tokens:
+                    r.status = RequestStatus.FINISHED_LENGTH
+                elif r.num_tokens >= sched.config.max_model_len:
+                    r.status = RequestStatus.FINISHED_LENGTH
+                if r.is_finished:
+                    break
+            sched.allocator.publish_full_blocks(
+                r.req_id, r.all_token_ids[: r.num_computed_tokens]
+            )
+            if r.is_finished:
+                finished.append(r)
+                sched.running.remove(r)
+                sched.allocator.free(r.req_id)
+        return finished
+
+    def _try_multistep(self) -> list[RequestOutput] | None:
+        """Device-resident decode session.
+
+        Chunks of K fused decode steps are chained ON DEVICE: chunk i+1's
+        input tokens are a device-side slice of chunk i's output, so the
+        device pipeline never waits for the host.  The host processes each
+        chunk's sampled tokens one chunk LATE (async D2H), paying the
+        transfer latency once per session instead of once per chunk.
+        Requests that stop mid-session cost at most one wasted chunk of
+        compute; their surplus tokens are discarded on the host.
+        """
+        if not self._decode_session_applies():
+            return None
+        sched = self.scheduler
+        reqs = list(sched.running)
+        k = self._session_chunk_budget(reqs)
+        if k < 2:
+            return None
+
+        s_pad = sched.config.max_num_seqs
+        horizon = max(
+            len(r.prompt_token_ids) + r.sampling.max_tokens + 1
+            for r in reqs
+        )
+        horizon = min(horizon, sched.config.max_model_len)
+        extras = ForwardExtras(
+            max_query_len=1,
+            max_seq_len=max(128, next_power_of_2(horizon)),
+            k_scale=self.k_scale,
+            v_scale=self.v_scale,
+        )
+        bs = self.config.cache.block_size
+
+        def build_host_state(reqs):
+            tokens = np.zeros(s_pad, np.int32)
+            lens = np.ones(s_pad, np.int32)
+            live = np.zeros(s_pad, bool)
+            temp = np.zeros(s_pad, np.float32)
+            top_p = np.ones(s_pad, np.float32)
+            top_k = np.zeros(s_pad, np.int32)
+            for i, r in enumerate(reqs):
+                tokens[i] = r.output_token_ids[-1]
+                lens[i] = r.num_tokens
+                live[i] = True
+                temp[i] = r.sampling.temperature
+                top_p[i] = r.sampling.top_p
+                top_k[i] = r.sampling.top_k
+            return (
+                jnp.asarray(tokens), jnp.asarray(lens), jnp.asarray(live),
+                jnp.asarray(temp), jnp.asarray(top_p), jnp.asarray(top_k),
+            )
+
+        def preallocate_horizon(reqs) -> bool:
+            """Reserve pages for every request's full horizon up front, so
+            the block table is constant for the whole session (built and
+            transferred ONCE — per-chunk H2D costs a round trip each)."""
+            need = 0
+            targets = []
+            for r in reqs:
+                tgt = min(
+                    len(r.prompt_token_ids) + r.sampling.max_tokens + 1,
+                    horizon,
+                )
+                cur = len(sched.allocator.block_table(r.req_id))
+                need += max(0, -(-tgt // bs) - cur)
+                targets.append(tgt)
+            if need > sched.allocator.num_free_blocks:
+                return False
+            for r, tgt in zip(reqs, targets):
+                sched.allocator.append_slots(r.req_id, tgt)
+            return True
+
+        if not preallocate_horizon(reqs):
+            return None  # pool too tight for a session: regular path
+
+        tbl = np.zeros((s_pad, sched.max_blocks_per_seq), np.int32)
+        for i, r in enumerate(reqs):
+            pages = sched.allocator.block_table(r.req_id)
+            tbl[i, : len(pages)] = pages
+        tbl_d = jnp.asarray(tbl)
+
+        finished_all: list[Request] = []
+        tokens_d, lens_d, live_d, temp_d, topp_d, topk_d = (
+            build_host_state(reqs)
+        )
+        key_d = self._key
+        pending: jax.Array | None = None  # in-flight chunk's sampled [K,S]
+        # in-flight tokens per live req not yet applied on host
+        inflight = 0
+        chunks_launched = 0
+        while True:
+            launch = (
+                not sched.waiting
+                and not any(r.is_finished for r in reqs)
+                and any(
+                    len(r.output_token_ids) + inflight
+                    < r.sampling.max_tokens
+                    for r in reqs
+                )
+                and max(r.num_tokens for r in reqs) + inflight + k
+                <= horizon
+            )
+            if launch:
+                (
+                    sampled, tokens_d, lens_d, key_d,
+                    self.k_cache, self.v_cache,
+                ) = decode_steps(
+                    self.params, self.config.model,
+                    tokens_d, lens_d, tbl_d, live_d,
+                    self.k_cache, self.v_cache,
+                    temp_d, topp_d, topk_d,
+                    key_d, extras, k, bs,
+                )
+                inflight += k
+                chunks_launched += 1
+                # start the D2H of this chunk's tokens now so the transfer
+                # overlaps with the next chunk's execution — the host read
+                # one iteration later finds the data already local
+                try:
+                    sampled.copy_to_host_async()
+                except (AttributeError, NotImplementedError):
+                    pass
+            if pending is not None:
+                finished_all += self._process_chunk(
+                    reqs, np.asarray(pending)
+                )
+                inflight -= pending.shape[0]
+                pending = None
+            if not launch:
+                break
+            pending = sampled
+        self._key = key_d
+        if chunks_launched == 0:
+            return None  # no progress possible: regular path handles it
+        return [
+            RequestOutput(
+                req_id=r.req_id,
+                prompt_token_ids=r.prompt_token_ids,
+                output_token_ids=list(r.output_token_ids),
+                finish_reason=r.status.value.removeprefix("finished_"),
+            )
+            for r in finished_all
+        ]
+
     def step(self) -> list[RequestOutput]:
+        if self._decode_session_applies():
+            fast = self._try_multistep()
+            if fast is not None:
+                return fast
         batch = self.scheduler.schedule()
         if batch.is_empty:
             return []

@@ -1,0 +1,102 @@
+"""Fused multi-step decode: K engine steps in ONE device dispatch.
+
+TPU-native throughput feature with no reference counterpart (the
+reference's per-step host loop is vLLM's, hidden behind CUDA graphs —
+SURVEY.md §1 L5).  On TPU the equivalent of "CUDA-graph the whole step" is
+to *compile* the whole step — and once the step is compiled, K steps can be
+``lax.scan``-ed into one executable:
+
+  for each of K steps (on device, zero host round-trips):
+    slot    = block_table[s, len // bs] * bs + len % bs
+    logits  = forward(tokens, positions=len, slot_mapping=slot)
+    token   = sample(logits)          (per-seq temperature/top-k/top-p)
+    len    += 1  for live sequences
+
+The host gets back [K, S] sampled tokens and applies stop conditions after
+the fact (tokens past a stop are discarded; the over-written KV slots
+belong to pages owned by the finished sequence, so they are reclaimed on
+free).  The scheduler pre-allocates K slots per sequence before the call.
+
+This amortizes host scheduling, H2D metadata transfers, and dispatch
+latency over K tokens — the dominant cost of small-batch decode.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from vllm_triton_backend_tpu.config import ModelConfig
+from vllm_triton_backend_tpu.models.llama import ForwardExtras, forward_fn
+from vllm_triton_backend_tpu.ops.metadata import AttentionMetadata
+from vllm_triton_backend_tpu.runtime.sampler import sample
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "extras", "num_steps", "block_size"),
+    donate_argnames=("k_cache", "v_cache"),
+)
+def decode_steps(
+    params,
+    cfg: ModelConfig,
+    tokens: jax.Array,  # [S] int32 current last token per seq
+    seq_lens: jax.Array,  # [S] int32 length INCLUDING current token
+    block_table: jax.Array,  # [S, max_blocks] int32
+    live: jax.Array,  # [S] bool — padding rows False
+    k_cache: jax.Array,
+    v_cache: jax.Array,
+    temperature: jax.Array,  # [S] f32
+    top_p: jax.Array,  # [S] f32
+    top_k: jax.Array,  # [S] int32
+    rng_key: jax.Array,
+    extras: ForwardExtras,
+    num_steps: int,
+    block_size: int,
+) -> tuple[
+    jax.Array, jax.Array, jax.Array, jax.Array, jax.Array, jax.Array
+]:
+    """Returns (sampled [K, S], next_tokens [S], final_seq_lens, next_key,
+    k_cache, v_cache).
+
+    ``tokens[s]`` is the token to feed at the first step (the previously
+    sampled one, already counted in ``seq_lens``, not yet in the cache).
+    ``next_tokens``/``final_seq_lens``/``next_key`` are returned so a
+    *session* of chained chunks needs ZERO host-side device ops between
+    launches — every tiny op (slice, key split) costs a host round trip.
+    """
+    num_seqs = tokens.shape[0]
+    qsl = jnp.arange(num_seqs + 1, dtype=jnp.int32)
+
+    def body(carry, _):
+        toks, lens, kc, vc, key = carry
+        key, sub = jax.random.split(key)
+        pos = lens - 1  # current token's position
+        page = jnp.take_along_axis(
+            block_table, (pos // block_size)[:, None], axis=1
+        )[:, 0]
+        slots = jnp.where(
+            live, page * block_size + pos % block_size, -1
+        ).astype(jnp.int32)
+        meta = AttentionMetadata(
+            query_start_loc=qsl,
+            seq_lens=lens,
+            block_table=block_table,
+            slot_mapping=slots,
+            num_seqs=jnp.int32(num_seqs),
+        )
+        logits, kc, vc = forward_fn(
+            params, cfg, toks, pos, kc, vc, meta, extras
+        )
+        nxt = sample(logits, temperature, top_p, top_k, sub)
+        nxt = jnp.where(live, nxt, 0)
+        lens = jnp.where(live, lens + 1, lens)
+        return (nxt, lens, kc, vc, key), nxt
+
+    (tokens, seq_lens, k_cache, v_cache, rng_key), sampled = jax.lax.scan(
+        body, (tokens, seq_lens, k_cache, v_cache, rng_key), None,
+        length=num_steps,
+    )
+    return sampled, tokens, seq_lens, rng_key, k_cache, v_cache
