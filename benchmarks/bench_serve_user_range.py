@@ -1,0 +1,190 @@
+"""E2E serving benchmark: user-concurrency sweep against the OpenAI server.
+
+Reference L6 analog (scripts/bench_vllm_user_range.py:44-84): sweep
+max-concurrency 1→128, fire prompts at the HTTP server, record
+TTFT / TPOT / ITL / E2EL percentiles [20, 50, 80, 99] and total token
+throughput per concurrency level.
+
+Usage:
+  python benchmarks/bench_serve_user_range.py [--base-url http://...] \
+      [--num-prompts 64] [--concurrency 1,2,4,...] [--result-path DIR]
+
+Without --base-url an in-process server with a tiny random model is
+started (smoke mode).  Timing uses streamed SSE chunks: TTFT = first
+chunk, ITL = gaps between chunks.
+"""
+
+from __future__ import annotations
+
+import argparse
+import asyncio
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if REPO_ROOT not in sys.path:
+    sys.path.insert(0, REPO_ROOT)
+
+PERCENTILES = [20, 50, 80, 99]  # reference bench_vllm_user_range.py:77
+
+
+def synth_prompts(n: int, rng, in_len=(16, 128), out_len=(8, 64)):
+    """ShareGPT-like ragged synthetic workload (token-id prompts)."""
+    out = []
+    for _ in range(n):
+        il = int(rng.integers(*in_len))
+        ol = int(rng.integers(*out_len))
+        out.append(
+            (rng.integers(1, 30000, size=il).tolist(), ol)
+        )
+    return out
+
+
+async def _one_request(session, base_url, prompt_ids, max_tokens):
+    import aiohttp  # noqa: F401
+
+    t_start = time.perf_counter()
+    chunk_times = []
+    n_tokens = 0
+    async with session.post(
+        f"{base_url}/v1/completions",
+        json={
+            "prompt": prompt_ids,
+            "max_tokens": max_tokens,
+            "stream": True,
+        },
+    ) as resp:
+        async for raw in resp.content:
+            line = raw.decode().strip()
+            if not line.startswith("data: ") or line == "data: [DONE]":
+                continue
+            payload = json.loads(line[len("data: "):])
+            text = payload["choices"][0]["text"]
+            if text:
+                chunk_times.append(time.perf_counter())
+                n_tokens += max(1, len(text.split()))
+    t_end = time.perf_counter()
+    if not chunk_times:
+        return None
+    ttft = chunk_times[0] - t_start
+    e2el = t_end - t_start
+    itls = np.diff(chunk_times).tolist() if len(chunk_times) > 1 else [0.0]
+    tpot = (t_end - chunk_times[0]) / max(1, n_tokens - 1) if n_tokens > 1 else 0.0
+    return {
+        "ttft": ttft, "e2el": e2el, "itls": itls, "tpot": tpot,
+        "tokens": n_tokens,
+    }
+
+
+async def run_sweep(base_url, prompts, concurrency):
+    import aiohttp
+
+    sem = asyncio.Semaphore(concurrency)
+    results = []
+    t0 = time.perf_counter()
+    async with aiohttp.ClientSession() as session:
+
+        async def worker(p, ol):
+            async with sem:
+                r = await _one_request(session, base_url, p, ol)
+                if r:
+                    results.append(r)
+
+        await asyncio.gather(
+            *[worker(p, ol) for p, ol in prompts]
+        )
+    wall = time.perf_counter() - t0
+    if not results:
+        return None
+    all_itls = [x for r in results for x in r["itls"]]
+    rec = {
+        "concurrency": concurrency,
+        "completed": len(results),
+        "total_token_throughput": sum(r["tokens"] for r in results) / wall,
+        "wall_s": wall,
+    }
+    for name, vals in (
+        ("ttft", [r["ttft"] for r in results]),
+        ("tpot", [r["tpot"] for r in results]),
+        ("itl", all_itls),
+        ("e2el", [r["e2el"] for r in results]),
+    ):
+        for p in PERCENTILES:
+            rec[f"{name}_p{p}"] = float(np.percentile(vals, p))
+    return rec
+
+
+def main(argv=None) -> list[dict]:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--base-url", default=None)
+    ap.add_argument("--num-prompts", type=int, default=32)
+    ap.add_argument("--concurrency", default="1,2,4,8")
+    ap.add_argument("--result-path", default=None)
+    args = ap.parse_args(argv)
+
+    worker = None
+    base_url = args.base_url
+    if base_url is None:
+        # in-process smoke server (tiny random model)
+        from aiohttp.test_utils import TestServer
+
+        from vllm_triton_backend_tpu.config import EngineConfig, ModelConfig
+        from vllm_triton_backend_tpu.entrypoints.openai_server import (
+            EngineWorker,
+            build_app,
+        )
+        from vllm_triton_backend_tpu.runtime.engine import LLMEngine
+
+        worker = EngineWorker(
+            LLMEngine(EngineConfig(model=ModelConfig.tiny()))
+        )
+        worker.start()
+        app = build_app(worker)
+
+        async def sweep_all():
+            server = TestServer(app)
+            await server.start_server()
+            url = f"http://{server.host}:{server.port}"
+            rng = np.random.default_rng(0)
+            recs = []
+            for c in map(int, args.concurrency.split(",")):
+                prompts = synth_prompts(
+                    args.num_prompts, rng, in_len=(4, 16), out_len=(4, 12)
+                )
+                rec = await run_sweep(url, prompts, c)
+                if rec:
+                    recs.append(rec)
+                    print(json.dumps(rec))
+            await server.close()
+            return recs
+
+        recs = asyncio.run(sweep_all())
+        worker.stop()
+    else:
+        rng = np.random.default_rng(0)
+        recs = []
+        for c in map(int, args.concurrency.split(",")):
+            prompts = synth_prompts(args.num_prompts, rng)
+            rec = asyncio.run(run_sweep(base_url, prompts, c))
+            if rec:
+                recs.append(rec)
+                print(json.dumps(rec))
+
+    if args.result_path and recs:
+        os.makedirs(args.result_path, exist_ok=True)
+        out = os.path.join(
+            args.result_path,
+            f"user_range_{time.strftime('%Y%m%d-%H%M%S')}.json",
+        )
+        with open(out, "w") as f:
+            json.dump(recs, f, indent=1)
+        print(f"wrote {out}")
+    return recs
+
+
+if __name__ == "__main__":
+    main()

@@ -142,6 +142,7 @@ class Scheduler:
         scheduled: list[tuple[Request, int]] = []  # (req, num_new_tokens)
 
         # 1. running requests first (decode or ongoing chunked prefill)
+        blocked: list[Request] = []
         for req in self.running:
             if budget == 0 or len(scheduled) >= self.config.max_num_seqs:
                 break
@@ -154,10 +155,37 @@ class Scheduler:
                 self.allocator.block_table(req.req_id)
             )
             if needed > self.allocator.num_free_blocks:
-                continue  # cannot grow: skip this step (simple backoff)
+                blocked.append(req)
+                continue  # cannot grow this step
             self.allocator.append_slots(req.req_id, target_len)
             scheduled.append((req, n))
             budget -= n
+
+        # Pool exhausted and nothing runnable: preempt the most recently
+        # admitted running requests (free their pages, requeue for full
+        # recompute) until at least one blocked request can grow — the
+        # standard recompute-preemption policy.
+        if blocked and not scheduled:
+            while len(self.running) > 1 and blocked:
+                victim = self.running.pop()  # newest first
+                if victim in blocked:
+                    blocked.remove(victim)
+                self.allocator.free(victim.req_id)
+                victim.num_computed_tokens = 0
+                victim.status = RequestStatus.WAITING
+                self.waiting.insert(0, victim)
+                req = blocked[0] if blocked else None
+                if req is None:
+                    break
+                target_len = req.num_computed_tokens + 1
+                needed = cdiv(target_len, self.block_size) - len(
+                    self.allocator.block_table(req.req_id)
+                )
+                if needed <= self.allocator.num_free_blocks:
+                    self.allocator.append_slots(req.req_id, target_len)
+                    scheduled.append((req, 1))
+                    budget -= 1
+                    break
 
         # 2. admit waiting requests (prefill, possibly chunked)
         if self.config.enable_chunked_prefill or not scheduled:
@@ -167,11 +195,12 @@ class Scheduler:
                 and len(scheduled) < self.config.max_num_seqs
             ):
                 req = self.waiting[0]
-                if not self.allocator.can_allocate(len(req.prompt_token_ids)):
+                # all_token_ids: a preempted request re-prefills its prompt
+                # PLUS the tokens it had already generated
+                admit_tokens = req.all_token_ids
+                if not self.allocator.can_allocate(len(admit_tokens)):
                     break
-                sb = self.allocator.allocate(
-                    req.req_id, req.prompt_token_ids
-                )
+                sb = self.allocator.allocate(req.req_id, admit_tokens)
                 req.num_computed_tokens = sb.num_cached_tokens
                 remaining = req.num_tokens - req.num_computed_tokens
                 n = min(remaining, budget)
