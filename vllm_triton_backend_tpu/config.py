@@ -99,8 +99,17 @@ class ModelConfig:
     logits_soft_cap: float = 0.0
     # Weight quantization: "none" | "int8" | "fp8" (weight-only linears).
     quantization: str = "none"
-    # Architecture family: "llama" (covers granite via multipliers) | "mamba".
+    # Architecture family: "llama" (covers granite via multipliers) |
+    # "mamba" (pure SSM) | "hybrid" (per-layer mix, see layers_block_type).
     architecture: str = "llama"
+    # Per-layer block kinds for hybrids: tuple of "attention" | "mamba".
+    # None -> homogeneous per `architecture`.
+    layers_block_type: tuple[str, ...] | None = None
+    # Mamba/SSM mixer hyperparameters (reference mamba_ssm.py semantics).
+    mamba_state_size: int = 16
+    mamba_conv_kernel: int = 4
+    mamba_expand: int = 2
+    mamba_dt_rank: int = 0  # 0 -> ceil(hidden/16)
 
     @property
     def head_size(self) -> int:

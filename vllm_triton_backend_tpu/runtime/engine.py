@@ -22,7 +22,7 @@ from vllm_triton_backend_tpu.config import EngineConfig
 from vllm_triton_backend_tpu.models import llama
 from vllm_triton_backend_tpu.models.llama import ForwardExtras
 from vllm_triton_backend_tpu.ops.metadata import AttentionMetadata
-from vllm_triton_backend_tpu.runtime.multistep import decode_steps
+from vllm_triton_backend_tpu.runtime.multistep import decode_steps, engine_step
 from vllm_triton_backend_tpu.runtime.sampler import SamplingParams, sample
 from vllm_triton_backend_tpu.runtime.scheduler import (
     Request,
@@ -53,7 +53,36 @@ class LLMEngine:
     ):
         self.config = config
         mc, cc = config.model, config.cache
-        if params is None:
+        # Hybrid/SSM models: per-layer state pools + no prefix caching
+        # (SSM state is not content-addressable) + no fused multistep yet.
+        self.is_hybrid = (
+            mc.architecture in ("mamba", "hybrid")
+            or mc.layers_block_type is not None
+        )
+        sched_config = config.scheduler
+        if self.is_hybrid:
+            from vllm_triton_backend_tpu.models import hybrid
+
+            self._hybrid = hybrid
+            if params is None:
+                params = hybrid.init_params(mc, jax.random.key(config.seed))
+            multistep = 0
+            import dataclasses as _dc
+
+            sched_config = _dc.replace(
+                sched_config, enable_prefix_caching=False
+            )
+            # Slot 0 is RESERVED as the dead/padding slot: the model clamps
+            # state_indices == -1 to slot 0, and padded batch rows scatter
+            # (stale) values there — a real request in slot 0 would race
+            # with those duplicate-index writes.
+            n_slots = 2 * sched_config.max_num_seqs + 3
+            self.conv_state, self.ssm_state = hybrid.make_state_pools(
+                mc, n_slots
+            )
+            self._slot_of: dict[str, int] = {}
+            self._free_slots = list(range(1, n_slots))
+        elif params is None:
             params = llama.init_params(mc, jax.random.key(config.seed))
         self.params = params
         cache_dtype = (
@@ -61,10 +90,14 @@ class LLMEngine:
             if cc.cache_dtype == "auto"
             else get_dtype(cc.cache_dtype)
         )
-        self.k_cache, self.v_cache = llama.make_kv_caches(
+        make_caches = (
+            self._hybrid.make_kv_caches if self.is_hybrid
+            else llama.make_kv_caches
+        )
+        self.k_cache, self.v_cache = make_caches(
             mc, cc.num_blocks, cc.block_size, cache_dtype
         )
-        self.scheduler = Scheduler(config.scheduler, cc)
+        self.scheduler = Scheduler(sched_config, cc)
         self.eos_token_id = eos_token_id
         self._key = jax.random.key(rng_seed)
         self._id_counter = itertools.count()
@@ -321,31 +354,12 @@ class LLMEngine:
         batch = self.scheduler.schedule()
         if batch.is_empty:
             return []
-        metadata = AttentionMetadata(
-            query_start_loc=jnp.asarray(batch.query_start_loc),
-            seq_lens=jnp.asarray(batch.seq_lens),
-            block_table=jnp.asarray(batch.block_table),
-            slot_mapping=jnp.asarray(batch.slot_mapping),
-            num_seqs=jnp.int32(batch.num_seqs),
-        )
         extras = ForwardExtras(
             max_query_len=batch.max_query_len,
             max_seq_len=batch.max_seq_len,
             k_scale=self.k_scale,
             v_scale=self.v_scale,
         )
-        logits, self.k_cache, self.v_cache = llama.forward(
-            self.params,
-            self.config.model,
-            jnp.asarray(batch.token_ids),
-            jnp.asarray(batch.positions),
-            self.k_cache,
-            self.v_cache,
-            metadata,
-            extras,
-        )
-        # gather last-token logits per sequence and sample
-        last = logits[jnp.asarray(batch.logits_indices)]
         reqs = [self.scheduler.requests[r] for r in batch.req_ids]
         temp = np.zeros(batch.logits_indices.shape[0], np.float32)
         top_p = np.ones_like(temp)
@@ -354,17 +368,66 @@ class LLMEngine:
             temp[i] = r.sampling.temperature
             top_p[i] = r.sampling.top_p
             top_k[i] = r.sampling.top_k
-        self._key, sub = jax.random.split(self._key)
-        sampled = np.asarray(
-            sample(
-                last,
+        if self.is_hybrid:
+            state_idx = np.full(
+                self.scheduler.config.max_num_seqs, -1, np.int32
+            )
+            for i, rid in enumerate(batch.req_ids):
+                if rid not in self._slot_of:
+                    self._slot_of[rid] = self._free_slots.pop()
+                state_idx[i] = self._slot_of[rid]
+            meta = AttentionMetadata(
+                query_start_loc=jnp.asarray(batch.query_start_loc),
+                seq_lens=jnp.asarray(batch.seq_lens),
+                block_table=jnp.asarray(batch.block_table),
+                slot_mapping=jnp.asarray(batch.slot_mapping),
+                num_seqs=jnp.int32(batch.num_seqs),
+            )
+            (
+                logits, self.k_cache, self.v_cache,
+                self.conv_state, self.ssm_state,
+            ) = self._hybrid.forward(
+                self.params, self.config.model,
+                jnp.asarray(batch.token_ids),
+                jnp.asarray(batch.positions),
+                self.k_cache, self.v_cache,
+                self.conv_state, self.ssm_state,
+                jnp.asarray(state_idx), meta, extras,
+            )
+            self._key, sub = jax.random.split(self._key)
+            sampled = np.asarray(
+                sample(
+                    logits[jnp.asarray(batch.logits_indices)],
+                    jnp.asarray(temp), jnp.asarray(top_p),
+                    jnp.asarray(top_k), sub,
+                )
+            )
+        else:
+            sampled_d, self._key, self.k_cache, self.v_cache = engine_step(
+                self.params,
+                self.config.model,
+                jnp.asarray(batch.token_ids),
+                jnp.asarray(batch.positions),
+                self.k_cache,
+                self.v_cache,
+                jnp.asarray(batch.query_start_loc),
+                jnp.asarray(batch.seq_lens),
+                jnp.asarray(batch.block_table),
+                jnp.asarray(batch.slot_mapping),
+                jnp.asarray(batch.logits_indices),
                 jnp.asarray(temp),
                 jnp.asarray(top_p),
                 jnp.asarray(top_k),
-                sub,
+                self._key,
+                extras,
             )
-        )
+            sampled = np.asarray(sampled_d)
         finished = self.scheduler.update(batch, sampled, self.eos_token_id)
+        if self.is_hybrid:
+            for r in finished:
+                slot = self._slot_of.pop(r.req_id, None)
+                if slot is not None:
+                    self._free_slots.append(slot)
         return [
             RequestOutput(
                 req_id=r.req_id,

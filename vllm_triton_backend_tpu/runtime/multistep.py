@@ -36,6 +36,53 @@ from vllm_triton_backend_tpu.runtime.sampler import sample
 
 @functools.partial(
     jax.jit,
+    static_argnames=("cfg", "extras"),
+    donate_argnames=("k_cache", "v_cache"),
+)
+def engine_step(
+    params,
+    cfg: ModelConfig,
+    token_ids: jax.Array,  # [T] int32
+    positions: jax.Array,  # [T] int32
+    k_cache: jax.Array,
+    v_cache: jax.Array,
+    query_start_loc: jax.Array,
+    seq_lens: jax.Array,
+    block_table: jax.Array,
+    slot_mapping: jax.Array,
+    logits_indices: jax.Array,  # [S] int32 last-token index per seq
+    temperature: jax.Array,  # [S]
+    top_p: jax.Array,
+    top_k: jax.Array,
+    rng_key: jax.Array,
+    extras: ForwardExtras,
+) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    """One fully-fused engine step: forward + last-token gather + sample.
+
+    The per-step host work reduces to H2D enqueues, ONE dispatch, and one
+    D2H of the sampled tokens — each eager op between jit calls costs a
+    host-device round trip, which dominates small-step latency.
+    Returns (sampled [S], next_key, k_cache, v_cache).
+    """
+    meta = AttentionMetadata(
+        query_start_loc=query_start_loc,
+        seq_lens=seq_lens,
+        block_table=block_table,
+        slot_mapping=slot_mapping,
+        num_seqs=jnp.int32(seq_lens.shape[0]),
+    )
+    logits, k_cache, v_cache = forward_fn(
+        params, cfg, token_ids, positions, k_cache, v_cache, meta, extras
+    )
+    rng_key, sub = jax.random.split(rng_key)
+    sampled = sample(
+        logits[logits_indices], temperature, top_p, top_k, sub
+    )
+    return sampled, rng_key, k_cache, v_cache
+
+
+@functools.partial(
+    jax.jit,
     static_argnames=("cfg", "extras", "num_steps", "block_size"),
     donate_argnames=("k_cache", "v_cache"),
 )
