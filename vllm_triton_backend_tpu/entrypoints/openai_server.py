@@ -274,9 +274,12 @@ def build_app(worker: EngineWorker, model_name: str = "vtb-model"):
         return web.json_response({"status": "ok"})
 
     async def metrics(request: web.Request):
-        lines = [
-            f"vtb_{k} {v}" for k, v in worker.metrics.items()
-        ]
+        merged = dict(worker.metrics)
+        try:
+            merged.update(worker.engine.stats())
+        except Exception:
+            pass
+        lines = [f"vtb_{k} {v}" for k, v in merged.items()]
         return web.Response(text="\n".join(lines) + "\n")
 
     app.router.add_post("/v1/completions", completions)

@@ -23,12 +23,15 @@ from vllm_triton_backend_tpu.config import ModelConfig
 from vllm_triton_backend_tpu.models.llama import LayerParams, LlamaParams
 
 _SUPPORTED = {"LlamaForCausalLM", "GraniteForCausalLM", "MistralForCausalLM"}
+_SUPPORTED_SSM = {"MambaForCausalLM"}
 
 
 def config_from_hf(model_dir: str, **overrides) -> ModelConfig:
     with open(os.path.join(model_dir, "config.json")) as f:
         hf = json.load(f)
     arch = (hf.get("architectures") or ["LlamaForCausalLM"])[0]
+    if arch in _SUPPORTED_SSM:
+        return _mamba_config_from_hf(hf, **overrides)
     if arch not in _SUPPORTED:
         raise ValueError(f"unsupported architecture {arch!r}")
     kw = dict(
@@ -57,6 +60,30 @@ def config_from_hf(model_dir: str, **overrides) -> ModelConfig:
     return ModelConfig(**kw)
 
 
+def _mamba_config_from_hf(hf: dict, **overrides) -> ModelConfig:
+    """MambaForCausalLM config.json -> ModelConfig(architecture='mamba')."""
+    h = hf["hidden_size"]
+    dt_rank = hf.get("time_step_rank", "auto")
+    kw = dict(
+        vocab_size=hf["vocab_size"],
+        hidden_size=h,
+        intermediate_size=hf.get("intermediate_size", 2 * h),
+        num_layers=hf["num_hidden_layers"],
+        num_heads=1,
+        num_kv_heads=1,
+        head_dim=h,
+        rms_norm_eps=float(hf.get("layer_norm_epsilon", 1e-5)),
+        tie_word_embeddings=hf.get("tie_word_embeddings", True),
+        architecture="mamba",
+        mamba_state_size=hf.get("state_size", 16),
+        mamba_conv_kernel=hf.get("conv_kernel", 4),
+        mamba_expand=hf.get("expand", 2),
+        mamba_dt_rank=0 if dt_rank == "auto" else int(dt_rank),
+    )
+    kw.update(overrides)
+    return ModelConfig(**kw)
+
+
 def _load_state_dict(model_dir: str) -> dict[str, np.ndarray]:
     """Load all safetensors shards into a host numpy dict."""
     from safetensors import safe_open
@@ -75,8 +102,10 @@ def _load_state_dict(model_dir: str) -> dict[str, np.ndarray]:
 def load_params(
     model_dir: str, cfg: ModelConfig | None = None
 ) -> tuple[ModelConfig, LlamaParams]:
-    """Load an HF Llama-family checkpoint into the stacked pytree."""
+    """Load an HF checkpoint (Llama-family or Mamba) into model params."""
     cfg = cfg or config_from_hf(model_dir)
+    if cfg.architecture == "mamba":
+        return _load_mamba_params(model_dir, cfg)
     state = _load_state_dict(model_dir)
     dtype = jnp.dtype(cfg.dtype)
     nl = cfg.num_layers
@@ -118,6 +147,56 @@ def load_params(
         embed=embed,
         layers=layers,
         final_norm=jnp.asarray(state["model.norm.weight"], dtype=dtype),
+        lm_head=lm_head,
+    )
+    return cfg, params
+
+
+def _load_mamba_params(model_dir: str, cfg: ModelConfig):
+    """HF MambaForCausalLM ('backbone.*') -> HybridParams tuple-of-layers."""
+    from vllm_triton_backend_tpu.models.hybrid import (
+        HybridParams,
+        MambaLayerParams,
+    )
+
+    state = _load_state_dict(model_dir)
+    dtype = jnp.dtype(cfg.dtype)
+
+    def t(name, transpose=False, f32=False):
+        arr = state[name]
+        if transpose:
+            arr = arr.T
+        return jnp.asarray(arr, dtype=jnp.float32 if f32 else dtype)
+
+    layers = []
+    for i in range(cfg.num_layers):
+        p = f"backbone.layers.{i}."
+        layers.append(
+            MambaLayerParams(
+                norm=t(p + "norm.weight"),
+                in_proj=t(p + "mixer.in_proj.weight", transpose=True),
+                # HF conv1d weight is [di, 1, k] depthwise
+                conv_w=jnp.asarray(
+                    state[p + "mixer.conv1d.weight"][:, 0, :], dtype
+                ),
+                conv_b=t(p + "mixer.conv1d.bias"),
+                x_proj=t(p + "mixer.x_proj.weight", transpose=True),
+                dt_proj=t(p + "mixer.dt_proj.weight", transpose=True),
+                dt_bias=t(p + "mixer.dt_proj.bias", f32=True),
+                A_log=t(p + "mixer.A_log", f32=True),
+                D=t(p + "mixer.D", f32=True),
+                out_proj=t(p + "mixer.out_proj.weight", transpose=True),
+            )
+        )
+    embed = jnp.asarray(state["backbone.embeddings.weight"], dtype)
+    if cfg.tie_word_embeddings or "lm_head.weight" not in state:
+        lm_head = embed.T
+    else:
+        lm_head = jnp.asarray(state["lm_head.weight"].T, dtype)
+    params = HybridParams(
+        embed=embed,
+        layers=tuple(layers),
+        final_norm=jnp.asarray(state["backbone.norm_f.weight"], dtype),
         lm_head=lm_head,
     )
     return cfg, params

@@ -1,0 +1,237 @@
+"""Pipeline parallelism: layers sharded into stages over a mesh axis.
+
+SURVEY.md §2.6 marks PP "optional later phase" for the reference (vLLM
+provides it at L5); here it is native.  GPipe-style inference pipeline
+under ``shard_map`` over a ``stage`` mesh axis:
+
+* The layer stack is split contiguously into ``S`` stages; each stage's
+  stacked layer params and its slice of the paged KV-cache live on that
+  stage's devices (sharded ``P("stage")`` on the leading axis).
+* The token batch is split into ``M`` microbatches (by sequences).  A
+  clock loop of ``M + S - 1`` ticks runs: on tick ``t`` stage ``s``
+  processes microbatch ``t - s`` (when in range) and hands its activations
+  to stage ``s+1`` via ``ppermute`` — communication overlaps with the next
+  tick's compute under XLA async collectives.
+* Embedding runs on every stage (replicated weights, negligible cost);
+  only stage 0's result enters the pipe.  The last stage's hidden states
+  are recovered with a ``psum`` mask trick and logits are computed
+  replicated.
+
+Composable with TP: use a 2-D mesh ("stage", "model") and the TP
+``forward_fn(tp_axis="model")`` inside the stage body (not wired by
+default here — the stage body uses the single-shard layer math).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from vllm_triton_backend_tpu.config import ModelConfig
+from vllm_triton_backend_tpu.models.llama import (
+    ForwardExtras,
+    LayerParams,
+    LlamaParams,
+    _rope_inv_freq,
+    apply_rope,
+    rms_norm,
+)
+from vllm_triton_backend_tpu.ops.attention import unified_attention
+from vllm_triton_backend_tpu.ops.metadata import AttentionMetadata
+from vllm_triton_backend_tpu.ops.pallas.cache_ops import reshape_and_cache
+from vllm_triton_backend_tpu.ops.pallas.quant_linear import linear
+
+PARAM_SPECS_PP = LlamaParams(
+    embed=P(),
+    layers=LayerParams(
+        input_norm=P("stage"),
+        q_proj=P("stage"),
+        k_proj=P("stage"),
+        v_proj=P("stage"),
+        o_proj=P("stage"),
+        post_attn_norm=P("stage"),
+        gate_proj=P("stage"),
+        up_proj=P("stage"),
+        down_proj=P("stage"),
+    ),
+    final_norm=P(),
+    lm_head=P(),
+)
+
+CACHE_SPEC_PP = P("stage")
+
+
+def make_pp_mesh(num_stages: int, devices=None) -> Mesh:
+    import numpy as np
+
+    devices = devices if devices is not None else jax.devices()
+    return Mesh(
+        np.asarray(devices[:num_stages]), axis_names=("stage",)
+    )
+
+
+def shard_params_pp(params: LlamaParams, mesh: Mesh) -> LlamaParams:
+    return jax.tree.map(
+        lambda x, spec: jax.device_put(x, NamedSharding(mesh, spec)),
+        params,
+        PARAM_SPECS_PP,
+    )
+
+
+def _stage_forward(
+    layers: LayerParams,  # stacked [L/S, ...] local slice
+    cfg: ModelConfig,
+    x: jax.Array,  # [Tm, h]
+    positions: jax.Array,  # [Tm]
+    k_cache: jax.Array,  # [L/S, Hkv, blocks, bs, hd] local slice
+    v_cache: jax.Array,
+    meta: AttentionMetadata,
+    extras: ForwardExtras,
+):
+    dtype = jnp.dtype(cfg.dtype)
+    hd = cfg.head_size
+    inv_freq = _rope_inv_freq(cfg)
+    t = x.shape[0]
+
+    def layer_body(h_in, xs):
+        lp, kc, vc = xs
+        normed = rms_norm(h_in, lp.input_norm, cfg.rms_norm_eps)
+        q = linear(normed, lp.q_proj).reshape(t, cfg.num_heads, hd)
+        k = linear(normed, lp.k_proj).reshape(t, cfg.num_kv_heads, hd)
+        v = linear(normed, lp.v_proj).reshape(t, cfg.num_kv_heads, hd)
+        q = apply_rope(q, positions, inv_freq)
+        k = apply_rope(k, positions, inv_freq)
+        kc, vc = reshape_and_cache(
+            k, v, kc, vc, meta.slot_mapping, extras.k_scale, extras.v_scale
+        )
+        attn = unified_attention(
+            q, kc, vc, meta,
+            scale=cfg.attn_scale,
+            max_query_len=extras.max_query_len,
+            max_seq_len=extras.max_seq_len,
+            sliding_window=cfg.sliding_window or 0,
+            logits_soft_cap=cfg.logits_soft_cap,
+            k_scale=extras.k_scale,
+            v_scale=extras.v_scale,
+        )
+        h_mid = h_in + linear(attn.reshape(t, -1), lp.o_proj)
+        normed2 = rms_norm(h_mid, lp.post_attn_norm, cfg.rms_norm_eps)
+        gate = jax.nn.silu(linear(normed2, lp.gate_proj).astype(jnp.float32))
+        mlp = linear(
+            gate.astype(dtype) * linear(normed2, lp.up_proj), lp.down_proj
+        )
+        return h_mid + mlp, (kc, vc)
+
+    x, (k_cache, v_cache) = jax.lax.scan(
+        layer_body, x, (layers, k_cache, v_cache)
+    )
+    return x, k_cache, v_cache
+
+
+def make_pp_forward(
+    cfg: ModelConfig,
+    mesh: Mesh,
+    extras: ForwardExtras,
+    num_microbatches: int,
+):
+    """Build the jitted pipeline forward.
+
+    Inputs carry a leading microbatch axis ``[M, ...]`` (replicated):
+      token_ids [M, Tm], positions [M, Tm], query_start_loc [M, Sm+1],
+      seq_lens [M, Sm], block_table [M, Sm, B], slot_mapping [M, Tm].
+    Microbatches must reference disjoint cache pages.  Returns
+    ``(logits [M, Tm, vocab], k_cache, v_cache)``.
+    """
+    num_stages = mesh.shape["stage"]
+    assert cfg.num_layers % num_stages == 0
+    m = num_microbatches
+
+    def step(
+        params, token_ids, positions, k_cache, v_cache,
+        qsl, seq_lens, block_table, slot_mapping,
+    ):
+        stage = jax.lax.axis_index("stage")
+        # shard_map hands each stage its local [L/S, ...] slices directly
+        layers = params.layers
+        kc, vc = k_cache, v_cache
+        tm = token_ids.shape[1]
+        h = cfg.hidden_size
+        dtype = jnp.dtype(cfg.dtype)
+
+        embeds = params.embed[token_ids].astype(dtype)  # [M, Tm, h]
+        if cfg.embedding_multiplier != 1.0:
+            embeds = embeds * cfg.embedding_multiplier
+
+        out_buf = jnp.zeros((m, tm, h), dtype)
+        x_cur = jnp.zeros((tm, h), dtype)
+        perm = [(i, i + 1) for i in range(num_stages - 1)]
+
+        def tick(t, carry):
+            x_cur, out_buf, kc, vc = carry
+            mb = t - stage  # microbatch this stage works on
+            active = jnp.logical_and(mb >= 0, mb < m)
+            mb_c = jnp.clip(mb, 0, m - 1)
+            # stage 0 injects a fresh microbatch from the embeddings
+            x_in = jnp.where(
+                stage == 0, embeds[jnp.clip(t, 0, m - 1)], x_cur
+            )
+            meta = AttentionMetadata(
+                query_start_loc=qsl[mb_c],
+                seq_lens=seq_lens[mb_c],
+                block_table=block_table[mb_c],
+                slot_mapping=jnp.where(
+                    active, slot_mapping[mb_c], -1
+                ),
+                num_seqs=jnp.int32(seq_lens.shape[1]),
+            )
+            y, kc2, vc2 = _stage_forward(
+                layers, cfg, x_in, positions[mb_c], kc, vc, meta, extras
+            )
+            # inactive stages must not mutate their cache
+            kc = jnp.where(active, kc2, kc)
+            vc = jnp.where(active, vc2, vc)
+            # last stage stores its finished microbatch
+            out_buf = jnp.where(
+                jnp.logical_and(stage == num_stages - 1, active)[None],
+                out_buf.at[mb_c].set(y),
+                out_buf,
+            )
+            # hand activations to the next stage
+            x_next = jax.lax.ppermute(y, "stage", perm)
+            return x_next, out_buf, kc, vc
+
+        x_cur, out_buf, kc, vc = jax.lax.fori_loop(
+            0, m + num_stages - 1, tick, (x_cur, out_buf, kc, vc)
+        )
+        # replicate the last stage's outputs to all stages
+        out_buf = jax.lax.psum(
+            jnp.where((stage == num_stages - 1)[None], out_buf, 0.0)
+            .astype(jnp.float32),
+            "stage",
+        ).astype(dtype)
+
+        hid = rms_norm(out_buf, params.final_norm, cfg.rms_norm_eps)
+        logits = linear(
+            hid.reshape(m * tm, h), params.lm_head
+        ).astype(jnp.float32)
+        if cfg.logits_scaling != 1.0:
+            logits = logits / cfg.logits_scaling
+        return logits.reshape(m, tm, -1), kc, vc
+
+    batch_spec = P()
+    mapped = jax.shard_map(
+        step,
+        mesh=mesh,
+        in_specs=(
+            PARAM_SPECS_PP, batch_spec, batch_spec,
+            CACHE_SPEC_PP, CACHE_SPEC_PP,
+            batch_spec, batch_spec, batch_spec, batch_spec,
+        ),
+        out_specs=(P(), CACHE_SPEC_PP, CACHE_SPEC_PP),
+        check_vma=False,
+    )
+    return jax.jit(mapped, donate_argnums=(3, 4))

@@ -129,6 +129,26 @@ class LLMEngine:
     def has_unfinished(self) -> bool:
         return self.scheduler.has_unfinished()
 
+    def stats(self) -> dict:
+        """Engine observability snapshot (SURVEY.md §5.5 parity): request
+        states, token counters, KV page-pool utilization."""
+        sched = self.scheduler
+        total_blocks = self.config.cache.num_blocks
+        free = sched.allocator.num_free_blocks
+        return {
+            "running": len(sched.running),
+            "waiting": len(sched.waiting),
+            "finished": sum(
+                1 for r in sched.requests.values() if r.is_finished
+            ),
+            "generated_tokens": sum(
+                len(r.output_token_ids) for r in sched.requests.values()
+            ),
+            "kv_blocks_total": total_blocks,
+            "kv_blocks_free": free,
+            "kv_cache_usage": 1.0 - free / max(1, total_blocks),
+        }
+
     # ---------------- step ----------------
 
     # ---------------- fused multi-step decode fast path ----------------
