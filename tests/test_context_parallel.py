@@ -132,3 +132,44 @@ def test_ring_prefill_matches_dense_causal():
     w /= w.sum(-1, keepdims=True)
     expect = np.einsum("qhk,khd->qhd", w, vv)
     np.testing.assert_allclose(out, expect, atol=2e-3, rtol=1e-3)
+
+
+def test_ulysses_matches_dense_causal():
+    from vllm_triton_backend_tpu.parallel.ulysses import (
+        ulysses_prefill_attention,
+    )
+
+    n_chips = 4
+    if len(jax.devices()) < n_chips:
+        pytest.skip("not enough devices")
+    rng = np.random.default_rng(2)
+    C, HQ, HKV, HD = 16, 8, 4, 64
+    T = n_chips * C
+    q = (rng.standard_normal((T, HQ, HD)) * 0.5).astype(np.float32)
+    k = (rng.standard_normal((T, HKV, HD)) * 0.5).astype(np.float32)
+    v = (rng.standard_normal((T, HKV, HD)) * 0.5).astype(np.float32)
+    scale = HD**-0.5
+
+    mesh = Mesh(np.asarray(jax.devices()[:n_chips]), ("seq",))
+    mapped = jax.jit(
+        jax.shard_map(
+            lambda q, k, v: ulysses_prefill_attention(
+                q, k, v, "seq", scale=scale
+            ),
+            mesh=mesh,
+            in_specs=(P("seq"), P("seq"), P("seq")),
+            out_specs=P("seq"),
+            check_vma=False,
+        )
+    )
+    out = np.asarray(mapped(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v)))
+
+    kk = np.repeat(k, HQ // HKV, axis=1)
+    vv = np.repeat(v, HQ // HKV, axis=1)
+    logits = np.einsum("qhd,khd->qhk", q, kk) * scale
+    mask = np.tril(np.ones((T, T), bool))
+    logits = np.where(mask[:, None, :], logits, -np.inf)
+    w = np.exp(logits - logits.max(-1, keepdims=True))
+    w /= w.sum(-1, keepdims=True)
+    expect = np.einsum("qhk,khd->qhd", w, vv)
+    np.testing.assert_allclose(out, expect, atol=2e-3, rtol=1e-3)

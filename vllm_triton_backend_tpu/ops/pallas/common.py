@@ -16,8 +16,14 @@ def use_interpret() -> bool:
 
     The test suite runs on a virtual CPU mesh (tests/conftest.py), where
     Mosaic is unavailable; on real TPU this returns False and kernels are
-    compiled.
+    compiled.  ``VTB_FORCE_INTERPRET=1`` forces interpreter mode on any
+    backend — the debug switch for suspected miscompiles (the reference's
+    TRITON_BACKEND_DEBUG analog, SURVEY.md §5.2).
     """
+    import os
+
+    if os.environ.get("VTB_FORCE_INTERPRET") == "1":
+        return True
     return jax.default_backend() == "cpu"
 
 
