@@ -196,3 +196,36 @@ def test_xla_baseline_matches_ref():
         scale=scale, max_query_len=16, max_seq_len=31,
     )
     np.testing.assert_allclose(np.asarray(out), ref, atol=2e-3, rtol=2e-2)
+
+
+def test_decode_fused_heads_matches_per_head():
+    """Head-fused decode kernel == per-head kernel == oracle."""
+    from vllm_triton_backend_tpu.ops.pallas.decode_attention import (
+        paged_decode_attention,
+    )
+
+    rng = np.random.default_rng(7)
+    k_cache, v_cache = random_cache(rng, 4, 64, 16, 64)
+    q, block_table, meta = random_batch(
+        rng, [1] * 5, [37, 3, 64, 16, 50], 8, 64, 16, 64
+    )
+    kw = dict(scale=0.125, max_seq_len=128, logits_soft_cap=5.0)
+    kc, vc = jnp.asarray(k_cache), jnp.asarray(v_cache)
+    base = np.asarray(
+        paged_decode_attention(
+            jnp.asarray(q), kc, vc, meta.seq_lens, meta.block_table, **kw
+        )
+    )
+    fused = np.asarray(
+        paged_decode_attention(
+            jnp.asarray(q), kc, vc, meta.seq_lens, meta.block_table,
+            fuse_heads=True, **kw
+        )
+    )
+    np.testing.assert_allclose(fused, base, atol=1e-4, rtol=1e-4)
+    ref = ref_paged_attention(
+        q, k_cache, v_cache,
+        np.asarray(meta.query_start_loc), np.asarray(meta.seq_lens),
+        block_table, 0.125, logits_soft_cap=5.0,
+    )
+    np.testing.assert_allclose(fused, ref, atol=2e-2)

@@ -140,11 +140,99 @@ def _decode_kernel(
             ).astype(o_ref.dtype)
 
 
+def _decode_kernel_fused_heads(
+    # scalar prefetch
+    seq_lens_ref,  # [S] int32 (SMEM)
+    tbl_ref,  # [S, max_blocks] int32 (SMEM)
+    # inputs
+    q_ref,  # [1, Hkv, QPK_PAD, hd] f32
+    k_ref,  # [Hkv, 1, bs, hd] cache dtype
+    v_ref,  # [Hkv, 1, bs, hd]
+    # outputs
+    o_ref,  # [1, Hkv, QPK_PAD, hd]
+    # scratch
+    m_ref,  # [Hkv * QPK_PAD, 128] f32
+    l_ref,
+    acc_ref,  # [Hkv * QPK_PAD, hd] f32
+    *,
+    scale: float,
+    block_size: int,
+    sliding_window: int,
+    logits_soft_cap: float,
+    k_scale: float,
+    v_scale: float,
+):
+    """Head-fused variant: one grid step loads a page's K/V for ALL kv
+    heads (grid (seqs, pages) — Hkv x fewer steps than the per-head
+    kernel; the page DMA is one strided slab)."""
+    s = pl.program_id(0)
+    b = pl.program_id(1)
+    seq_len = seq_lens_ref[s]
+    hkv, qpk_pad = q_ref.shape[1], q_ref.shape[2]
+    hd = q_ref.shape[3]
+
+    @pl.when(b == 0)
+    def _init():
+        m_ref[...] = jnp.full_like(m_ref, MASK_VALUE)
+        l_ref[...] = jnp.zeros_like(l_ref)
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    block_start = b * block_size
+    live = block_start < seq_len
+    if sliding_window > 0:
+        live = jnp.logical_and(
+            live, block_start + block_size > seq_len - sliding_window
+        )
+
+    @pl.when(live)
+    def _step():
+        q = q_ref[0]  # [Hkv, QPK_PAD, hd]
+        k = _dequant(k_ref[:, 0], k_scale)  # [Hkv, bs, hd]
+        s_blk = jax.lax.dot_general(
+            q, k, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ) * scale  # [Hkv, QPK_PAD, bs]
+        if logits_soft_cap > 0.0:
+            s_blk = logits_soft_cap * jnp.tanh(s_blk / logits_soft_cap)
+        pos = block_start + jax.lax.broadcasted_iota(
+            jnp.int32, s_blk.shape, 2
+        )
+        mask = pos < seq_len
+        if sliding_window > 0:
+            mask = jnp.logical_and(mask, pos >= seq_len - sliding_window)
+        s_blk = jnp.where(mask, s_blk, MASK_VALUE)
+
+        rows = hkv * qpk_pad
+        s2 = s_blk.reshape(rows, block_size)
+        mask2 = mask.reshape(rows, block_size)
+        m_prev = m_ref[...]
+        m_cur = jnp.max(s2, axis=1, keepdims=True)
+        m_new = jnp.maximum(m_prev, m_cur)
+        alpha = jnp.exp(m_prev[:, :1] - m_new[:, :1])
+        p = jnp.where(mask2, jnp.exp(s2 - m_new[:, :1]), 0.0)
+        l_ref[...] = l_ref[...] * alpha + jnp.sum(p, axis=1, keepdims=True)
+        v = _dequant(v_ref[:, 0], v_scale)  # [Hkv, bs, hd]
+        pv = jax.lax.dot_general(
+            p.reshape(hkv, qpk_pad, block_size), v,
+            (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )  # [Hkv, QPK_PAD, hd]
+        acc_ref[...] = acc_ref[...] * alpha + pv.reshape(rows, hd)
+        m_ref[...] = m_new
+
+    @pl.when(b == pl.num_programs(1) - 1)
+    def _finish():
+        l = l_ref[:, :1]
+        safe = jnp.where(l == 0.0, 1.0, l)
+        out = jnp.where(l == 0.0, 0.0, acc_ref[...] / safe)
+        o_ref[0] = out.reshape(hkv, qpk_pad, hd).astype(o_ref.dtype)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
         "scale", "max_seq_len", "sliding_window", "logits_soft_cap",
-        "k_scale", "v_scale", "return_partials",
+        "k_scale", "v_scale", "return_partials", "fuse_heads",
     ),
 )
 def paged_decode_attention(
@@ -161,6 +249,7 @@ def paged_decode_attention(
     k_scale: float = 1.0,
     v_scale: float = 1.0,
     return_partials: bool = False,
+    fuse_heads: bool = False,
 ) -> jax.Array:
     """Single-token-per-sequence paged attention (the decode hot path).
 
@@ -184,6 +273,17 @@ def paged_decode_attention(
     qr = q.reshape(num_seqs, num_kv_heads, qpk, head_size).astype(jnp.float32)
     if qpk_pad != qpk:
         qr = jnp.pad(qr, ((0, 0), (0, 0), (0, qpk_pad - qpk), (0, 0)))
+
+    if fuse_heads:
+        assert not return_partials, "partials use the per-head kernel"
+        return _paged_decode_fused_heads(
+            qr, k_cache, v_cache, seq_lens, block_table,
+            scale=scale, num_kv_blocks=num_kv_blocks,
+            sliding_window=sliding_window,
+            logits_soft_cap=logits_soft_cap,
+            k_scale=k_scale, v_scale=v_scale,
+            out_dtype=q.dtype, qpk=qpk,
+        )
 
     kernel = functools.partial(
         _decode_kernel,
@@ -262,3 +362,80 @@ def paged_decode_attention(
 
     out = result[:, :, :qpk, :].reshape(num_seqs, num_q_heads, head_size)
     return out.astype(q.dtype)
+
+
+def _paged_decode_fused_heads(
+    qr,  # [S, Hkv, qpk_pad, hd] f32
+    k_cache,
+    v_cache,
+    seq_lens,
+    block_table,
+    *,
+    scale,
+    num_kv_blocks,
+    sliding_window,
+    logits_soft_cap,
+    k_scale,
+    v_scale,
+    out_dtype,
+    qpk,
+):
+    num_seqs, num_kv_heads, qpk_pad, head_size = qr.shape
+    block_size = k_cache.shape[2]
+
+    kernel = functools.partial(
+        _decode_kernel_fused_heads,
+        scale=scale,
+        block_size=block_size,
+        sliding_window=sliding_window,
+        logits_soft_cap=logits_soft_cap,
+        k_scale=k_scale,
+        v_scale=v_scale,
+    )
+
+    def q_map(s, b, sl, tbl):
+        del b, sl, tbl
+        return (s, 0, 0, 0)
+
+    def kv_map(s, b, sl, tbl):
+        nb = jnp.maximum(pl.cdiv(sl[s], block_size) - 1, 0)
+        return (0, tbl[s, jnp.minimum(b, nb)], 0, 0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(num_seqs, num_kv_blocks),
+        in_specs=[
+            pl.BlockSpec((1, num_kv_heads, qpk_pad, head_size), q_map),
+            pl.BlockSpec(
+                (num_kv_heads, 1, block_size, head_size), kv_map
+            ),
+            pl.BlockSpec(
+                (num_kv_heads, 1, block_size, head_size), kv_map
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, num_kv_heads, qpk_pad, head_size), q_map
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((num_kv_heads * qpk_pad, 128), jnp.float32),
+            pltpu.VMEM((num_kv_heads * qpk_pad, 128), jnp.float32),
+            pltpu.VMEM((num_kv_heads * qpk_pad, head_size), jnp.float32),
+        ],
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(
+            (num_seqs, num_kv_heads, qpk_pad, head_size), out_dtype
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        interpret=use_interpret(),
+    )(seq_lens, block_table, qr, k_cache, v_cache)
+    num_q_heads = num_kv_heads * qpk
+    return (
+        out[:, :, :qpk, :]
+        .reshape(num_seqs, num_q_heads, head_size)
+        .astype(out_dtype)
+    )
