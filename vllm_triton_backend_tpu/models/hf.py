@@ -85,17 +85,34 @@ def _mamba_config_from_hf(hf: dict, **overrides) -> ModelConfig:
 
 
 def _load_state_dict(model_dir: str) -> dict[str, np.ndarray]:
-    """Load all safetensors shards into a host numpy dict."""
+    """Load all safetensors shards into a host numpy dict.
+
+    bfloat16 tensors (the common checkpoint dtype) are not supported by
+    the numpy safetensors reader; they are loaded as raw uint16 and
+    re-viewed as ``ml_dtypes.bfloat16`` so no precision is lost.
+    """
     from safetensors import safe_open
+
+    import ml_dtypes
 
     paths = sorted(glob.glob(os.path.join(model_dir, "*.safetensors")))
     if not paths:
         raise FileNotFoundError(f"no .safetensors under {model_dir}")
     state: dict[str, np.ndarray] = {}
     for p in paths:
-        with safe_open(p, framework="numpy") as f:
+        with safe_open(p, framework="pt") as f:
             for name in f.keys():
-                state[name] = f.get_tensor(name)
+                t = f.get_tensor(name)  # torch tensor (cpu)
+                if str(t.dtype) == "torch.bfloat16":
+                    import torch
+
+                    state[name] = (
+                        t.view(torch.uint16)
+                        .numpy()
+                        .view(ml_dtypes.bfloat16)
+                    )
+                else:
+                    state[name] = t.numpy()
     return state
 
 
