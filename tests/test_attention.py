@@ -229,3 +229,42 @@ def test_decode_fused_heads_matches_per_head():
         block_table, 0.125, logits_soft_cap=5.0,
     )
     np.testing.assert_allclose(fused, ref, atol=2e-2)
+
+
+@pytest.mark.parametrize("mode", ["decode", "prefill", "mixed"])
+def test_local_chunk_attention(mode):
+    """Chunked local attention (iRoPE analog): kernels == oracle with the
+    chunk mask, on decode, prefill, and mixed batches."""
+    chunk = 32
+    rng = np.random.default_rng(11)
+    k_cache, v_cache = random_cache(rng, 2, 64, 16, 64)
+    if mode == "decode":
+        query_lens, context_lens = [1, 1, 1], [37, 64, 90]
+    elif mode == "prefill":
+        query_lens, context_lens = [48, 70], [0, 0]
+    else:
+        query_lens, context_lens = [1, 20, 40], [50, 33, 0]
+    q, block_table, meta = random_batch(
+        rng, query_lens, context_lens, 4, 64, 16, 64
+    )
+    max_q = max(query_lens)
+    max_s = max(c + ql for c, ql in zip(context_lens, query_lens))
+    out = unified_attention(
+        jnp.asarray(q), jnp.asarray(k_cache), jnp.asarray(v_cache), meta,
+        scale=0.125, max_query_len=max_q, max_seq_len=max_s,
+        local_chunk_size=chunk,
+    )
+    ref = ref_paged_attention(
+        q, k_cache, v_cache,
+        np.asarray(meta.query_start_loc), np.asarray(meta.seq_lens),
+        block_table, 0.125, local_chunk_size=chunk,
+    )
+    np.testing.assert_allclose(np.asarray(out), ref, atol=2e-2)
+    # sanity: chunking must actually change the result vs full causal
+    full = np.asarray(
+        unified_attention(
+            jnp.asarray(q), jnp.asarray(k_cache), jnp.asarray(v_cache),
+            meta, scale=0.125, max_query_len=max_q, max_seq_len=max_s,
+        )
+    )
+    assert np.abs(full - ref).max() > 1e-3

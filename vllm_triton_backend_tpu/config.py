@@ -97,6 +97,10 @@ class ModelConfig:
     # Attention logit softcapping (0 = off), reference
     # kernels/triton_unified_attention.py:25-29 tanh softcap semantics.
     logits_soft_cap: float = 0.0
+    # Chunked local attention (iRoPE): tokens attend only within chunks of
+    # this size (None = global).  Reference use_irope local-attention
+    # virtual batches, backend/triton_attn.py:156-190.
+    attention_chunk_size: int | None = None
     # Weight quantization: "none" | "int8" | "fp8" (weight-only linears).
     quantization: str = "none"
     # Architecture family: "llama" (covers granite via multipliers) |

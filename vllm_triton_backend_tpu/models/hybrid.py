@@ -394,6 +394,7 @@ def forward(
                 logits_soft_cap=cfg.logits_soft_cap,
                 k_scale=extras.k_scale,
                 v_scale=extras.v_scale,
+                local_chunk_size=cfg.attention_chunk_size or 0,
             )
             attn_out = linear(
                 attn.reshape(t, cfg.num_heads * hd), lp.o_proj

@@ -41,6 +41,7 @@ def unified_attention(
     alibi_slopes: jax.Array | None = None,
     k_scale: float = 1.0,
     v_scale: float = 1.0,
+    local_chunk_size: int = 0,
     force_selection: str | None = None,  # "decode" | "prefill" | None
 ) -> jax.Array:
     """Attention over the paged cache for a flat (possibly mixed) batch.
@@ -70,6 +71,7 @@ def unified_attention(
             logits_soft_cap=logits_soft_cap,
             k_scale=k_scale,
             v_scale=v_scale,
+            local_chunk_size=local_chunk_size,
         )
     return prefill_attention(
         q,
@@ -86,6 +88,7 @@ def unified_attention(
         alibi_slopes=alibi_slopes,
         k_scale=k_scale,
         v_scale=v_scale,
+        local_chunk_size=local_chunk_size,
     )
 
 
@@ -103,6 +106,7 @@ def xla_paged_attention(
     alibi_slopes: jax.Array | None = None,
     k_scale: float = 1.0,
     v_scale: float = 1.0,
+    local_chunk_size: int = 0,
 ) -> jax.Array:
     """Pure-XLA paged attention (gathers KV contiguous; O(S * max_seq_len))."""
     total, num_q_heads, head_size = q.shape
@@ -150,6 +154,11 @@ def xla_paged_attention(
     allowed &= kpos[:, None, :] < metadata.seq_lens[:, None, None]
     if sliding_window > 0:
         allowed &= (qpos[:, :, None] - kpos[:, None, :]) < sliding_window
+    if local_chunk_size > 0:
+        allowed &= (
+            kpos[:, None, :] // local_chunk_size
+            == qpos[:, :, None] // local_chunk_size
+        )
     bias = jnp.where(allowed, 0.0, -jnp.inf)[:, None, None]  # [S,1,1,QPAD,K]
     if alibi_slopes is not None:
         slopes = alibi_slopes.reshape(num_kv_heads, qpk)

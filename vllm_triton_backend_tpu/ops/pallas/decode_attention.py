@@ -68,6 +68,7 @@ def _decode_kernel(
     k_scale: float,
     v_scale: float,
     return_partials: bool = False,
+    local_chunk_size: int = 0,
 ):
     if return_partials:
         m_out, l_out, m_ref, l_ref, acc_ref = rest
@@ -90,6 +91,12 @@ def _decode_kernel(
         live = jnp.logical_and(
             live, block_start + block_size > seq_len - sliding_window
         )
+    if local_chunk_size > 0:
+        # chunked local attention: only keys in the last token's chunk
+        chunk_start = (seq_len - 1) // local_chunk_size * local_chunk_size
+        live = jnp.logical_and(
+            live, block_start + block_size > chunk_start
+        )
 
     @pl.when(live)
     def _step():
@@ -107,6 +114,11 @@ def _decode_kernel(
         mask = pos < seq_len
         if sliding_window > 0:
             mask = jnp.logical_and(mask, pos >= seq_len - sliding_window)
+        if local_chunk_size > 0:
+            chunk_start = (
+                (seq_len - 1) // local_chunk_size * local_chunk_size
+            )
+            mask = jnp.logical_and(mask, pos >= chunk_start)
         s_blk = jnp.where(mask, s_blk, MASK_VALUE)
 
         m_prev = m_ref[...]  # [QPK_PAD, 128] (lane-broadcast)
@@ -161,6 +173,7 @@ def _decode_kernel_fused_heads(
     logits_soft_cap: float,
     k_scale: float,
     v_scale: float,
+    local_chunk_size: int = 0,
 ):
     """Head-fused variant: one grid step loads a page's K/V for ALL kv
     heads (grid (seqs, pages) — Hkv x fewer steps than the per-head
@@ -183,6 +196,11 @@ def _decode_kernel_fused_heads(
         live = jnp.logical_and(
             live, block_start + block_size > seq_len - sliding_window
         )
+    if local_chunk_size > 0:
+        chunk_start = (seq_len - 1) // local_chunk_size * local_chunk_size
+        live = jnp.logical_and(
+            live, block_start + block_size > chunk_start
+        )
 
     @pl.when(live)
     def _step():
@@ -200,6 +218,11 @@ def _decode_kernel_fused_heads(
         mask = pos < seq_len
         if sliding_window > 0:
             mask = jnp.logical_and(mask, pos >= seq_len - sliding_window)
+        if local_chunk_size > 0:
+            chunk_start = (
+                (seq_len - 1) // local_chunk_size * local_chunk_size
+            )
+            mask = jnp.logical_and(mask, pos >= chunk_start)
         s_blk = jnp.where(mask, s_blk, MASK_VALUE)
 
         rows = hkv * qpk_pad
@@ -233,6 +256,7 @@ def _decode_kernel_fused_heads(
     static_argnames=(
         "scale", "max_seq_len", "sliding_window", "logits_soft_cap",
         "k_scale", "v_scale", "return_partials", "fuse_heads",
+        "local_chunk_size",
     ),
 )
 def paged_decode_attention(
@@ -250,6 +274,7 @@ def paged_decode_attention(
     v_scale: float = 1.0,
     return_partials: bool = False,
     fuse_heads: bool = False,
+    local_chunk_size: int = 0,
 ) -> jax.Array:
     """Single-token-per-sequence paged attention (the decode hot path).
 
@@ -283,6 +308,7 @@ def paged_decode_attention(
             logits_soft_cap=logits_soft_cap,
             k_scale=k_scale, v_scale=v_scale,
             out_dtype=q.dtype, qpk=qpk,
+            local_chunk_size=local_chunk_size,
         )
 
     kernel = functools.partial(
@@ -294,6 +320,7 @@ def paged_decode_attention(
         k_scale=k_scale,
         v_scale=v_scale,
         return_partials=return_partials,
+        local_chunk_size=local_chunk_size,
     )
 
     def q_map(s, h, b, sl, tbl):
@@ -379,6 +406,7 @@ def _paged_decode_fused_heads(
     v_scale,
     out_dtype,
     qpk,
+    local_chunk_size=0,
 ):
     num_seqs, num_kv_heads, qpk_pad, head_size = qr.shape
     block_size = k_cache.shape[2]
@@ -391,6 +419,7 @@ def _paged_decode_fused_heads(
         logits_soft_cap=logits_soft_cap,
         k_scale=k_scale,
         v_scale=v_scale,
+        local_chunk_size=local_chunk_size,
     )
 
     def q_map(s, b, sl, tbl):

@@ -79,6 +79,7 @@ def _prefill_kernel(
     k_scale: float,
     v_scale: float,
     has_alibi: bool,
+    local_chunk_size: int = 0,
 ):
     s = pl.program_id(0)
     qb = pl.program_id(2)
@@ -148,6 +149,11 @@ def _prefill_kernel(
         mask = jnp.logical_and(mask, (qb * block_q + row_q % bq) < q_len)
         if sliding_window > 0:
             mask = jnp.logical_and(mask, qpos - kpos < sliding_window)
+        if local_chunk_size > 0:
+            # chunked local attention: keys only within the q token's chunk
+            mask = jnp.logical_and(
+                mask, kpos // local_chunk_size == qpos // local_chunk_size
+            )
         if has_alibi:
             slopes = alibi_ref[0, :, :1]  # [qpk_pad, 1]
             slope_row = jnp.broadcast_to(slopes[:qpk], (qpk, bq)).reshape(
@@ -200,6 +206,7 @@ def _pack_ragged(q, query_start_loc, num_seqs_static, q_pad):
     static_argnames=(
         "scale", "max_query_len", "max_seq_len", "sliding_window",
         "logits_soft_cap", "k_scale", "v_scale", "block_q", "super_size",
+        "local_chunk_size",
     ),
 )
 def _prefill_attention_impl(
@@ -220,6 +227,7 @@ def _prefill_attention_impl(
     v_scale: float = 1.0,
     block_q: int = 0,  # 0 -> heuristic
     super_size: int = 0,  # 0 -> heuristic
+    local_chunk_size: int = 0,
 ) -> jax.Array:
     """Varlen prefill / chunked prefill over the paged cache.
 
@@ -272,6 +280,7 @@ def _prefill_attention_impl(
         k_scale=k_scale,
         v_scale=v_scale,
         has_alibi=has_alibi,
+        local_chunk_size=local_chunk_size,
     )
     if has_alibi:
         kernel = functools.partial(_prefill_kernel, **params)
@@ -396,7 +405,7 @@ def _prefill_launch(
     q, k_cache, v_cache, query_start_loc, seq_lens, block_table,
     *,
     scale, max_query_len, max_seq_len, sliding_window, logits_soft_cap,
-    alibi_slopes, k_scale, v_scale,
+    alibi_slopes, k_scale, v_scale, local_chunk_size,
     # autotune key fields (consumed here, not by the impl)
     max_query_len_p2, max_seq_len_p2, num_q_heads, num_kv_heads,
     head_size, block_size, kv_dtype,
@@ -409,6 +418,7 @@ def _prefill_launch(
         sliding_window=sliding_window, logits_soft_cap=logits_soft_cap,
         alibi_slopes=alibi_slopes, k_scale=k_scale, v_scale=v_scale,
         block_q=block_q, super_size=super_size,
+        local_chunk_size=local_chunk_size,
     )
 
 
@@ -425,6 +435,7 @@ def prefill_attention(
     v_scale=1.0,
     block_q=None,
     super_size=None,
+    local_chunk_size=0,
 ):
     """Autotuned varlen prefill/chunked-prefill attention.
 
@@ -439,12 +450,14 @@ def prefill_attention(
             logits_soft_cap=logits_soft_cap, alibi_slopes=alibi_slopes,
             k_scale=k_scale, v_scale=v_scale,
             block_q=block_q or 0, super_size=super_size or 0,
+            local_chunk_size=local_chunk_size,
         )
     return _prefill_launch(
         q, k_cache, v_cache, query_start_loc, seq_lens, block_table,
         scale=scale, max_query_len=max_query_len, max_seq_len=max_seq_len,
         sliding_window=sliding_window, logits_soft_cap=logits_soft_cap,
         alibi_slopes=alibi_slopes, k_scale=k_scale, v_scale=v_scale,
+        local_chunk_size=local_chunk_size,
         max_query_len_p2=next_power_of_2(max_query_len),
         max_seq_len_p2=next_power_of_2(max_seq_len),
         num_q_heads=q.shape[1],

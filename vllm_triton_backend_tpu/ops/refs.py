@@ -70,6 +70,7 @@ def _build_mask(
     sliding_window: int = 0,
     alibi_slopes: np.ndarray | None = None,
     num_heads: int = 1,
+    local_chunk_size: int = 0,
 ) -> np.ndarray:
     """Additive mask [num_heads_or_1, query_len, seq_len].
 
@@ -85,6 +86,11 @@ def _build_mask(
     allowed = kpos <= qpos
     if sliding_window > 0:
         allowed &= (qpos - kpos) < sliding_window
+    if local_chunk_size > 0:
+        # chunked local attention (the reference's iRoPE local-attention
+        # virtual batches, backend/triton_attn.py:156-190): a token only
+        # attends within its own chunk
+        allowed &= (kpos // local_chunk_size) == (qpos // local_chunk_size)
     mask = np.where(allowed, 0.0, -np.inf)[None]
     if alibi_slopes is not None:
         bias = (kpos - qpos).astype(np.float32)  # <= 0 where allowed
@@ -107,6 +113,7 @@ def ref_paged_attention(
     alibi_slopes: np.ndarray | None = None,
     k_scale: float = 1.0,
     v_scale: float = 1.0,
+    local_chunk_size: int = 0,
 ) -> np.ndarray:
     """Unified oracle: decode, full prefill, and chunked/prefix prefill.
 
@@ -135,7 +142,8 @@ def ref_paged_attention(
         ks = np.repeat(ks, q_per_kv, axis=1)
         vs = np.repeat(vs, q_per_kv, axis=1)
         mask = _build_mask(
-            query_len, seq_len, sliding_window, alibi_slopes, num_q_heads
+            query_len, seq_len, sliding_window, alibi_slopes, num_q_heads,
+            local_chunk_size,
         )
         out[q0:q1] = ref_masked_attention(
             q[q0:q1].astype(np.float32), ks, vs, scale,

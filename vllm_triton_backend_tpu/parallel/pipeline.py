@@ -117,6 +117,7 @@ def _stage_forward(
             logits_soft_cap=cfg.logits_soft_cap,
             k_scale=extras.k_scale,
             v_scale=extras.v_scale,
+            local_chunk_size=cfg.attention_chunk_size or 0,
         )
         h_mid = h_in + linear(attn.reshape(t, -1), lp.o_proj)
         normed2 = rms_norm(h_mid, lp.post_attn_norm, cfg.rms_norm_eps)
