@@ -97,6 +97,24 @@ class LLMEngine:
         self.k_cache, self.v_cache = make_caches(
             mc, cc.num_blocks, cc.block_size, cache_dtype
         )
+        # Tensor parallelism: shard weights/caches over the (1, tp) mesh
+        # and step through the shard_map forward (parallel/sharded.py).
+        self.tp = config.parallel.tensor_parallel
+        if self.tp > 1:
+            from vllm_triton_backend_tpu.parallel import (
+                make_mesh,
+                shard_caches,
+                shard_params,
+            )
+
+            assert not self.is_hybrid, "TP for hybrid models: TODO"
+            self.mesh = make_mesh(data=1, model=self.tp)
+            self.params = params = shard_params(params, self.mesh)
+            self.k_cache, self.v_cache = shard_caches(
+                self.k_cache, self.v_cache, self.mesh
+            )
+            self._tp_steps: dict = {}  # extras -> jitted sharded step
+            multistep = 0  # fused sessions not yet sharded
         self.scheduler = Scheduler(sched_config, cc)
         self.eos_token_id = eos_token_id
         self._key = jax.random.key(rng_seed)
@@ -388,7 +406,36 @@ class LLMEngine:
             temp[i] = r.sampling.temperature
             top_p[i] = r.sampling.top_p
             top_k[i] = r.sampling.top_k
-        if self.is_hybrid:
+        if self.tp > 1:
+            from vllm_triton_backend_tpu.parallel import (
+                make_sharded_forward,
+            )
+
+            step_fn = self._tp_steps.get(extras)
+            if step_fn is None:
+                step_fn = make_sharded_forward(
+                    self.config.model, self.mesh, extras
+                )
+                self._tp_steps[extras] = step_fn
+            logits, self.k_cache, self.v_cache = step_fn(
+                self.params,
+                jnp.asarray(batch.token_ids)[None],
+                jnp.asarray(batch.positions)[None],
+                self.k_cache, self.v_cache,
+                jnp.asarray(batch.query_start_loc)[None],
+                jnp.asarray(batch.seq_lens)[None],
+                jnp.asarray(batch.block_table)[None],
+                jnp.asarray(batch.slot_mapping)[None],
+            )
+            self._key, sub = jax.random.split(self._key)
+            sampled = np.asarray(
+                sample(
+                    logits[0][jnp.asarray(batch.logits_indices)],
+                    jnp.asarray(temp), jnp.asarray(top_p),
+                    jnp.asarray(top_k), sub,
+                )
+            )
+        elif self.is_hybrid:
             state_idx = np.full(
                 self.scheduler.config.max_num_seqs, -1, np.int32
             )
