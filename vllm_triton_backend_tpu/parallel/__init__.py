@@ -10,6 +10,7 @@ engine batches.
 
 from vllm_triton_backend_tpu.parallel.mesh import make_mesh
 from vllm_triton_backend_tpu.parallel.sharded import (
+    make_sharded_decode_steps,
     make_sharded_forward,
     shard_caches,
     shard_params,
@@ -17,6 +18,7 @@ from vllm_triton_backend_tpu.parallel.sharded import (
 
 __all__ = [
     "make_mesh",
+    "make_sharded_decode_steps",
     "make_sharded_forward",
     "shard_caches",
     "shard_params",

@@ -131,3 +131,86 @@ def make_sharded_forward(cfg: ModelConfig, mesh: Mesh, extras: ForwardExtras):
         check_vma=False,
     )
     return jax.jit(mapped, donate_argnums=(3, 4))
+
+
+def make_sharded_decode_steps(
+    cfg: ModelConfig,
+    mesh: Mesh,
+    extras: ForwardExtras,
+    num_steps: int,
+    block_size: int,
+):
+    """TP/DP-sharded fused multi-step decode (runtime/multistep.py analog).
+
+    Batch arrays carry the leading [data] replica axis as in
+    :func:`make_sharded_forward`; sampling runs identically on every model
+    shard from replicated logits and the shared RNG key, so the sampled
+    tokens are replicated without extra communication.  Returns
+    ``step(params, tokens[D,S], seq_lens[D,S], block_table[D,S,B],
+    live[D,S], k_cache, v_cache, temp[D,S], top_p, top_k, key)
+    -> (sampled [D,K,S], next_tokens, final_lens, next_key, caches)``.
+    """
+    import jax.numpy as jnp
+
+    from vllm_triton_backend_tpu.runtime.sampler import sample
+
+    tp = mesh.shape["model"]
+    lcfg = local_model_config(cfg, tp)
+
+    def step(
+        params, tokens, seq_lens, block_table, live,
+        k_cache, v_cache, temperature, top_p, top_k, rng_key,
+    ):
+        toks0, lens0, tbl = tokens[0], seq_lens[0], block_table[0]
+        lv, temp, tp_, tk = (
+            live[0], temperature[0], top_p[0], top_k[0]
+        )
+        num_seqs = toks0.shape[0]
+        qsl = jnp.arange(num_seqs + 1, dtype=jnp.int32)
+
+        def body(carry, _):
+            toks, lens, kc, vc, key = carry
+            key, sub = jax.random.split(key)
+            pos = lens - 1
+            page = jnp.take_along_axis(
+                tbl, (pos // block_size)[:, None], axis=1
+            )[:, 0]
+            slots = jnp.where(
+                lv, page * block_size + pos % block_size, -1
+            ).astype(jnp.int32)
+            meta = AttentionMetadata(
+                query_start_loc=qsl,
+                seq_lens=lens,
+                block_table=tbl,
+                slot_mapping=slots,
+                num_seqs=jnp.int32(num_seqs),
+            )
+            logits, kc, vc = forward_fn(
+                params, lcfg, toks, pos, kc, vc, meta, extras,
+                tp_axis="model",
+            )
+            nxt = sample(logits, temp, tp_, tk, sub)
+            nxt = jnp.where(lv, nxt, 0)
+            lens = jnp.where(lv, lens + 1, lens)
+            return (nxt, lens, kc, vc, key), nxt
+
+        (toks0, lens0, k_cache, v_cache, rng_key), sampled = jax.lax.scan(
+            body, (toks0, lens0, k_cache, v_cache, rng_key), None,
+            length=num_steps,
+        )
+        return (
+            sampled[None], toks0[None], lens0[None], rng_key,
+            k_cache, v_cache,
+        )
+
+    b = P("data")
+    mapped = jax.shard_map(
+        step,
+        mesh=mesh,
+        in_specs=(
+            PARAM_SPECS, b, b, b, b, CACHE_SPEC, CACHE_SPEC, b, b, b, P(),
+        ),
+        out_specs=(b, b, b, P(), CACHE_SPEC, CACHE_SPEC),
+        check_vma=False,
+    )
+    return jax.jit(mapped, donate_argnums=(5, 6))

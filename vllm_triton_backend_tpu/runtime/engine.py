@@ -114,7 +114,7 @@ class LLMEngine:
                 self.k_cache, self.v_cache, self.mesh
             )
             self._tp_steps: dict = {}  # extras -> jitted sharded step
-            multistep = 0  # fused sessions not yet sharded
+            self._tp_decode_steps: dict = {}  # (extras, k) -> jitted
         self.scheduler = Scheduler(sched_config, cc)
         self.eos_token_id = eos_token_id
         self._key = jax.random.key(rng_seed)
@@ -240,6 +240,36 @@ class LLMEngine:
                 sched.allocator.free(r.req_id)
         return finished
 
+    def _launch_decode_chunk(
+        self, tokens_d, lens_d, tbl_d, live_d, temp_d, topp_d, topk_d,
+        key_d, extras, k, bs,
+    ):
+        """One fused K-step chunk: single-chip or TP-sharded."""
+        if self.tp > 1:
+            from vllm_triton_backend_tpu.parallel import (
+                make_sharded_decode_steps,
+            )
+
+            step_fn = self._tp_decode_steps.get((extras, k))
+            if step_fn is None:
+                step_fn = make_sharded_decode_steps(
+                    self.config.model, self.mesh, extras, k, bs
+                )
+                self._tp_decode_steps[(extras, k)] = step_fn
+            sampled, toks, lens, key, kc, vc = step_fn(
+                self.params, tokens_d[None], lens_d[None], tbl_d[None],
+                live_d[None], self.k_cache, self.v_cache,
+                temp_d[None], topp_d[None], topk_d[None], key_d,
+            )
+            return sampled[0], toks[0], lens[0], key, kc, vc
+        return decode_steps(
+            self.params, self.config.model,
+            tokens_d, lens_d, tbl_d, live_d,
+            self.k_cache, self.v_cache,
+            temp_d, topp_d, topk_d,
+            key_d, extras, k, bs,
+        )
+
     def _try_multistep(self) -> list[RequestOutput] | None:
         """Device-resident decode session.
 
@@ -346,12 +376,9 @@ class LLMEngine:
                 (
                     sampled, tokens_d, lens_d, key_d,
                     self.k_cache, self.v_cache,
-                ) = decode_steps(
-                    self.params, self.config.model,
+                ) = self._launch_decode_chunk(
                     tokens_d, lens_d, tbl_d, live_d,
-                    self.k_cache, self.v_cache,
-                    temp_d, topp_d, topk_d,
-                    key_d, extras, k, bs,
+                    temp_d, topp_d, topk_d, key_d, extras, k, bs,
                 )
                 inflight += k
                 chunks_launched += 1
