@@ -42,17 +42,15 @@ def main() -> None:
     # ---------------- kernel microbench: pallas vs XLA baseline ----------
     rng = np.random.default_rng(0)
     num_seqs, num_q_heads, num_kv_heads, hd = 32, 32, 4, 64
-    block_size, seq_len = 16, 1024
+    block_size, seq_len = 32, 1024
     num_blocks = num_seqs * (seq_len // block_size) + 1
-    shape = (num_kv_heads, num_blocks, block_size, hd)
-    k_cache = jnp.asarray(
-        (rng.standard_normal(shape) * 0.3).astype(np.float32),
-        jnp.bfloat16,
-    )
-    v_cache = jnp.asarray(
-        (rng.standard_normal(shape) * 0.3).astype(np.float32),
-        jnp.bfloat16,
-    )
+    # production lane-padded cache layout (llama.make_kv_caches): real
+    # data in [..., :hd], zeros up to the 128-lane boundary
+    hd_pad = max(hd, 128)
+    shape = (1, num_blocks, 2, num_kv_heads, block_size, hd)
+    kv_host = np.zeros(shape[:-1] + (hd_pad,), np.float32)
+    kv_host[..., :hd] = (rng.standard_normal(shape) * 0.3).astype(np.float32)
+    kv_cache = jnp.asarray(kv_host, jnp.bfloat16)
     q = jnp.asarray(
         rng.standard_normal((num_seqs, num_q_heads, hd)).astype(np.float32),
         jnp.bfloat16,
@@ -64,16 +62,17 @@ def main() -> None:
         [1] * num_seqs, [seq_len - 1] * num_seqs, bt, block_size
     )
     scale = hd**-0.5
+    layer = jnp.int32(0)
 
     def run_pallas():
         return paged_decode_attention(
-            q, k_cache, v_cache, meta.seq_lens, meta.block_table,
+            q, kv_cache, layer, meta.seq_lens, meta.block_table,
             scale=scale, max_seq_len=seq_len,
         )
 
     def run_xla():
         return xla_paged_attention(
-            q, k_cache, v_cache, meta,
+            q, kv_cache, layer, meta,
             scale=scale, max_query_len=1, max_seq_len=seq_len,
         )
 
@@ -81,8 +80,7 @@ def main() -> None:
     out = np.asarray(run_pallas(), np.float32)
     ref = ref_paged_attention(
         np.asarray(q, np.float32),
-        np.asarray(k_cache, np.float32),
-        np.asarray(v_cache, np.float32),
+        np.asarray(kv_cache[0, ..., :hd], np.float32),
         np.asarray(meta.query_start_loc),
         np.asarray(meta.seq_lens),
         bt,
@@ -92,12 +90,15 @@ def main() -> None:
     assert err < 2e-2, f"decode kernel incorrect: max err {err}"
 
     def bench(fn, warmup=5, reps=50):
+        # the tunneled TPU runtime's block_until_ready does not reliably
+        # wait: force a D2H fetch of one element to fence the timed chain
         for _ in range(warmup):
-            fn().block_until_ready()
+            fn()
+        np.asarray(fn())[:1, :1]
         t0 = time.perf_counter()
         for _ in range(reps):
             r = fn()
-        r.block_until_ready()
+        np.asarray(r)[:1, :1]
         return (time.perf_counter() - t0) / reps
 
     t_pallas = bench(run_pallas)
@@ -107,7 +108,7 @@ def main() -> None:
     # ---------------- e2e decode throughput, flagship model --------------
     cfg = EngineConfig(
         model=ModelConfig.tinyllama_1_1b(),
-        cache=CacheConfig(block_size=16, num_blocks=2048),
+        cache=CacheConfig(block_size=64, num_blocks=512),
         scheduler=SchedulerConfig(
             max_num_seqs=16,
             max_num_batched_tokens=2048,

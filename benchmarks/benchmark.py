@@ -118,18 +118,17 @@ def _build_case(rng, mode, batch, seq_len, nq, nkv, hd, bs, pattern, kv_dtype):
         -(-(c + q) // bs) for c, q in zip(context_lens, query_lens)
     )
     num_blocks = max(64, 2 * total_pages)
-    k_cache, v_cache = random_cache(rng, nkv, num_blocks, bs, hd)
+    kv_cache = random_cache(rng, nkv, num_blocks, bs, hd)
     q, block_table, meta = random_batch(
         rng, query_lens, context_lens, nq, hd, bs, num_blocks
     )
     dtype = jnp.bfloat16 if kv_dtype == "bfloat16" else jnp.float32
     return (
         jnp.asarray(q, dtype),
-        jnp.asarray(k_cache, dtype),
-        jnp.asarray(v_cache, dtype),
+        jnp.asarray(kv_cache, dtype),
         meta,
         block_table,
-        (np.asarray(q), np.asarray(k_cache), np.asarray(v_cache)),
+        (np.asarray(q), np.asarray(kv_cache)),
         query_lens,
         context_lens,
     )
@@ -158,7 +157,7 @@ def run(setup: BenchSetup, out_stream=sys.stdout) -> list[dict]:
         )
         for mode, batch, seq_len, (nq, nkv), hd, bs, pattern, kvd in cases:
             (
-                q, k_cache, v_cache, meta, bt, host, qlens, clens
+                q, kv_cache, meta, bt, host, qlens, clens
             ) = _build_case(
                 rng, mode, batch, seq_len, nq, nkv, hd, bs, pattern, kvd
             )
@@ -167,8 +166,7 @@ def run(setup: BenchSetup, out_stream=sys.stdout) -> list[dict]:
             max_s = int(max(c + ql for c, ql in zip(clens, qlens)))
             ref = ref_paged_attention(
                 host[0].astype(np.float32),
-                host[1].astype(np.float32),
-                host[2].astype(np.float32),
+                host[1][0].astype(np.float32),
                 np.asarray(meta.query_start_loc),
                 np.asarray(meta.seq_lens),
                 bt,
@@ -180,7 +178,7 @@ def run(setup: BenchSetup, out_stream=sys.stdout) -> list[dict]:
                     continue
                 try:
                     call = make_call_func(
-                        impl, q, k_cache, v_cache, meta, scale=scale,
+                        impl, q, kv_cache, meta, scale=scale,
                         max_query_len=max_q, max_seq_len=max_s,
                     )
                     out = call()

@@ -34,21 +34,22 @@ class Implementation(enum.Enum):
 def make_call_func(
     impl: Implementation,
     q,
-    k_cache,
-    v_cache,
+    kv_cache,
     meta,
     *,
     scale: float,
     max_query_len: int,
     max_seq_len: int,
+    layer_idx=None,
     **kw,
 ) -> Callable[[], jnp.ndarray]:
+    layer = jnp.int32(0) if layer_idx is None else layer_idx
     if impl == Implementation.PALLAS_DECODE:
         assert max_query_len == 1, "decode caller needs decode-only batch"
 
         def call():
             return paged_decode_attention(
-                q, k_cache, v_cache, meta.seq_lens, meta.block_table,
+                q, kv_cache, layer, meta.seq_lens, meta.block_table,
                 scale=scale, max_seq_len=max_seq_len, **kw,
             )
 
@@ -57,7 +58,7 @@ def make_call_func(
 
         def call():
             return xla_paged_attention(
-                q, k_cache, v_cache, meta, scale=scale,
+                q, kv_cache, layer, meta, scale=scale,
                 max_query_len=max_query_len, max_seq_len=max_seq_len, **kw,
             )
 
@@ -69,7 +70,7 @@ def make_call_func(
 
     def call():
         return unified_attention(
-            q, k_cache, v_cache, meta, scale=scale,
+            q, kv_cache, layer, meta, scale=scale,
             max_query_len=max_query_len, max_seq_len=max_seq_len,
             force_selection=force, **kw,
         )

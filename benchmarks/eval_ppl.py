@@ -60,18 +60,18 @@ def compute_ppl(
             jnp.dtype(cfg.dtype) if cache_dtype == "auto"
             else get_dtype(cache_dtype)
         )
-        k_cache, v_cache = make_kv_caches(cfg, nb, block_size, dtype)
+        kv_cache = make_kv_caches(cfg, nb, block_size, dtype)
         bt = np.arange(nb, dtype=np.int32).reshape(1, nb)
         padded = np.zeros(bucket, np.int32)
         padded[:t] = chunk
         meta = make_metadata(
             [t], [0], bt, block_size, num_token_bucket=bucket
         )
-        logits, _, _ = forward(
+        logits, _ = forward(
             params, cfg,
             jnp.asarray(padded),
             jnp.arange(bucket, dtype=jnp.int32),
-            k_cache, v_cache, meta,
+            kv_cache, meta,
             ForwardExtras(
                 max_query_len=bucket, max_seq_len=bucket,
                 k_scale=k_scale, v_scale=v_scale,

@@ -38,10 +38,13 @@ def run_case(
     force_selection=None,
     atol=2e-2,
     seed=0,
+    num_layers=2,
+    layer=1,
 ):
     rng = np.random.default_rng(seed)
-    k_cache, v_cache = random_cache(
-        rng, num_kv_heads, num_blocks, block_size, head_size
+    kv_cache = random_cache(
+        rng, num_kv_heads, num_blocks, block_size, head_size,
+        num_layers=num_layers,
     )
     q, block_table, meta = random_batch(
         rng, query_lens, context_lens, num_q_heads, head_size,
@@ -54,17 +57,15 @@ def run_case(
     )
 
     if cache_dtype == np.float32:
-        kc, vc = jnp.asarray(k_cache), jnp.asarray(v_cache)
-        ref_k, ref_v = k_cache, v_cache
+        kv = jnp.asarray(kv_cache)
+        ref_kv = kv_cache[layer]
     else:
-        kc = jnp.asarray(k_cache / k_scale).astype(cache_dtype)
-        vc = jnp.asarray(v_cache / v_scale).astype(cache_dtype)
+        kv = jnp.asarray(kv_cache / k_scale).astype(cache_dtype)
         # oracle sees exactly what the kernel will dequantize
-        ref_k = np.asarray(kc.astype(jnp.float32)) * k_scale
-        ref_v = np.asarray(vc.astype(jnp.float32)) * v_scale
+        ref_kv = np.asarray(kv[layer].astype(jnp.float32)) * k_scale
 
     ref = ref_paged_attention(
-        q, ref_k, ref_v,
+        q, ref_kv,
         np.asarray(meta.query_start_loc), np.asarray(meta.seq_lens),
         block_table, scale,
         sliding_window=sliding_window, logits_soft_cap=logits_soft_cap,
@@ -72,7 +73,7 @@ def run_case(
     )
 
     out = unified_attention(
-        jnp.asarray(q), kc, vc, meta,
+        jnp.asarray(q), kv, jnp.int32(layer), meta,
         scale=scale,
         max_query_len=max(query_lens),
         max_seq_len=max(c + ql for c, ql in zip(context_lens, query_lens)),
@@ -114,23 +115,83 @@ def test_decode_fp8_kv():
              k_scale=0.05, v_scale=0.05, atol=5e-2)
 
 
+def test_decode_long_context_many_chunks():
+    """KV length spanning several kernel chunks exercises the
+    double-buffered DMA pipeline across chunk steps."""
+    run_case([1, 1], [900, 333], num_blocks=150, atol=2e-3)
+
+
+def test_decode_layer_indexing():
+    """The kernel must read the layer given by layer_idx, not layer 0."""
+    run_case([1, 1], [20, 40], num_layers=3, layer=2, atol=2e-3)
+
+
 def test_decode_padded_seqs():
     """Zero-length padded sequences produce zeros and no NaNs."""
-    import jax.numpy as jnp
-    from tests.utils import random_batch, random_cache
     rng = np.random.default_rng(3)
-    k_cache, v_cache = random_cache(rng, 2, 64, 16, 128)
+    kv_cache = random_cache(rng, 2, 64, 16, 128)
     q, block_table, meta = random_batch(
         rng, [1, 1], [10, 20], 4, 128, 16, 64, max_num_seqs=4,
         num_token_bucket=4,
     )
     out = unified_attention(
         jnp.asarray(np.pad(q, ((0, 2), (0, 0), (0, 0)))),
-        jnp.asarray(k_cache), jnp.asarray(v_cache), meta,
+        jnp.asarray(kv_cache), jnp.int32(0), meta,
         scale=128 ** -0.5, max_query_len=1, max_seq_len=32,
     )
     assert np.isfinite(np.asarray(out)).all()
     np.testing.assert_allclose(np.asarray(out)[2:], 0.0)
+
+
+def test_decode_partials_merge():
+    """return_partials + merge == direct result (the reduce_segments /
+    context-parallel merge contract)."""
+    from vllm_triton_backend_tpu.ops.pallas.decode_attention import (
+        paged_decode_attention,
+    )
+
+    rng = np.random.default_rng(5)
+    kv_cache = random_cache(rng, 2, 64, 16, 64)
+    q, block_table, meta = random_batch(
+        rng, [1, 1, 1], [30, 64, 7], 4, 64, 16, 64
+    )
+    kw = dict(scale=0.125, max_seq_len=128)
+    kv = jnp.asarray(kv_cache)
+    direct = np.asarray(
+        paged_decode_attention(
+            jnp.asarray(q), kv, jnp.int32(0), meta.seq_lens,
+            meta.block_table, **kw
+        )
+    )
+    acc, m, l = paged_decode_attention(
+        jnp.asarray(q), kv, jnp.int32(0), meta.seq_lens,
+        meta.block_table, return_partials=True, **kw
+    )
+    merged = np.asarray(acc) / np.asarray(l)[..., None]
+    np.testing.assert_allclose(merged, direct, atol=1e-4, rtol=1e-4)
+
+
+def test_lane_padded_cache_head_dim():
+    """Production caches pad head 64 -> 128 lanes (make_kv_caches); both
+    kernels must pad q / slice outputs transparently."""
+    rng = np.random.default_rng(9)
+    kv_cache = random_cache(rng, 2, 64, 16, 64, head_pad=128)
+    for qlens, clens, mq in (([1, 1], [30, 60], 1), ([9, 5], [10, 0], 9)):
+        q, block_table, meta = random_batch(
+            rng, qlens, clens, 4, 64, 16, 64
+        )
+        out = unified_attention(
+            jnp.asarray(q), jnp.asarray(kv_cache), jnp.int32(0), meta,
+            scale=64 ** -0.5, max_query_len=mq,
+            max_seq_len=max(c + ql for c, ql in zip(clens, qlens)),
+        )
+        ref = ref_paged_attention(
+            q, kv_cache[0][..., :64],
+            np.asarray(meta.query_start_loc), np.asarray(meta.seq_lens),
+            block_table, 64 ** -0.5,
+        )
+        np.testing.assert_allclose(np.asarray(out), ref, atol=2e-3,
+                                   rtol=2e-2)
 
 
 # ---------------- prefill ----------------
@@ -176,6 +237,10 @@ def test_prefill_long_seq_multi_superblock():
     run_case([64], [600], num_blocks=64, atol=2e-3)
 
 
+def test_prefill_layer_indexing():
+    run_case([5, 12], [9, 0], num_layers=3, layer=2, atol=2e-3)
+
+
 def test_force_selection_prefill_on_decode_batch():
     run_case([1, 1], [10, 22], force_selection="prefill", atol=2e-3)
 
@@ -184,51 +249,46 @@ def test_force_selection_prefill_on_decode_batch():
 
 def test_xla_baseline_matches_ref():
     rng = np.random.default_rng(7)
-    k_cache, v_cache = random_cache(rng, 2, 64, 16, 64)
+    kv_cache = random_cache(rng, 2, 64, 16, 64)
     q, block_table, meta = random_batch(rng, [1, 9, 16], [30, 8, 0], 4, 64, 16, 64)
     scale = 64 ** -0.5
     ref = ref_paged_attention(
-        q, k_cache, v_cache, np.asarray(meta.query_start_loc),
+        q, kv_cache[0], np.asarray(meta.query_start_loc),
         np.asarray(meta.seq_lens), block_table, scale,
     )
     out = xla_paged_attention(
-        jnp.asarray(q), jnp.asarray(k_cache), jnp.asarray(v_cache), meta,
+        jnp.asarray(q), jnp.asarray(kv_cache), jnp.int32(0), meta,
         scale=scale, max_query_len=16, max_seq_len=31,
     )
     np.testing.assert_allclose(np.asarray(out), ref, atol=2e-3, rtol=2e-2)
 
 
-def test_decode_fused_heads_matches_per_head():
-    """Head-fused decode kernel == per-head kernel == oracle."""
+@pytest.mark.parametrize("chunk_pages", [1, 2, 8])
+def test_decode_chunk_pages_equivalent(chunk_pages):
+    """The chunk-size tunable never changes results, only the schedule."""
     from vllm_triton_backend_tpu.ops.pallas.decode_attention import (
         paged_decode_attention,
     )
 
     rng = np.random.default_rng(7)
-    k_cache, v_cache = random_cache(rng, 4, 64, 16, 64)
+    kv_cache = random_cache(rng, 4, 64, 16, 64)
     q, block_table, meta = random_batch(
         rng, [1] * 5, [37, 3, 64, 16, 50], 8, 64, 16, 64
     )
     kw = dict(scale=0.125, max_seq_len=128, logits_soft_cap=5.0)
-    kc, vc = jnp.asarray(k_cache), jnp.asarray(v_cache)
-    base = np.asarray(
+    kv = jnp.asarray(kv_cache)
+    out = np.asarray(
         paged_decode_attention(
-            jnp.asarray(q), kc, vc, meta.seq_lens, meta.block_table, **kw
+            jnp.asarray(q), kv, jnp.int32(0), meta.seq_lens,
+            meta.block_table, chunk_pages=chunk_pages, **kw
         )
     )
-    fused = np.asarray(
-        paged_decode_attention(
-            jnp.asarray(q), kc, vc, meta.seq_lens, meta.block_table,
-            fuse_heads=True, **kw
-        )
-    )
-    np.testing.assert_allclose(fused, base, atol=1e-4, rtol=1e-4)
     ref = ref_paged_attention(
-        q, k_cache, v_cache,
+        q, kv_cache[0],
         np.asarray(meta.query_start_loc), np.asarray(meta.seq_lens),
         block_table, 0.125, logits_soft_cap=5.0,
     )
-    np.testing.assert_allclose(fused, ref, atol=2e-2)
+    np.testing.assert_allclose(out, ref, atol=2e-2)
 
 
 @pytest.mark.parametrize("mode", ["decode", "prefill", "mixed"])
@@ -237,7 +297,7 @@ def test_local_chunk_attention(mode):
     chunk mask, on decode, prefill, and mixed batches."""
     chunk = 32
     rng = np.random.default_rng(11)
-    k_cache, v_cache = random_cache(rng, 2, 64, 16, 64)
+    kv_cache = random_cache(rng, 2, 64, 16, 64)
     if mode == "decode":
         query_lens, context_lens = [1, 1, 1], [37, 64, 90]
     elif mode == "prefill":
@@ -249,13 +309,14 @@ def test_local_chunk_attention(mode):
     )
     max_q = max(query_lens)
     max_s = max(c + ql for c, ql in zip(context_lens, query_lens))
+    kv = jnp.asarray(kv_cache)
     out = unified_attention(
-        jnp.asarray(q), jnp.asarray(k_cache), jnp.asarray(v_cache), meta,
+        jnp.asarray(q), kv, jnp.int32(0), meta,
         scale=0.125, max_query_len=max_q, max_seq_len=max_s,
         local_chunk_size=chunk,
     )
     ref = ref_paged_attention(
-        q, k_cache, v_cache,
+        q, kv_cache[0],
         np.asarray(meta.query_start_loc), np.asarray(meta.seq_lens),
         block_table, 0.125, local_chunk_size=chunk,
     )
@@ -263,8 +324,8 @@ def test_local_chunk_attention(mode):
     # sanity: chunking must actually change the result vs full causal
     full = np.asarray(
         unified_attention(
-            jnp.asarray(q), jnp.asarray(k_cache), jnp.asarray(v_cache),
-            meta, scale=0.125, max_query_len=max_q, max_seq_len=max_s,
+            jnp.asarray(q), kv, jnp.int32(0), meta,
+            scale=0.125, max_query_len=max_q, max_seq_len=max_s,
         )
     )
     assert np.abs(full - ref).max() > 1e-3

@@ -11,9 +11,9 @@ from vllm_triton_backend_tpu.ops.refs import ref_reshape_and_cache
 @pytest.mark.parametrize("with_pad", [False, True])
 def test_reshape_and_cache_matches_ref(with_pad):
     rng = np.random.default_rng(0)
-    Hkv, B, bs, hd, T = 2, 8, 16, 64, 10
-    k_cache = np.zeros((Hkv, B, bs, hd), np.float32)
-    v_cache = np.zeros_like(k_cache)
+    L, Hkv, B, bs, hd, T = 3, 2, 8, 16, 64, 10
+    layer = 1
+    kv_cache = np.zeros((L, B, 2, Hkv, bs, hd), np.float32)
     key = rng.standard_normal((T, Hkv, hd)).astype(np.float32)
     value = rng.standard_normal((T, Hkv, hd)).astype(np.float32)
     slots = rng.choice(B * bs, size=T, replace=False).astype(np.int32)
@@ -21,32 +21,33 @@ def test_reshape_and_cache_matches_ref(with_pad):
         slots[3] = -1
         slots[7] = -1
 
-    ref_k, ref_v = ref_reshape_and_cache(
-        key, value, k_cache.copy(), v_cache.copy(), slots
+    ref = ref_reshape_and_cache(key, value, kv_cache[layer].copy(), slots)
+    out = reshape_and_cache(
+        jnp.asarray(kv_cache), jnp.int32(layer),
+        jnp.asarray(key), jnp.asarray(value), jnp.asarray(slots),
     )
-    out_k, out_v = reshape_and_cache(
-        jnp.asarray(key), jnp.asarray(value),
-        jnp.asarray(k_cache), jnp.asarray(v_cache), jnp.asarray(slots),
-    )
-    np.testing.assert_allclose(np.asarray(out_k), ref_k, atol=1e-6)
-    np.testing.assert_allclose(np.asarray(out_v), ref_v, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(out)[layer], ref, atol=1e-6)
+    # other layers untouched
+    np.testing.assert_allclose(np.asarray(out)[0], 0.0)
+    np.testing.assert_allclose(np.asarray(out)[2], 0.0)
 
 
 def test_quantize_on_write_fp8():
     rng = np.random.default_rng(1)
     Hkv, B, bs, hd, T = 1, 4, 16, 64, 5
-    k_cache = jnp.zeros((Hkv, B, bs, hd), jnp.float8_e4m3fn)
-    v_cache = jnp.zeros_like(k_cache)
+    kv_cache = jnp.zeros((1, B, 2, Hkv, bs, hd), jnp.float8_e4m3fn)
     key = rng.standard_normal((T, Hkv, hd)).astype(np.float32)
     value = rng.standard_normal((T, Hkv, hd)).astype(np.float32)
     slots = np.arange(T, dtype=np.int32)
     k_scale, v_scale = 0.5, 0.25
-    out_k, out_v = reshape_and_cache(
-        jnp.asarray(key), jnp.asarray(value), k_cache, v_cache,
+    out = reshape_and_cache(
+        kv_cache, jnp.int32(0),
+        jnp.asarray(key), jnp.asarray(value),
         jnp.asarray(slots), k_scale=k_scale, v_scale=v_scale,
     )
     # dequantize-and-compare at fp8 tolerance (reference test.py:283-316)
-    got_k = np.asarray(out_k.astype(jnp.float32))[0, 0, :T] * k_scale
-    got_v = np.asarray(out_v.astype(jnp.float32))[0, 0, :T] * v_scale
+    outf = np.asarray(out.astype(jnp.float32))
+    got_k = outf[0, 0, 0, 0, :T] * k_scale
+    got_v = outf[0, 0, 1, 0, :T] * v_scale
     np.testing.assert_allclose(got_k, key[:, 0], atol=0.12, rtol=0.12)
     np.testing.assert_allclose(got_v, value[:, 0], atol=0.12, rtol=0.12)

@@ -28,12 +28,9 @@ def test_cp_decode_matches_single_chip():
     nb_local = 16
     max_blocks = 4
 
-    # global cache: chip p owns blocks [p*nb_local, (p+1)*nb_local)
-    k_all = (
-        rng.standard_normal((HKV, n_chips * nb_local, BS, HD)) * 0.4
-    ).astype(np.float32)
-    v_all = (
-        rng.standard_normal((HKV, n_chips * nb_local, BS, HD)) * 0.4
+    # global fused cache: chip p owns blocks [p*nb_local, (p+1)*nb_local)
+    kv_all = (
+        rng.standard_normal((1, n_chips * nb_local, 2, HKV, BS, HD)) * 0.4
     ).astype(np.float32)
     q = (rng.standard_normal((S, HQ, HD)) * 0.5).astype(np.float32)
     # local tables (page ids local to each shard), non-overlapping
@@ -49,9 +46,9 @@ def test_cp_decode_matches_single_chip():
 
     mesh = Mesh(np.asarray(jax.devices()[:n_chips]), ("seq",))
 
-    def step(q, k_shard, v_shard, lens, tbl):
+    def step(q, kv_shard, lens, tbl):
         return cp_decode_attention(
-            q, k_shard, v_shard, lens[0], tbl[0], "seq",
+            q, kv_shard, jnp.int32(0), lens[0], tbl[0], "seq",
             scale=scale, max_seq_len=64,
         )
 
@@ -60,7 +57,7 @@ def test_cp_decode_matches_single_chip():
             step,
             mesh=mesh,
             in_specs=(
-                P(), P(None, "seq"), P(None, "seq"), P("seq"), P("seq"),
+                P(), P(None, "seq"), P("seq"), P("seq"),
             ),
             out_specs=P(),
             check_vma=False,
@@ -68,8 +65,7 @@ def test_cp_decode_matches_single_chip():
     )
     out = mapped(
         jnp.asarray(q),
-        jnp.asarray(k_all),
-        jnp.asarray(v_all),
+        jnp.asarray(kv_all),
         jnp.asarray(per_chip_lens),
         jnp.asarray(tbl_local),
     )
@@ -83,8 +79,8 @@ def test_cp_decode_matches_single_chip():
             L = int(per_chip_lens[p, s])
             for pos in range(L):
                 pg = tbl_local[p, s, pos // BS] + p * nb_local
-                ks.append(k_all[:, pg, pos % BS, :])
-                vs.append(v_all[:, pg, pos % BS, :])
+                ks.append(kv_all[0, pg, 0, :, pos % BS, :])
+                vs.append(kv_all[0, pg, 1, :, pos % BS, :])
         kk = np.stack(ks, 0)  # [L, HKV, HD]
         vv = np.stack(vs, 0)
         kk = np.repeat(kk, HQ // HKV, axis=1)

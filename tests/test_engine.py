@@ -154,7 +154,7 @@ def tiny_engine_setup():
 def naive_greedy(cfg, params, prompt, n_new):
     """One-request reference decode loop (no engine)."""
     mc, cc = cfg.model, cfg.cache
-    k_cache, v_cache = make_kv_caches(mc, cc.num_blocks, cc.block_size)
+    kv_cache = make_kv_caches(mc, cc.num_blocks, cc.block_size)
     bt = np.arange(8, dtype=np.int32).reshape(1, 8)
     toks = list(prompt)
     ctx = 0
@@ -166,11 +166,11 @@ def naive_greedy(cfg, params, prompt, n_new):
             max_query_len=1 if len(step_tokens) == 1 else 64,
             max_seq_len=128,
         )
-        logits, k_cache, v_cache = forward(
+        logits, kv_cache = forward(
             params, mc,
             jnp.asarray(step_tokens, jnp.int32),
             jnp.arange(ctx, ctx + len(step_tokens), dtype=jnp.int32),
-            k_cache, v_cache, meta, extras,
+            kv_cache, meta, extras,
         )
         nxt = int(jnp.argmax(logits[-1]))
         out.append(nxt)

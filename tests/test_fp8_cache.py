@@ -48,9 +48,9 @@ def test_engine_quantized_kv_cache(cache_dtype):
         outs = []
         while engine.has_unfinished():
             outs += engine.step()
-        assert engine.k_cache.dtype == (
+        assert engine.kv_cache.dtype == (
             {"auto": np.float32}.get(dtype)
-            or engine.k_cache.dtype
+            or engine.kv_cache.dtype
         )
         return outs[0].output_token_ids
 

@@ -55,14 +55,14 @@ def test_prefill_logits_match_transformers(tiny_hf_dir):
         ref = hf_model(torch.tensor(prompt[None])).logits[0].numpy()
 
     block_size, num_blocks = 16, 8
-    k_cache, v_cache = make_kv_caches(cfg, num_blocks, block_size)
+    kv_cache = make_kv_caches(cfg, num_blocks, block_size)
     bt = np.arange(2, dtype=np.int32).reshape(1, 2)
     meta = make_metadata([len(prompt)], [0], bt, block_size)
-    logits, _, _ = forward(
+    logits, _ = forward(
         params, cfg,
         jnp.asarray(prompt, jnp.int32),
         jnp.arange(len(prompt), dtype=jnp.int32),
-        k_cache, v_cache, meta,
+        kv_cache, meta,
         ForwardExtras(max_query_len=32, max_seq_len=32),
     )
     np.testing.assert_allclose(

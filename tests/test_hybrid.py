@@ -34,7 +34,7 @@ def _cfg(block_types):
 
 
 def run_steps(cfg, params, prompt, steps, block_table, n_slots=2):
-    k_cache, v_cache = make_kv_caches(cfg, NB, BS)
+    kv_cache = make_kv_caches(cfg, NB, BS)
     conv, ssm = make_state_pools(cfg, n_slots)
     state_idx = jnp.asarray([1] + [0] * 0, jnp.int32)  # seq 0 -> slot 1
     out = []
@@ -43,10 +43,10 @@ def run_steps(cfg, params, prompt, steps, block_table, n_slots=2):
         toks = jnp.asarray(prompt[ctx : ctx + qlen], jnp.int32)
         meta = make_metadata([qlen], [ctx], block_table, BS)
         extras = ForwardExtras(max_query_len=qlen, max_seq_len=ctx + qlen)
-        logits, k_cache, v_cache, conv, ssm = forward(
+        logits, kv_cache, conv, ssm = forward(
             params, cfg, toks,
             jnp.arange(ctx, ctx + qlen, dtype=jnp.int32),
-            k_cache, v_cache, conv, ssm, state_idx, meta, extras,
+            kv_cache, conv, ssm, state_idx, meta, extras,
         )
         out.append(np.asarray(logits))
         ctx += qlen
@@ -85,14 +85,14 @@ def test_batched_mamba_matches_single():
     p2 = rng.integers(0, cfg.vocab_size, size=11).tolist()
 
     bt = np.arange(4, dtype=np.int32).reshape(2, 2)
-    k_cache, v_cache = make_kv_caches(cfg, NB, BS)
+    kv_cache = make_kv_caches(cfg, NB, BS)
     conv, ssm = make_state_pools(cfg, 4)
     meta = make_metadata([6, 11], [0, 0], bt, BS)
     extras = ForwardExtras(max_query_len=11, max_seq_len=16)
     logits, *_ = forward(
         params, cfg, jnp.asarray(p1 + p2, jnp.int32),
         jnp.asarray(list(range(6)) + list(range(11)), jnp.int32),
-        k_cache, v_cache, conv, ssm,
+        kv_cache, conv, ssm,
         jnp.asarray([2, 3], jnp.int32), meta, extras,
     )
     logits = np.asarray(logits)
@@ -108,16 +108,16 @@ def test_pad_slot_state_untouched():
     cfg = _cfg(["mamba"])
     params = init_params(cfg, jax.random.key(3))
     bt = np.arange(2, dtype=np.int32).reshape(1, 2)
-    k_cache, v_cache = make_kv_caches(cfg, NB, BS)
+    kv_cache = make_kv_caches(cfg, NB, BS)
     conv, ssm = make_state_pools(cfg, 2)
     conv_before = np.asarray(conv).copy()
     ssm_before = np.asarray(ssm).copy()
     meta = make_metadata([1], [0], bt, BS)
     extras = ForwardExtras(max_query_len=1, max_seq_len=16)
-    _, _, _, conv2, ssm2 = forward(
+    _, _, conv2, ssm2 = forward(
         params, cfg, jnp.asarray([5], jnp.int32),
         jnp.asarray([0], jnp.int32),
-        k_cache, v_cache, conv, ssm,
+        kv_cache, conv, ssm,
         jnp.asarray([-1], jnp.int32), meta, extras,
     )
     np.testing.assert_array_equal(np.asarray(conv2), conv_before)

@@ -27,7 +27,7 @@ def _cfg():
 
 
 def naive_greedy(cfg, params, prompt, n_new):
-    k_cache, v_cache = hybrid.make_kv_caches(cfg, 32, 16)
+    kv_cache = hybrid.make_kv_caches(cfg, 32, 16)
     conv, ssm = hybrid.make_state_pools(cfg, 2)
     bt = np.arange(8, dtype=np.int32).reshape(1, 8)
     state_idx = jnp.asarray([0], jnp.int32)
@@ -39,10 +39,10 @@ def naive_greedy(cfg, params, prompt, n_new):
             max_query_len=1 if len(step_tokens) == 1 else 64,
             max_seq_len=128,
         )
-        logits, k_cache, v_cache, conv, ssm = hybrid.forward(
+        logits, kv_cache, conv, ssm = hybrid.forward(
             params, cfg, jnp.asarray(step_tokens, jnp.int32),
             jnp.arange(ctx, ctx + len(step_tokens), dtype=jnp.int32),
-            k_cache, v_cache, conv, ssm, state_idx, meta, extras,
+            kv_cache, conv, ssm, state_idx, meta, extras,
         )
         nxt = int(jnp.argmax(logits[len(step_tokens) - 1]))
         out.append(nxt)

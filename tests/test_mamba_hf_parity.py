@@ -43,7 +43,7 @@ def test_mamba_prefill_logits_match_transformers(tiny_mamba_dir):
         ref = hf_model(torch.tensor(prompt[None])).logits[0].numpy()
 
     bs, nb = 16, 8
-    k_cache, v_cache = hybrid.make_kv_caches(cfg, nb, bs)
+    kv_cache = hybrid.make_kv_caches(cfg, nb, bs)
     conv, ssm = hybrid.make_state_pools(cfg, 2)
     bt = np.arange(2, dtype=np.int32).reshape(1, 2)
     meta = make_metadata([len(prompt)], [0], bt, bs)
@@ -51,7 +51,7 @@ def test_mamba_prefill_logits_match_transformers(tiny_mamba_dir):
         params, cfg,
         jnp.asarray(prompt, jnp.int32),
         jnp.arange(len(prompt), dtype=jnp.int32),
-        k_cache, v_cache, conv, ssm,
+        kv_cache, conv, ssm,
         jnp.asarray([1], jnp.int32), meta,
         ForwardExtras(max_query_len=16, max_seq_len=32),
     )

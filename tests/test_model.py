@@ -49,7 +49,7 @@ def model():
 def run_steps(cfg, params, prompt, steps, block_table):
     """Run the model over `prompt` split into chunks given by `steps`
     (list of query lens); returns logits at every prompt position."""
-    k_cache, v_cache = make_kv_caches(cfg, NUM_BLOCKS, BLOCK_SIZE)
+    kv_cache = make_kv_caches(cfg, NUM_BLOCKS, BLOCK_SIZE)
     all_logits = []
     ctx = 0
     for qlen in steps:
@@ -58,9 +58,9 @@ def run_steps(cfg, params, prompt, steps, block_table):
         extras = ForwardExtras(
             max_query_len=qlen, max_seq_len=ctx + qlen
         )
-        logits, k_cache, v_cache = forward(
+        logits, kv_cache = forward(
             params, cfg, tokens, _positions([qlen], [ctx]),
-            k_cache, v_cache, meta, extras,
+            kv_cache, meta, extras,
         )
         all_logits.append(np.asarray(logits))
         ctx += qlen
@@ -89,13 +89,13 @@ def test_batched_matches_single(model):
     p2 = rng.integers(0, cfg.vocab_size, size=13).tolist()
 
     bt = np.arange(4, dtype=np.int32).reshape(2, 2)
-    k_cache, v_cache = make_kv_caches(cfg, NUM_BLOCKS, BLOCK_SIZE)
+    kv_cache = make_kv_caches(cfg, NUM_BLOCKS, BLOCK_SIZE)
     meta = _meta([7, 13], [0, 0], bt)
     extras = ForwardExtras(max_query_len=13, max_seq_len=13)
     tokens = jnp.asarray(p1 + p2, dtype=jnp.int32)
-    logits, _, _ = forward(
+    logits, _ = forward(
         params, cfg, tokens, _positions([7, 13], [0, 0]),
-        k_cache, v_cache, meta, extras,
+        kv_cache, meta, extras,
     )
     logits = np.asarray(logits)
 

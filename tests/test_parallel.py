@@ -48,22 +48,22 @@ def test_sharded_forward_matches_single_device(dp, tp):
     # --- single-device reference, one replica at a time ---
     ref_logits = []
     for p in prompts:
-        kc, vc = make_kv_caches(cfg, NB_LOCAL, BS)
+        kv = make_kv_caches(cfg, NB_LOCAL, BS)
         bt = np.arange(4, dtype=np.int32).reshape(1, 4)
         meta = make_metadata([len(p)], [0], bt, BS, num_token_bucket=16)
         padded = np.zeros(16, np.int32)
         padded[: len(p)] = p
-        logits, kc, vc = forward(
+        logits, kv = forward(
             params, cfg, jnp.asarray(padded),
             jnp.arange(16, dtype=jnp.int32),
-            kc, vc, meta, extras,
+            kv, meta, extras,
         )
         ref_logits.append(np.asarray(logits))
 
     # --- sharded run: all replicas in one step ---
     sp = shard_params(params, mesh)
-    k_cache, v_cache = make_kv_caches(cfg, dp * NB_LOCAL, BS)
-    k_cache, v_cache = shard_caches(k_cache, v_cache, mesh)
+    kv_cache = make_kv_caches(cfg, dp * NB_LOCAL, BS)
+    kv_cache = shard_caches(kv_cache, mesh)
 
     T = 16
     tok = np.zeros((dp, T), np.int32)
@@ -79,8 +79,8 @@ def test_sharded_forward_matches_single_device(dp, tp):
         tbl[d, 0] = np.arange(4)  # local page ids
         slots[d, : len(p)] = np.arange(len(p))  # pages 0.. contiguous
     step = make_sharded_forward(cfg, mesh, extras)
-    logits, k_cache, v_cache = step(
-        sp, jnp.asarray(tok), jnp.asarray(pos), k_cache, v_cache,
+    logits, kv_cache = step(
+        sp, jnp.asarray(tok), jnp.asarray(pos), kv_cache,
         jnp.asarray(qsl), jnp.asarray(sl), jnp.asarray(tbl),
         jnp.asarray(slots),
     )

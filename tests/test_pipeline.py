@@ -42,7 +42,7 @@ def test_pp_forward_matches_single_device(stages, microbatches):
     # --- single-device reference per microbatch ---
     nb_total = m * nb_per_mb + 1
     ref_logits = []
-    kc_ref, vc_ref = make_kv_caches(cfg, nb_total, BS)
+    kv_ref = make_kv_caches(cfg, nb_total, BS)
     for i, p in enumerate(prompts):
         bt = (np.arange(nb_per_mb, dtype=np.int32) + i * nb_per_mb).reshape(
             1, nb_per_mb
@@ -52,20 +52,19 @@ def test_pp_forward_matches_single_device(stages, microbatches):
         )
         padded = np.zeros(tm, np.int32)
         padded[: len(p)] = p
-        logits, kc_ref, vc_ref = forward(
+        logits, kv_ref = forward(
             params, cfg, jnp.asarray(padded),
-            jnp.arange(tm, dtype=jnp.int32), kc_ref, vc_ref, meta,
+            jnp.arange(tm, dtype=jnp.int32), kv_ref, meta,
             ForwardExtras(max_query_len=tm, max_seq_len=64),
         )
         ref_logits.append(np.asarray(logits))
 
     # --- pipeline run: all microbatches at once ---
     sp = shard_params_pp(params, mesh)
-    k_cache, v_cache = make_kv_caches(cfg, nb_total, BS)
+    kv_cache = make_kv_caches(cfg, nb_total, BS)
     from jax.sharding import NamedSharding, PartitionSpec as P
 
-    k_cache = jax.device_put(k_cache, NamedSharding(mesh, P("stage")))
-    v_cache = jax.device_put(v_cache, NamedSharding(mesh, P("stage")))
+    kv_cache = jax.device_put(kv_cache, NamedSharding(mesh, P("stage")))
 
     tok = np.zeros((m, tm), np.int32)
     pos = np.tile(np.arange(tm, dtype=np.int32), (m, 1))
@@ -83,8 +82,8 @@ def test_pp_forward_matches_single_device(stages, microbatches):
     pp_step = make_pp_forward(
         cfg, mesh, ForwardExtras(max_query_len=tm, max_seq_len=64), m
     )
-    logits, k_cache, v_cache = pp_step(
-        sp, jnp.asarray(tok), jnp.asarray(pos), k_cache, v_cache,
+    logits, kv_cache = pp_step(
+        sp, jnp.asarray(tok), jnp.asarray(pos), kv_cache,
         jnp.asarray(qsl), jnp.asarray(sl), jnp.asarray(tbl),
         jnp.asarray(slots),
     )

@@ -61,10 +61,10 @@ def test_quantized_model_close_to_dense():
     extras = ForwardExtras(max_query_len=16, max_seq_len=32)
 
     def run(p):
-        kc, vc = make_kv_caches(cfg, 16, 16)
-        logits, _, _ = forward(
+        kv = make_kv_caches(cfg, 16, 16)
+        logits, _ = forward(
             p, cfg, jnp.asarray(prompt, jnp.int32),
-            jnp.arange(12, dtype=jnp.int32), kc, vc, meta, extras,
+            jnp.arange(12, dtype=jnp.int32), kv, meta, extras,
         )
         return np.asarray(logits)
 

@@ -19,11 +19,22 @@ def random_cache(
     block_size: int,
     head_size: int,
     dtype=np.float32,
+    num_layers: int = 1,
+    head_pad: int | None = None,
 ):
-    shape = (num_kv_heads, num_blocks, block_size, head_size)
-    k = (rng.standard_normal(shape) * 0.5).astype(dtype)
-    v = (rng.standard_normal(shape) * 0.5).astype(dtype)
-    return k, v
+    """Random fused paged cache [L, blocks, 2, Hkv, bs, hd(_pad)].
+
+    ``head_pad`` mimics the production lane-padded layout
+    (llama.make_kv_caches): real data in [..., :head_size], zeros after.
+    """
+    shape = (num_layers, num_blocks, 2, num_kv_heads, block_size, head_size)
+    kv = (rng.standard_normal(shape) * 0.5).astype(dtype)
+    if head_pad and head_pad != head_size:
+        kv = np.concatenate(
+            [kv, np.zeros(shape[:-1] + (head_pad - head_size,), dtype)],
+            axis=-1,
+        )
+    return kv
 
 
 def random_batch(

@@ -181,15 +181,20 @@ class ModelConfig:
 class CacheConfig:
     """Paged KV-cache configuration.
 
-    TPU-first layout: K and V are separate arrays of shape
-    ``[num_layers, num_kv_heads, num_blocks, block_size, head_size]`` so that
-    one (head, page) slab is a contiguous ``block_size x head_size`` tile —
-    the natural DMA unit for Pallas — unlike the reference's GPU layout
+    TPU-first layout: ONE fused array
+    ``[num_layers, num_blocks, 2, num_kv_heads, block_size, head_size]`` so
+    that a page — K and V of every head — is a single contiguous slab: the
+    DMA unit of the Pallas attention kernels (one ``make_async_copy`` per
+    page).  The reference's GPU layout is
     ``(2, num_blocks, block_size, num_kv_heads, head_size)``
-    (reference backend/triton_attn.py:269-277).
+    (reference backend/triton_attn.py:269-277); there pointer arithmetic
+    makes layout almost free, here the DMA-issue rate makes page-contiguity
+    the first-order design decision.  TPU-friendly block sizes are LARGER
+    than GPU ones (32-128): each page fetch should move >=32 KB to amortize
+    DMA issue cost.
     """
 
-    block_size: int = 16
+    block_size: int = 32
     num_blocks: int = 1024
     # KV-cache dtype: "auto" (model dtype) | "fp8" (e4m3) | "int8".
     cache_dtype: str = "auto"

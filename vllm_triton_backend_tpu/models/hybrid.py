@@ -159,15 +159,18 @@ def make_kv_caches(
     num_blocks: int,
     block_size: int,
     cache_dtype: Any = None,
-) -> tuple[jax.Array, jax.Array]:
-    """KV caches sized to the number of ATTENTION layers only."""
+) -> jax.Array:
+    """Fused KV cache sized to the number of ATTENTION layers only
+    (head dim lane-padded as in llama.make_kv_caches)."""
+    from vllm_triton_backend_tpu.utils import round_up
+
     dtype = cache_dtype or jnp.dtype(cfg.dtype)
     n_attn = sum(1 for t in block_types(cfg) if t == "attention")
     shape = (
-        max(n_attn, 1), cfg.num_kv_heads, num_blocks, block_size,
-        cfg.head_size,
+        max(n_attn, 1), num_blocks, 2, cfg.num_kv_heads, block_size,
+        round_up(cfg.head_size, 128),
     )
-    return jnp.zeros(shape, dtype), jnp.zeros(shape, dtype)
+    return jnp.zeros(shape, dtype)
 
 
 def make_state_pools(
@@ -332,24 +335,23 @@ def _mamba_mixer(
 @functools.partial(
     jax.jit,
     static_argnames=("cfg", "extras"),
-    donate_argnames=("k_cache", "v_cache", "conv_state", "ssm_state"),
+    donate_argnames=("kv_cache", "conv_state", "ssm_state"),
 )
 def forward(
     params: HybridParams,
     cfg: ModelConfig,
     token_ids: jax.Array,
     positions: jax.Array,
-    k_cache: jax.Array,  # [La, Hkv, blocks, bs, hd]
-    v_cache: jax.Array,
+    kv_cache: jax.Array,  # [La, blocks, 2, Hkv, bs, hd]
     conv_state: jax.Array,  # [Lm, slots, di, k-1]
     ssm_state: jax.Array,  # [Lm, slots, di, ds]
     state_indices: jax.Array,  # [S] int32
     metadata: AttentionMetadata,
     extras: ForwardExtras,
 ):
-    """Hybrid forward.  Attention layers consume kv caches (in block-type
-    order), Mamba layers consume the state pools.  Returns
-    (logits, k_cache, v_cache, conv_state, ssm_state)."""
+    """Hybrid forward.  Attention layers consume the fused kv cache (in
+    block-type order), Mamba layers consume the state pools.  Returns
+    (logits, kv_cache, conv_state, ssm_state)."""
     dtype = jnp.dtype(cfg.dtype)
     hd = cfg.head_size
     inv_freq = _rope_inv_freq(cfg)
@@ -379,14 +381,12 @@ def forward(
             v = linear(normed, lp.v_proj).reshape(t, cfg.num_kv_heads, hd)
             q = apply_rope(q, positions, inv_freq)
             k = apply_rope(k, positions, inv_freq)
-            kc, vc = reshape_and_cache(
-                k, v, k_cache[attn_i], v_cache[attn_i],
+            kv_cache = reshape_and_cache(
+                kv_cache, jnp.int32(attn_i), k, v,
                 metadata.slot_mapping, extras.k_scale, extras.v_scale,
             )
-            k_cache = k_cache.at[attn_i].set(kc)
-            v_cache = v_cache.at[attn_i].set(vc)
             attn = unified_attention(
-                q, kc, vc, metadata,
+                q, kv_cache, jnp.int32(attn_i), metadata,
                 scale=cfg.attn_scale,
                 max_query_len=extras.max_query_len,
                 max_seq_len=extras.max_seq_len,
@@ -426,4 +426,4 @@ def forward(
     logits = linear(x, params.lm_head).astype(jnp.float32)
     if cfg.logits_scaling != 1.0:
         logits = logits / cfg.logits_scaling
-    return logits, k_cache, v_cache, conv_state, ssm_state
+    return logits, kv_cache, conv_state, ssm_state

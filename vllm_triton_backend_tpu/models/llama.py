@@ -156,14 +156,20 @@ def forward_fn(
     cfg: ModelConfig,
     token_ids: jax.Array,  # [num_tokens] int32
     positions: jax.Array,  # [num_tokens] int32
-    k_cache: jax.Array,  # [L, Hkv, num_blocks, block_size, head]
-    v_cache: jax.Array,
+    kv_cache: jax.Array,  # [L, num_blocks, 2, Hkv, block_size, head]
     metadata: AttentionMetadata,
     extras: ForwardExtras,
     tp_axis: str | None = None,
-) -> tuple[jax.Array, jax.Array, jax.Array]:
+) -> tuple[jax.Array, jax.Array]:
     """One engine step: embeds the flat token batch, runs all layers with
-    paged-cache attention, returns (logits [T, vocab], new k/v caches).
+    paged-cache attention, returns (logits [T, vocab], kv_cache).
+
+    The fused cache rides the layer-``scan`` **carry** — each layer scatters
+    its new K/V at its layer index and the attention kernels address
+    ``kv_cache[layer, page]`` directly via scalar prefetch.  (Threading
+    per-layer caches as scan xs/ys instead makes XLA materialize a full
+    cache copy every step — measured at 8 ms/step on TPU v5e for a 0.74 GB
+    cache before this restructure.)
 
     With ``tp_axis`` set (inside ``shard_map`` over a mesh axis of that
     name), ``cfg`` must carry the *per-shard* head counts and the projection
@@ -184,8 +190,9 @@ def forward_fn(
     if cfg.embedding_multiplier != 1.0:
         x = x * cfg.embedding_multiplier
 
-    def layer_body(h_in, xs):
-        lp, kc, vc = xs  # LayerParams slice, per-layer caches
+    def layer_body(carry, xs):
+        h_in, kv = carry
+        lp, lidx = xs  # LayerParams slice, layer index
         t = token_ids.shape[0]
 
         normed = rms_norm(h_in, lp.input_norm, cfg.rms_norm_eps)
@@ -195,12 +202,12 @@ def forward_fn(
         q = apply_rope(q, positions, inv_freq)
         k = apply_rope(k, positions, inv_freq)
 
-        kc, vc = reshape_and_cache(
-            k, v, kc, vc, metadata.slot_mapping,
+        kv = reshape_and_cache(
+            kv, lidx, k, v, metadata.slot_mapping,
             extras.k_scale, extras.v_scale,
         )
         attn = unified_attention(
-            q, kc, vc, metadata,
+            q, kv, lidx, metadata,
             scale=cfg.attn_scale,
             max_query_len=extras.max_query_len,
             max_seq_len=extras.max_seq_len,
@@ -224,10 +231,12 @@ def forward_fn(
             )
         )
         h_out = h_mid + mlp * cfg.residual_multiplier
-        return h_out, (kc, vc)
+        return (h_out, kv), None
 
-    x, (k_cache, v_cache) = jax.lax.scan(
-        layer_body, x, (params.layers, k_cache, v_cache)
+    (x, kv_cache), _ = jax.lax.scan(
+        layer_body,
+        (x, kv_cache),
+        (params.layers, jnp.arange(cfg.num_layers, dtype=jnp.int32)),
     )
 
     x = rms_norm(x, params.final_norm, cfg.rms_norm_eps)
@@ -239,13 +248,13 @@ def forward_fn(
         )
     if cfg.logits_scaling != 1.0:
         logits = logits / cfg.logits_scaling
-    return logits, k_cache, v_cache
+    return logits, kv_cache
 
 
 forward = functools.partial(
     jax.jit,
     static_argnames=("cfg", "extras"),
-    donate_argnames=("k_cache", "v_cache"),
+    donate_argnames=("kv_cache",),
 )(functools.partial(forward_fn, tp_axis=None))
 
 
@@ -271,11 +280,22 @@ def make_kv_caches(
     num_blocks: int,
     block_size: int,
     cache_dtype: Any = None,
-) -> tuple[jax.Array, jax.Array]:
-    """Allocate zeroed paged KV caches ``[L, Hkv, blocks, bs, head]``."""
+) -> jax.Array:
+    """Allocate the zeroed fused paged KV cache
+    ``[L, num_blocks, 2, Hkv, block_size, head_pad]`` (one page = one
+    contiguous K+V slab for all heads — the kernels' DMA unit).
+
+    The head dim is padded up to the 128-lane width: Mosaic requires the
+    minor dim of manually-DMA'd slices to be lane-aligned, so a head_size
+    of 64 stores 128 (the pad region is zeros and contributes nothing to
+    the attention math; hd >= 128 models pay nothing).  The kernel
+    wrappers pad q / slice outputs transparently.
+    """
+    from vllm_triton_backend_tpu.utils import round_up
+
     dtype = cache_dtype or jnp.dtype(cfg.dtype)
     shape = (
-        cfg.num_layers, cfg.num_kv_heads, num_blocks, block_size,
-        cfg.head_size,
+        cfg.num_layers, num_blocks, 2, cfg.num_kv_heads, block_size,
+        round_up(cfg.head_size, 128),
     )
-    return jnp.zeros(shape, dtype), jnp.zeros(shape, dtype)
+    return jnp.zeros(shape, dtype)

@@ -6,6 +6,9 @@ kernel when the batch is decode-only (max_query_len == 1) and the
 prefill/mixed kernel otherwise, with a ``force_selection`` override for
 benchmarking (the reference's force_selection 2/3 knob, :884,859).
 
+Cache layout (fused, page-contiguous — see ops/pallas/cache_ops.py):
+    ``kv_cache[L, num_blocks, 2, num_kv_heads, block_size, head_size]``
+
 Also provides ``xla_paged_attention`` — a pure-XLA gather + masked-softmax
 implementation.  It fills the role of the reference's baseline
 implementations-under-test (reference scripts/callers/*, SURVEY.md §2.4
@@ -29,8 +32,8 @@ from vllm_triton_backend_tpu.ops.pallas.prefill_attention import (
 
 def unified_attention(
     q: jax.Array,  # [num_tokens, num_q_heads, head_size]
-    k_cache: jax.Array,  # [Hkv, num_blocks, block_size, head_size]
-    v_cache: jax.Array,
+    kv_cache: jax.Array,  # [L, num_blocks, 2, Hkv, block_size, head_size]
+    layer_idx: jax.Array,  # scalar int32
     metadata: AttentionMetadata,
     *,
     scale: float,
@@ -61,8 +64,8 @@ def unified_attention(
         # one token per sequence: token order == sequence order
         return paged_decode_attention(
             q,
-            k_cache,
-            v_cache,
+            kv_cache,
+            layer_idx,
             metadata.seq_lens,
             metadata.block_table,
             scale=scale,
@@ -75,8 +78,8 @@ def unified_attention(
         )
     return prefill_attention(
         q,
-        k_cache,
-        v_cache,
+        kv_cache,
+        layer_idx,
         metadata.query_start_loc,
         metadata.seq_lens,
         metadata.block_table,
@@ -94,8 +97,8 @@ def unified_attention(
 
 def xla_paged_attention(
     q: jax.Array,  # [num_tokens, num_q_heads, head_size]
-    k_cache: jax.Array,
-    v_cache: jax.Array,
+    kv_cache: jax.Array,  # [L, num_blocks, 2, Hkv, block_size, head_size]
+    layer_idx: jax.Array,
     metadata: AttentionMetadata,
     *,
     scale: float,
@@ -110,7 +113,7 @@ def xla_paged_attention(
 ) -> jax.Array:
     """Pure-XLA paged attention (gathers KV contiguous; O(S * max_seq_len))."""
     total, num_q_heads, head_size = q.shape
-    num_kv_heads, _, block_size, _ = k_cache.shape
+    _, _, _, num_kv_heads, block_size, _hp = kv_cache.shape
     qpk = num_q_heads // num_kv_heads
     num_seqs = metadata.seq_lens.shape[0]
     num_blocks_needed = min(
@@ -118,8 +121,10 @@ def xla_paged_attention(
     )
 
     pages = metadata.block_table[:, :num_blocks_needed]  # [S, KB]
-    kg = jnp.take(k_cache, pages, axis=1)  # [Hkv, S, KB, bs, hd]
-    vg = jnp.take(v_cache, pages, axis=1)
+    layer = jax.lax.dynamic_index_in_dim(
+        kv_cache, layer_idx, axis=0, keepdims=False
+    )  # [B, 2, Hkv, bs, hd]
+    kv = jnp.take(layer, pages.reshape(-1), axis=0)  # [S*KB, 2, Hkv, bs, hd]
     kv_len = num_blocks_needed * block_size
 
     def dq(x, sc):
@@ -127,8 +132,14 @@ def xla_paged_attention(
             return x.astype(jnp.float32)
         return x.astype(jnp.float32) * sc
 
-    kg = dq(kg, k_scale).reshape(num_kv_heads, num_seqs, kv_len, head_size)
-    vg = dq(vg, v_scale).reshape(num_kv_heads, num_seqs, kv_len, head_size)
+    kv = kv[..., :head_size].reshape(
+        num_seqs, num_blocks_needed, 2, num_kv_heads, block_size, head_size
+    )
+    kg = dq(kv[:, :, 0], k_scale).transpose(0, 2, 1, 3, 4)
+    vg = dq(kv[:, :, 1], v_scale).transpose(0, 2, 1, 3, 4)
+    # -> [Hkv, S, kv_len, hd]
+    kg = kg.reshape(num_seqs, num_kv_heads, kv_len, head_size).swapaxes(0, 1)
+    vg = vg.reshape(num_seqs, num_kv_heads, kv_len, head_size).swapaxes(0, 1)
 
     # pack ragged q: [S, QPAD, Hq, hd]
     q_pad = max_query_len

@@ -1,34 +1,45 @@
-"""Paged decode attention — Pallas TPU kernel.
+"""Ragged paged decode attention — Pallas TPU kernel with manual page DMAs.
 
 TPU re-design of the reference's decode path (the 3D split-KV
 ``kernel_unified_attention_3d`` + ``reduce_segments``, reference
 kernels/triton_unified_attention.py:527-836, and the legacy 2D decode kernel
-triton_paged_decode_attention_2d.py:99-398).  The design differs from the
-GPU version on purpose:
+triton_paged_decode_attention_2d.py:99-398).  The design is driven by what
+actually bounds decode on TPU — DMA issue rate and grid-step overhead, not
+FLOPs — and differs from both the GPU reference and a naive BlockSpec port:
 
-* GPU: a grid of thread-blocks race over (seqs x kv_heads x kv-segments)
-  with f32 scratch in HBM and a second reduction kernel.  TPU: the grid is a
-  *sequential pipeline* per core, so the online-softmax accumulator lives in
-  VMEM scratch across grid steps along the kv-block axis — no scratch
-  round-trip and no reduction launch.  (The log-sum-exp merge the reference's
-  ``reduce_segments`` performs survives as ``common.merge_softmax_segments``,
-  used by ring attention across chips.)
-* Pages are gathered from HBM by the Pallas pipeline itself: the kv
-  BlockSpec ``index_map`` reads the *scalar-prefetched* block table, so page
-  fetches are double-buffered DMAs overlapped with compute — the TPU analog
-  of the reference's in-loop ``tl.load`` through the block table
-  (triton_unified_attention.py:400-508).
-* GQA packing: all query heads of one kv head form the sublane dimension of
-  a single tile (the reference packs them into BLOCK_M the same way,
-  triton_unified_attention.py:323,343-346).
-* FP8/INT8 KV: dequantization happens in-register after the page DMA
-  (k * k_scale), fused into the flash loop exactly like the reference's
-  fused dequant (triton_unified_attention.py:434-455).
+* **One grid step per (sequence, KV-chunk), all kv heads fused.**  A naive
+  grid of (seqs x heads x pages) with one 16-token page per step drowns in
+  per-step overhead (the first version of this kernel did exactly that and
+  ran 20x slower than HBM bandwidth).  Here each step consumes a *chunk* of
+  ``chunk_pages`` pages for *all* kv heads at once.
+* **Manual double-buffered page DMAs.**  The fused KV cache layout
+  ``[L, num_blocks, 2, Hkv, block_size, head]`` makes one page — K and V of
+  every head — a single contiguous slab, fetched with ONE
+  ``pltpu.make_async_copy`` per page through the scalar-prefetched block
+  table.  While chunk ``i`` is being reduced, chunk ``i+1``'s DMAs are
+  already in flight into the other buffer slot (the standard Pallas
+  double-buffering pattern; the BlockSpec pipeline cannot express a
+  multi-page gather, which is why the DMAs are manual).
+* **Online softmax in VMEM scratch across chunk steps** — the grid is a
+  sequential pipeline per core, so the flash accumulator lives in VMEM with
+  no HBM scratch round-trip and no second reduction kernel.  (The
+  log-sum-exp merge the reference's ``reduce_segments`` performs survives
+  as ``common.merge_softmax_segments`` / ``return_partials``, used by
+  cross-chip context parallelism.)
+* **GQA packing**: all ``q_per_kv`` query heads of one kv head form the
+  sublane dimension of that head's q tile (the reference packs them into
+  BLOCK_M the same way, triton_unified_attention.py:323,343-346).
+* **FP8/INT8 KV**: pages are DMA'd in the cache dtype (halving/quartering
+  the bytes moved — the entire point of a quantized cache on a
+  bandwidth-bound path) and dequantized in-register after the copy, fused
+  into the flash loop exactly like the reference's fused dequant
+  (triton_unified_attention.py:434-455).
 
-Blocks past a sequence's length are clamped to the last valid page in the
-index map, so the pipeline re-uses the resident block (no DMA) and the
-compute is skipped — the TPU version of "launch upper bound, early-return"
-(reference triton_paged_decode_attention_2d.py:355-361).
+Whole-layer cache + scalar layer index: the decoder's ``lax.scan`` over
+layers passes the full ``[L, ...]`` cache through its carry; slicing a
+layer on the host side would materialize a multi-MB copy per layer, so the
+layer index rides in scalar prefetch and the page DMAs address
+``kv_hbm[layer, page]`` directly.
 """
 
 from __future__ import annotations
@@ -50,219 +61,209 @@ def _dequant(x, scale):
     return x.astype(jnp.float32) * scale
 
 
-def _decode_kernel(
+def _visible_lo(seq_len, sliding_window: int, local_chunk_size: int):
+    """Lowest kv position the (single, last) decode token may attend to."""
+    lo = jnp.int32(0)
+    if sliding_window > 0:
+        lo = jnp.maximum(lo, seq_len - sliding_window)
+    if local_chunk_size > 0:
+        lo = jnp.maximum(lo, (seq_len - 1) // local_chunk_size * local_chunk_size)
+    return lo
+
+
+def _ragged_decode_kernel(
     # scalar prefetch
+    layer_ref,  # [1] int32
     seq_lens_ref,  # [S] int32 (SMEM)
-    tbl_ref,  # [S, max_blocks] int32 (SMEM)
+    tbl_ref,  # [S, max_pages] int32 (SMEM)
     # inputs
-    q_ref,  # [1, 1, QPK_PAD, hd] f32
-    k_ref,  # [1, 1, bs, hd] cache dtype
-    v_ref,  # [1, 1, bs, hd] cache dtype
+    q_ref,  # [1, Hkv, qpk_pad, hd] f32 (VMEM, per-seq block)
+    kv_hbm,  # [L, num_blocks, 2, Hkv, bs, hd] cache dtype (stays in HBM)
     # outputs
-    o_ref,  # [1, 1, QPK_PAD, hd]
-    *rest,  # partials mode: (m_out, l_out) refs then scratch
+    o_ref,  # [1, Hkv, qpk_pad, hd]
+    *rest,  # partials mode: (m_out, l_out) then scratch
     scale: float,
     block_size: int,
+    chunk_pages: int,
     sliding_window: int,
     logits_soft_cap: float,
     k_scale: float,
     v_scale: float,
-    return_partials: bool = False,
-    local_chunk_size: int = 0,
+    return_partials: bool,
+    local_chunk_size: int,
 ):
     if return_partials:
-        m_out, l_out, m_ref, l_ref, acc_ref = rest
+        m_out, l_out, kv_buf, sems, m_scr, l_scr, acc_scr = rest
     else:
-        m_ref, l_ref, acc_ref = rest
+        kv_buf, sems, m_scr, l_scr, acc_scr = rest
+
     s = pl.program_id(0)
-    b = pl.program_id(2)
-    seq_len = seq_lens_ref[s]
+    c = pl.program_id(1)
+    num_chunks = pl.num_programs(1)
+    num_seqs = pl.num_programs(0)
+    lyr = layer_ref[0]
+    chunk_tokens = chunk_pages * block_size
 
-    @pl.when(b == 0)
+    def foreach_page(sq, ck, fn, dead_fn=None):
+        """Run fn(i, page_id) for each page of chunk ck of sequence sq that
+        intersects the visible kv range [lo, seq_len), and dead_fn(i) for
+        the rest.  The same predicate gates DMA start and wait, keeping
+        them paired."""
+        sl = seq_lens_ref[sq]
+        lo = _visible_lo(sl, sliding_window, local_chunk_size)
+        for i in range(chunk_pages):  # static unroll
+            pg = ck * chunk_pages + i
+            live = jnp.logical_and(
+                pg * block_size < sl, (pg + 1) * block_size > lo
+            )
+
+            @pl.when(live)
+            def _():
+                fn(i, tbl_ref[sq, pg])
+
+            if dead_fn is not None:
+
+                @pl.when(jnp.logical_not(live))
+                def _():
+                    dead_fn(i)
+
+    def _page_dst(slot, i):
+        return kv_buf.at[slot, :, :, pl.ds(i * block_size, block_size), :]
+
+    def start_chunk(sq, ck, slot):
+        def start(i, page_id):
+            pltpu.make_async_copy(
+                kv_hbm.at[lyr, page_id], _page_dst(slot, i),
+                sems.at[slot, i],
+            ).start()
+
+        foreach_page(sq, ck, start)
+
+    def wait_chunk(sq, ck, slot):
+        def wait(i, page_id):
+            pltpu.make_async_copy(
+                kv_hbm.at[lyr, page_id], _page_dst(slot, i),
+                sems.at[slot, i],
+            ).wait()
+
+        def zero_dead(i):
+            # dead pages were never DMA'd: the buffer holds garbage
+            # (possibly NaN) that would poison masked columns via 0 * NaN
+            # in p @ v — zero them before compute.
+            kv_buf[slot, :, :, pl.ds(i * block_size, block_size), :] = (
+                jnp.zeros(
+                    (2, kv_buf.shape[2], block_size, kv_buf.shape[4]),
+                    kv_buf.dtype,
+                )
+            )
+
+        foreach_page(sq, ck, wait, dead_fn=zero_dead)
+
+    step = s * num_chunks + c
+    slot = jax.lax.rem(step, 2)
+
+    @pl.when(step == 0)
+    def _warmup():
+        start_chunk(0, 0, 0)
+
+    # issue the NEXT grid step's chunk while this one computes
+    nxt = step + 1
+    ns, nc = nxt // num_chunks, jax.lax.rem(nxt, num_chunks)
+
+    @pl.when(nxt < num_seqs * num_chunks)
+    def _prefetch():
+        start_chunk(ns, nc, jax.lax.rem(nxt, 2))
+
+    @pl.when(c == 0)
     def _init():
-        m_ref[...] = jnp.full_like(m_ref, MASK_VALUE)
-        l_ref[...] = jnp.zeros_like(l_ref)
-        acc_ref[...] = jnp.zeros_like(acc_ref)
+        m_scr[...] = jnp.full_like(m_scr, MASK_VALUE)
+        l_scr[...] = jnp.zeros_like(l_scr)
+        acc_scr[...] = jnp.zeros_like(acc_scr)
 
-    block_start = b * block_size
-    live = block_start < seq_len
-    if sliding_window > 0:
-        # decode q position is seq_len-1; keys >= seq_len - window are visible
-        live = jnp.logical_and(
-            live, block_start + block_size > seq_len - sliding_window
-        )
-    if local_chunk_size > 0:
-        # chunked local attention: only keys in the last token's chunk
-        chunk_start = (seq_len - 1) // local_chunk_size * local_chunk_size
-        live = jnp.logical_and(
-            live, block_start + block_size > chunk_start
-        )
+    seq_len = seq_lens_ref[s]
+    lo = _visible_lo(seq_len, sliding_window, local_chunk_size)
+    chunk_lo = c * chunk_tokens
+    live = jnp.logical_and(
+        chunk_lo < seq_len, chunk_lo + chunk_tokens > lo
+    )
 
     @pl.when(live)
-    def _step():
-        q = q_ref[0, 0]  # [QPK_PAD, hd] f32
-        k = _dequant(k_ref[0, 0], k_scale)  # [bs, hd] f32
+    def _compute():
+        wait_chunk(s, c, slot)
+        q = q_ref[0]  # [H, qpk_pad, hd] f32
+        hkv, qpk_pad, hd = q.shape
+        k = _dequant(kv_buf[slot, 0], k_scale)  # [H, chunk_tokens, hd]
+        v = _dequant(kv_buf[slot, 1], v_scale)
         s_blk = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())),
+            q, k, (((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
-        ) * scale  # [QPK_PAD, bs]
+        ) * scale  # [H, qpk_pad, chunk_tokens]
         if logits_soft_cap > 0.0:
             s_blk = logits_soft_cap * jnp.tanh(s_blk / logits_soft_cap)
-        pos = block_start + jax.lax.broadcasted_iota(
-            jnp.int32, s_blk.shape, 1
+        pos = chunk_lo + jax.lax.broadcasted_iota(
+            jnp.int32, s_blk.shape, 2
         )
-        mask = pos < seq_len
-        if sliding_window > 0:
-            mask = jnp.logical_and(mask, pos >= seq_len - sliding_window)
-        if local_chunk_size > 0:
-            chunk_start = (
-                (seq_len - 1) // local_chunk_size * local_chunk_size
-            )
-            mask = jnp.logical_and(mask, pos >= chunk_start)
+        mask = jnp.logical_and(pos < seq_len, pos >= lo)
         s_blk = jnp.where(mask, s_blk, MASK_VALUE)
 
-        m_prev = m_ref[...]  # [QPK_PAD, 128] (lane-broadcast)
-        m_cur = jnp.max(s_blk, axis=1, keepdims=True)  # [QPK_PAD, 1]
-        m_new = jnp.maximum(m_prev, m_cur)
-        alpha = jnp.exp(m_prev[:, :1] - m_new[:, :1])  # [QPK_PAD, 1]
-        p = jnp.where(mask, jnp.exp(s_blk - m_new[:, :1]), 0.0)
-        l_ref[...] = l_ref[...] * alpha + jnp.sum(p, axis=1, keepdims=True)
-        v = _dequant(v_ref[0, 0], v_scale)  # [bs, hd]
+        m_prev = m_scr[...]  # [H, qpk_pad, 128]
+        m_cur = jnp.max(s_blk, axis=2, keepdims=True)  # [H, qpk_pad, 1]
+        m_new = jnp.maximum(m_prev[:, :, :1], m_cur)
+        alpha = jnp.exp(m_prev[:, :, :1] - m_new)
+        p = jnp.where(mask, jnp.exp(s_blk - m_new), 0.0)
+        l_scr[...] = l_scr[...] * alpha + jnp.sum(p, axis=2, keepdims=True)
         pv = jax.lax.dot_general(
-            p, v, (((1,), (0,)), ((), ())),
+            p, v, (((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
-        )  # [QPK_PAD, hd]
-        acc_ref[...] = acc_ref[...] * alpha + pv
-        m_ref[...] = m_new
+        )  # [H, qpk_pad, hd]
+        acc_scr[...] = acc_scr[...] * alpha + pv
+        m_scr[...] = jnp.broadcast_to(m_new, m_scr.shape)
 
-    @pl.when(b == pl.num_programs(2) - 1)
+    @pl.when(c == num_chunks - 1)
     def _finish():
-        l = l_ref[:, :1]
+        l = l_scr[:, :, :1]
         if return_partials:
             # unnormalized accumulator + running (max, expsum) — the
             # cross-chip merge (merge_softmax_segments / ring attention)
             # normalizes after combining shards
-            o_ref[0, 0] = acc_ref[...].astype(o_ref.dtype)
-            m_out[0, 0] = m_ref[...]
-            l_out[0, 0] = l_ref[...]
+            o_ref[0] = acc_scr[...].astype(o_ref.dtype)
+            m_out[0] = m_scr[...]
+            l_out[0] = l_scr[...]
         else:
             safe = jnp.where(l == 0.0, 1.0, l)
-            o_ref[0, 0] = jnp.where(
-                l == 0.0, 0.0, acc_ref[...] / safe
+            o_ref[0] = jnp.where(
+                l == 0.0, 0.0, acc_scr[...] / safe
             ).astype(o_ref.dtype)
 
 
-def _decode_kernel_fused_heads(
-    # scalar prefetch
-    seq_lens_ref,  # [S] int32 (SMEM)
-    tbl_ref,  # [S, max_blocks] int32 (SMEM)
-    # inputs
-    q_ref,  # [1, Hkv, QPK_PAD, hd] f32
-    k_ref,  # [Hkv, 1, bs, hd] cache dtype
-    v_ref,  # [Hkv, 1, bs, hd]
-    # outputs
-    o_ref,  # [1, Hkv, QPK_PAD, hd]
-    # scratch
-    m_ref,  # [Hkv * QPK_PAD, 128] f32
-    l_ref,
-    acc_ref,  # [Hkv * QPK_PAD, hd] f32
-    *,
-    scale: float,
+def _default_chunk_pages(
+    max_seq_len: int,
     block_size: int,
-    sliding_window: int,
-    logits_soft_cap: float,
-    k_scale: float,
-    v_scale: float,
-    local_chunk_size: int = 0,
-):
-    """Head-fused variant: one grid step loads a page's K/V for ALL kv
-    heads (grid (seqs, pages) — Hkv x fewer steps than the per-head
-    kernel; the page DMA is one strided slab)."""
-    s = pl.program_id(0)
-    b = pl.program_id(1)
-    seq_len = seq_lens_ref[s]
-    hkv, qpk_pad = q_ref.shape[1], q_ref.shape[2]
-    hd = q_ref.shape[3]
-
-    @pl.when(b == 0)
-    def _init():
-        m_ref[...] = jnp.full_like(m_ref, MASK_VALUE)
-        l_ref[...] = jnp.zeros_like(l_ref)
-        acc_ref[...] = jnp.zeros_like(acc_ref)
-
-    block_start = b * block_size
-    live = block_start < seq_len
-    if sliding_window > 0:
-        live = jnp.logical_and(
-            live, block_start + block_size > seq_len - sliding_window
-        )
-    if local_chunk_size > 0:
-        chunk_start = (seq_len - 1) // local_chunk_size * local_chunk_size
-        live = jnp.logical_and(
-            live, block_start + block_size > chunk_start
-        )
-
-    @pl.when(live)
-    def _step():
-        q = q_ref[0]  # [Hkv, QPK_PAD, hd]
-        k = _dequant(k_ref[:, 0], k_scale)  # [Hkv, bs, hd]
-        s_blk = jax.lax.dot_general(
-            q, k, (((2,), (2,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-        ) * scale  # [Hkv, QPK_PAD, bs]
-        if logits_soft_cap > 0.0:
-            s_blk = logits_soft_cap * jnp.tanh(s_blk / logits_soft_cap)
-        pos = block_start + jax.lax.broadcasted_iota(
-            jnp.int32, s_blk.shape, 2
-        )
-        mask = pos < seq_len
-        if sliding_window > 0:
-            mask = jnp.logical_and(mask, pos >= seq_len - sliding_window)
-        if local_chunk_size > 0:
-            chunk_start = (
-                (seq_len - 1) // local_chunk_size * local_chunk_size
-            )
-            mask = jnp.logical_and(mask, pos >= chunk_start)
-        s_blk = jnp.where(mask, s_blk, MASK_VALUE)
-
-        rows = hkv * qpk_pad
-        s2 = s_blk.reshape(rows, block_size)
-        mask2 = mask.reshape(rows, block_size)
-        m_prev = m_ref[...]
-        m_cur = jnp.max(s2, axis=1, keepdims=True)
-        m_new = jnp.maximum(m_prev, m_cur)
-        alpha = jnp.exp(m_prev[:, :1] - m_new[:, :1])
-        p = jnp.where(mask2, jnp.exp(s2 - m_new[:, :1]), 0.0)
-        l_ref[...] = l_ref[...] * alpha + jnp.sum(p, axis=1, keepdims=True)
-        v = _dequant(v_ref[:, 0], v_scale)  # [Hkv, bs, hd]
-        pv = jax.lax.dot_general(
-            p.reshape(hkv, qpk_pad, block_size), v,
-            (((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-        )  # [Hkv, QPK_PAD, hd]
-        acc_ref[...] = acc_ref[...] * alpha + pv.reshape(rows, hd)
-        m_ref[...] = m_new
-
-    @pl.when(b == pl.num_programs(1) - 1)
-    def _finish():
-        l = l_ref[:, :1]
-        safe = jnp.where(l == 0.0, 1.0, l)
-        out = jnp.where(l == 0.0, 0.0, acc_ref[...] / safe)
-        o_ref[0] = out.reshape(hkv, qpk_pad, hd).astype(o_ref.dtype)
+    num_kv_heads: int,
+    head_size: int,
+    itemsize: int,
+) -> int:
+    """Chunk sizing heuristic: big enough to amortize per-step overhead,
+    small enough that the double-buffered chunk pair fits ~4 MB of VMEM."""
+    budget = 4 * 1024 * 1024
+    bytes_per_token = 2 * 2 * num_kv_heads * head_size * itemsize
+    max_tokens = max(block_size, budget // max(1, bytes_per_token))
+    target = min(512, max_tokens, round_up(max_seq_len, block_size))
+    return max(1, target // block_size)
 
 
 @functools.partial(
     jax.jit,
     static_argnames=(
         "scale", "max_seq_len", "sliding_window", "logits_soft_cap",
-        "k_scale", "v_scale", "return_partials", "fuse_heads",
+        "k_scale", "v_scale", "return_partials", "chunk_pages",
         "local_chunk_size",
     ),
 )
 def paged_decode_attention(
     q: jax.Array,  # [num_seqs, num_q_heads, head_size]
-    k_cache: jax.Array,  # [Hkv, num_blocks, block_size, head_size]
-    v_cache: jax.Array,
+    kv_cache: jax.Array,  # [L, num_blocks, 2, Hkv, block_size, head_size]
+    layer_idx: jax.Array,  # scalar int32
     seq_lens: jax.Array,  # [num_seqs] int32
     block_table: jax.Array,  # [num_seqs, max_blocks] int32
     *,
@@ -273,12 +274,12 @@ def paged_decode_attention(
     k_scale: float = 1.0,
     v_scale: float = 1.0,
     return_partials: bool = False,
-    fuse_heads: bool = False,
+    chunk_pages: int = 0,  # 0 -> heuristic
     local_chunk_size: int = 0,
 ) -> jax.Array:
     """Single-token-per-sequence paged attention (the decode hot path).
 
-    ``max_seq_len`` is the static kv-length bucket: the grid covers
+    ``max_seq_len`` is the static kv-length bucket: the kernel covers
     ``cdiv(max_seq_len, block_size)`` kv pages per sequence, masked down to
     each sequence's true ``seq_lens[i]``.
 
@@ -289,32 +290,39 @@ def paged_decode_attention(
     generalization of the reference's reduce_segments).
     """
     num_seqs, num_q_heads, head_size = q.shape
-    num_kv_heads, _, block_size, _ = k_cache.shape
+    n_layers, num_blocks, _, num_kv_heads, block_size, head_pad = (
+        kv_cache.shape
+    )
     qpk = num_q_heads // num_kv_heads
     assert qpk * num_kv_heads == num_q_heads
     qpk_pad = max(8, round_up(qpk, 8))
-    num_kv_blocks = max(1, cdiv(max_seq_len, block_size))
+
+    if not chunk_pages:
+        chunk_pages = _default_chunk_pages(
+            max_seq_len, block_size, num_kv_heads, head_pad,
+            kv_cache.dtype.itemsize,
+        )
+    max_pages = cdiv(max_seq_len, block_size)
+    chunk_pages = min(chunk_pages, max_pages)
+    num_chunks = cdiv(max_pages, chunk_pages)
+    chunk_tokens = chunk_pages * block_size
 
     qr = q.reshape(num_seqs, num_kv_heads, qpk, head_size).astype(jnp.float32)
-    if qpk_pad != qpk:
-        qr = jnp.pad(qr, ((0, 0), (0, 0), (0, qpk_pad - qpk), (0, 0)))
-
-    if fuse_heads:
-        assert not return_partials, "partials use the per-head kernel"
-        return _paged_decode_fused_heads(
-            qr, k_cache, v_cache, seq_lens, block_table,
-            scale=scale, num_kv_blocks=num_kv_blocks,
-            sliding_window=sliding_window,
-            logits_soft_cap=logits_soft_cap,
-            k_scale=k_scale, v_scale=v_scale,
-            out_dtype=q.dtype, qpk=qpk,
-            local_chunk_size=local_chunk_size,
-        )
+    # lane-padded cache head dim: pad q with zeros (no effect on scores;
+    # the padded output tail is sliced off below)
+    qr = jnp.pad(
+        qr,
+        (
+            (0, 0), (0, 0), (0, qpk_pad - qpk),
+            (0, head_pad - head_size),
+        ),
+    )
 
     kernel = functools.partial(
-        _decode_kernel,
+        _ragged_decode_kernel,
         scale=scale,
         block_size=block_size,
+        chunk_pages=chunk_pages,
         sliding_window=sliding_window,
         logits_soft_cap=logits_soft_cap,
         k_scale=k_scale,
@@ -323,21 +331,17 @@ def paged_decode_attention(
         local_chunk_size=local_chunk_size,
     )
 
-    def q_map(s, h, b, sl, tbl):
-        del b, sl, tbl
-        return (s, h, 0, 0)
+    def q_map(s, c, lyr, sl, tbl):
+        del c, lyr, sl, tbl
+        return (s, 0, 0, 0)
 
-    def kv_map(s, h, b, sl, tbl):
-        nb = jnp.maximum(pl.cdiv(sl[s], block_size) - 1, 0)
-        return (h, tbl[s, jnp.minimum(b, nb)], 0, 0)
-
-    out_specs = pl.BlockSpec((1, 1, qpk_pad, head_size), q_map)
+    out_specs = pl.BlockSpec((1, num_kv_heads, qpk_pad, head_pad), q_map)
     out_shape = jax.ShapeDtypeStruct(
-        (num_seqs, num_kv_heads, qpk_pad, head_size),
+        (num_seqs, num_kv_heads, qpk_pad, head_pad),
         jnp.float32 if return_partials else q.dtype,
     )
     if return_partials:
-        ml_spec = pl.BlockSpec((1, 1, qpk_pad, 128), q_map)
+        ml_spec = pl.BlockSpec((1, num_kv_heads, qpk_pad, 128), q_map)
         ml_shape = jax.ShapeDtypeStruct(
             (num_seqs, num_kv_heads, qpk_pad, 128), jnp.float32
         )
@@ -345,22 +349,26 @@ def paged_decode_attention(
         out_shape = [out_shape, ml_shape, ml_shape]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=(num_seqs, num_kv_heads, num_kv_blocks),
+        num_scalar_prefetch=3,
+        grid=(num_seqs, num_chunks),
         in_specs=[
-            pl.BlockSpec((1, 1, qpk_pad, head_size), q_map),
-            pl.BlockSpec((1, 1, block_size, head_size), kv_map),
-            pl.BlockSpec((1, 1, block_size, head_size), kv_map),
+            pl.BlockSpec((1, num_kv_heads, qpk_pad, head_pad), q_map),
+            pl.BlockSpec(memory_space=pl.ANY),  # cache stays in HBM
         ],
         out_specs=out_specs,
         scratch_shapes=[
-            pltpu.VMEM((qpk_pad, 128), jnp.float32),
-            pltpu.VMEM((qpk_pad, 128), jnp.float32),
-            pltpu.VMEM((qpk_pad, head_size), jnp.float32),
+            pltpu.VMEM(
+                (2, 2, num_kv_heads, chunk_tokens, head_pad),
+                kv_cache.dtype,
+            ),
+            pltpu.SemaphoreType.DMA((2, chunk_pages)),
+            pltpu.VMEM((num_kv_heads, qpk_pad, 128), jnp.float32),
+            pltpu.VMEM((num_kv_heads, qpk_pad, 128), jnp.float32),
+            pltpu.VMEM((num_kv_heads, qpk_pad, head_pad), jnp.float32),
         ],
     )
 
-    kv_bytes = k_cache.dtype.itemsize
+    kv_bytes = kv_cache.dtype.itemsize
     cost = pl.CostEstimate(
         flops=4 * num_seqs * num_q_heads * max_seq_len * head_size,
         bytes_accessed=(
@@ -374,97 +382,28 @@ def paged_decode_attention(
         grid_spec=grid_spec,
         out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "arbitrary"),
+            dimension_semantics=("arbitrary", "arbitrary"),
         ),
         cost_estimate=cost,
         interpret=use_interpret(),
-    )(seq_lens, block_table, qr, k_cache, v_cache)
+    )(
+        jnp.asarray(layer_idx, jnp.int32).reshape(1),
+        seq_lens,
+        block_table,
+        qr,
+        kv_cache,
+    )
 
     if return_partials:
         acc, m, l = result
-        acc = acc[:, :, :qpk, :].reshape(num_seqs, num_q_heads, head_size)
+        acc = acc[:, :, :qpk, :head_size].reshape(
+            num_seqs, num_q_heads, head_size
+        )
         m = m[:, :, :qpk, 0].reshape(num_seqs, num_q_heads)
         l = l[:, :, :qpk, 0].reshape(num_seqs, num_q_heads)
         return acc, m, l
 
-    out = result[:, :, :qpk, :].reshape(num_seqs, num_q_heads, head_size)
+    out = result[:, :, :qpk, :head_size].reshape(
+        num_seqs, num_q_heads, head_size
+    )
     return out.astype(q.dtype)
-
-
-def _paged_decode_fused_heads(
-    qr,  # [S, Hkv, qpk_pad, hd] f32
-    k_cache,
-    v_cache,
-    seq_lens,
-    block_table,
-    *,
-    scale,
-    num_kv_blocks,
-    sliding_window,
-    logits_soft_cap,
-    k_scale,
-    v_scale,
-    out_dtype,
-    qpk,
-    local_chunk_size=0,
-):
-    num_seqs, num_kv_heads, qpk_pad, head_size = qr.shape
-    block_size = k_cache.shape[2]
-
-    kernel = functools.partial(
-        _decode_kernel_fused_heads,
-        scale=scale,
-        block_size=block_size,
-        sliding_window=sliding_window,
-        logits_soft_cap=logits_soft_cap,
-        k_scale=k_scale,
-        v_scale=v_scale,
-        local_chunk_size=local_chunk_size,
-    )
-
-    def q_map(s, b, sl, tbl):
-        del b, sl, tbl
-        return (s, 0, 0, 0)
-
-    def kv_map(s, b, sl, tbl):
-        nb = jnp.maximum(pl.cdiv(sl[s], block_size) - 1, 0)
-        return (0, tbl[s, jnp.minimum(b, nb)], 0, 0)
-
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=(num_seqs, num_kv_blocks),
-        in_specs=[
-            pl.BlockSpec((1, num_kv_heads, qpk_pad, head_size), q_map),
-            pl.BlockSpec(
-                (num_kv_heads, 1, block_size, head_size), kv_map
-            ),
-            pl.BlockSpec(
-                (num_kv_heads, 1, block_size, head_size), kv_map
-            ),
-        ],
-        out_specs=pl.BlockSpec(
-            (1, num_kv_heads, qpk_pad, head_size), q_map
-        ),
-        scratch_shapes=[
-            pltpu.VMEM((num_kv_heads * qpk_pad, 128), jnp.float32),
-            pltpu.VMEM((num_kv_heads * qpk_pad, 128), jnp.float32),
-            pltpu.VMEM((num_kv_heads * qpk_pad, head_size), jnp.float32),
-        ],
-    )
-    out = pl.pallas_call(
-        kernel,
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct(
-            (num_seqs, num_kv_heads, qpk_pad, head_size), out_dtype
-        ),
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary"),
-        ),
-        interpret=use_interpret(),
-    )(seq_lens, block_table, qr, k_cache, v_cache)
-    num_q_heads = num_kv_heads * qpk
-    return (
-        out[:, :, :qpk, :]
-        .reshape(num_seqs, num_q_heads, head_size)
-        .astype(out_dtype)
-    )

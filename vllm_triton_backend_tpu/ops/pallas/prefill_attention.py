@@ -53,13 +53,14 @@ def _dequant(x, scale):
 
 def _prefill_kernel(
     # scalar prefetch
+    layer_ref,  # [1] int32 (consumed by the kv index maps)
     qsl_ref,  # [S+1] int32
     sl_ref,  # [S] int32
     tbl_ref,  # [S, max_blocks] int32
     # inputs
     q_ref,  # [1, 1, qpk, BQ, hd] f32
-    k_ref,  # [1, 1, bs, hd] cache dtype
-    v_ref,  # [1, 1, bs, hd] cache dtype
+    k_ref,  # [1, 1, 1, 1, bs, hd] cache dtype
+    v_ref,  # [1, 1, 1, 1, bs, hd] cache dtype
     alibi_ref,  # [1, qpk_pad, 128] f32 or None (bound statically)
     # outputs
     o_ref,  # [1, 1, qpk, BQ, hd]
@@ -105,8 +106,12 @@ def _prefill_kernel(
     @pl.when(page_start < kv_hi)
     def _stage():
         off = i * block_size
-        k_buf[pl.ds(off, block_size), :] = _dequant(k_ref[0, 0], k_scale)
-        v_buf[pl.ds(off, block_size), :] = _dequant(v_ref[0, 0], v_scale)
+        k_buf[pl.ds(off, block_size), :] = _dequant(
+            k_ref[0, 0, 0, 0], k_scale
+        )
+        v_buf[pl.ds(off, block_size), :] = _dequant(
+            v_ref[0, 0, 0, 0], v_scale
+        )
 
     # Zero-fill pages beyond the causal horizon: the flash update reads the
     # whole super-block, and uninitialized VMEM may hold NaNs that would
@@ -211,8 +216,8 @@ def _pack_ragged(q, query_start_loc, num_seqs_static, q_pad):
 )
 def _prefill_attention_impl(
     q: jax.Array,  # [num_tokens, num_q_heads, head_size]
-    k_cache: jax.Array,  # [Hkv, num_blocks, block_size, head_size]
-    v_cache: jax.Array,
+    kv_cache: jax.Array,  # [L, num_blocks, 2, Hkv, block_size, head_size]
+    layer_idx: jax.Array,  # scalar int32
     query_start_loc: jax.Array,  # [S+1] int32
     seq_lens: jax.Array,  # [S] int32
     block_table: jax.Array,  # [S, max_blocks] int32
@@ -237,7 +242,7 @@ def _prefill_attention_impl(
     the dejavu layer via :func:`prefill_attention`).
     """
     total, num_q_heads, head_size = q.shape
-    num_kv_heads, _, block_size, _ = k_cache.shape
+    _, _, _, num_kv_heads, block_size, head_pad = kv_cache.shape
     qpk = num_q_heads // num_kv_heads
     num_seqs = seq_lens.shape[0]
 
@@ -257,9 +262,14 @@ def _prefill_attention_impl(
     packed, seq_ids, local = _pack_ragged(
         q.astype(jnp.float32), query_start_loc, num_seqs, q_pad
     )
-    # [S, QPAD, Hq, hd] -> [S, Hkv, qpk, QPAD, hd]
+    # [S, QPAD, Hq, hd] -> [S, Hkv, qpk, QPAD, hd_pad] (lane-padded cache
+    # head dim: zero q pad contributes nothing; output tail sliced off)
     qk = packed.reshape(num_seqs, q_pad, num_kv_heads, qpk, head_size)
     qk = qk.transpose(0, 2, 3, 1, 4)
+    if head_pad != head_size:
+        qk = jnp.pad(
+            qk, ((0, 0),) * 4 + ((0, head_pad - head_size),)
+        )
 
     has_alibi = alibi_slopes is not None
     qpk_pad = max(8, round_up(qpk, 8))
@@ -285,52 +295,60 @@ def _prefill_attention_impl(
     if has_alibi:
         kernel = functools.partial(_prefill_kernel, **params)
     else:
-        def kernel(qsl, sl, tbl, q_r, k_r, v_r, o_r, *scratch):
+        def kernel(lyr, qsl, sl, tbl, q_r, k_r, v_r, o_r, *scratch):
             return _prefill_kernel(
-                qsl, sl, tbl, q_r, k_r, v_r, None, o_r, *scratch, **params
+                lyr, qsl, sl, tbl, q_r, k_r, v_r, None, o_r, *scratch,
+                **params,
             )
 
-    def q_map(s, h, qb, kb, qsl, sl, tbl):
-        del kb, qsl, sl, tbl
+    def q_map(s, h, qb, kb, lyr, qsl, sl, tbl):
+        del kb, lyr, qsl, sl, tbl
         return (s, h, 0, qb, 0)
 
-    def kv_map(s, h, qb, kb, qsl, sl, tbl):
+    def _page(s, h, qb, kb, qsl, sl, tbl):
         seq_len = sl[s]
         q_len = qsl[s + 1] - qsl[s]
         kv_hi = jnp.minimum(seq_len, seq_len - q_len + (qb + 1) * block_q)
         last_pg = jnp.maximum(pl.cdiv(kv_hi, block_size) - 1, 0)
-        return (h, tbl[s, jnp.minimum(kb, last_pg)], 0, 0)
+        return tbl[s, jnp.minimum(kb, last_pg)]
 
-    def alibi_map(s, h, qb, kb, qsl, sl, tbl):
-        del s, qb, kb, qsl, sl, tbl
+    def k_map(s, h, qb, kb, lyr, qsl, sl, tbl):
+        return (lyr[0], _page(s, h, qb, kb, qsl, sl, tbl), 0, h, 0, 0)
+
+    def v_map(s, h, qb, kb, lyr, qsl, sl, tbl):
+        return (lyr[0], _page(s, h, qb, kb, qsl, sl, tbl), 1, h, 0, 0)
+
+    def alibi_map(s, h, qb, kb, lyr, qsl, sl, tbl):
+        del s, qb, kb, lyr, qsl, sl, tbl
         return (h, 0, 0)
 
+    kv_block = (1, 1, 1, 1, block_size, head_pad)
     in_specs = [
-        pl.BlockSpec((1, 1, qpk, block_q, head_size), q_map),
-        pl.BlockSpec((1, 1, block_size, head_size), kv_map),
-        pl.BlockSpec((1, 1, block_size, head_size), kv_map),
+        pl.BlockSpec((1, 1, qpk, block_q, head_pad), q_map),
+        pl.BlockSpec(kv_block, k_map),
+        pl.BlockSpec(kv_block, v_map),
     ]
-    inputs = [qk, k_cache, v_cache]
+    inputs = [qk, kv_cache, kv_cache]
     if has_alibi:
         in_specs.append(pl.BlockSpec((1, qpk_pad, 128), alibi_map))
         inputs.append(slopes)
 
     m_rows = qpk * block_q
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=4,
         grid=(num_seqs, num_kv_heads, num_q_blocks, num_kv_pages),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, 1, qpk, block_q, head_size), q_map),
+        out_specs=pl.BlockSpec((1, 1, qpk, block_q, head_pad), q_map),
         scratch_shapes=[
-            pltpu.VMEM((super_size, head_size), jnp.float32),
-            pltpu.VMEM((super_size, head_size), jnp.float32),
+            pltpu.VMEM((super_size, head_pad), jnp.float32),
+            pltpu.VMEM((super_size, head_pad), jnp.float32),
             pltpu.VMEM((m_rows, 128), jnp.float32),
             pltpu.VMEM((m_rows, 128), jnp.float32),
-            pltpu.VMEM((m_rows, head_size), jnp.float32),
+            pltpu.VMEM((m_rows, head_pad), jnp.float32),
         ],
     )
 
-    kv_bytes = k_cache.dtype.itemsize
+    kv_bytes = kv_cache.dtype.itemsize
     cost = pl.CostEstimate(
         flops=4 * num_seqs * num_q_heads * q_pad * max_seq_len * head_size,
         bytes_accessed=(
@@ -343,7 +361,7 @@ def _prefill_attention_impl(
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(
-            (num_seqs, num_kv_heads, qpk, q_pad, head_size), q.dtype
+            (num_seqs, num_kv_heads, qpk, q_pad, head_pad), q.dtype
         ),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=(
@@ -352,10 +370,16 @@ def _prefill_attention_impl(
         ),
         cost_estimate=cost,
         interpret=use_interpret(),
-    )(query_start_loc, seq_lens, block_table, *inputs)
+    )(
+        jnp.asarray(layer_idx, jnp.int32).reshape(1),
+        query_start_loc,
+        seq_lens,
+        block_table,
+        *inputs,
+    )
 
-    # [S, Hkv, qpk, QPAD, hd] -> flat [T, Hq, hd]
-    out = out.transpose(0, 3, 1, 2, 4).reshape(
+    # [S, Hkv, qpk, QPAD, hd_pad] -> flat [T, Hq, hd]
+    out = out[..., :head_size].transpose(0, 3, 1, 2, 4).reshape(
         num_seqs, q_pad, num_q_heads, head_size
     )
     return out[seq_ids, local].astype(q.dtype)
@@ -402,7 +426,7 @@ def _prefill_fallback(key: tuple) -> dict:
     fallback_heuristic=_prefill_fallback,
 )
 def _prefill_launch(
-    q, k_cache, v_cache, query_start_loc, seq_lens, block_table,
+    q, kv_cache, layer_idx, query_start_loc, seq_lens, block_table,
     *,
     scale, max_query_len, max_seq_len, sliding_window, logits_soft_cap,
     alibi_slopes, k_scale, v_scale, local_chunk_size,
@@ -413,7 +437,7 @@ def _prefill_launch(
     block_q, super_size,
 ):
     return _prefill_attention_impl(
-        q, k_cache, v_cache, query_start_loc, seq_lens, block_table,
+        q, kv_cache, layer_idx, query_start_loc, seq_lens, block_table,
         scale=scale, max_query_len=max_query_len, max_seq_len=max_seq_len,
         sliding_window=sliding_window, logits_soft_cap=logits_soft_cap,
         alibi_slopes=alibi_slopes, k_scale=k_scale, v_scale=v_scale,
@@ -423,7 +447,7 @@ def _prefill_launch(
 
 
 def prefill_attention(
-    q, k_cache, v_cache, query_start_loc, seq_lens, block_table,
+    q, kv_cache, layer_idx, query_start_loc, seq_lens, block_table,
     *,
     scale,
     max_query_len,
@@ -444,7 +468,7 @@ def prefill_attention(
     """
     if block_q is not None or super_size is not None:
         return _prefill_attention_impl(
-            q, k_cache, v_cache, query_start_loc, seq_lens, block_table,
+            q, kv_cache, layer_idx, query_start_loc, seq_lens, block_table,
             scale=scale, max_query_len=max_query_len,
             max_seq_len=max_seq_len, sliding_window=sliding_window,
             logits_soft_cap=logits_soft_cap, alibi_slopes=alibi_slopes,
@@ -453,7 +477,7 @@ def prefill_attention(
             local_chunk_size=local_chunk_size,
         )
     return _prefill_launch(
-        q, k_cache, v_cache, query_start_loc, seq_lens, block_table,
+        q, kv_cache, layer_idx, query_start_loc, seq_lens, block_table,
         scale=scale, max_query_len=max_query_len, max_seq_len=max_seq_len,
         sliding_window=sliding_window, logits_soft_cap=logits_soft_cap,
         alibi_slopes=alibi_slopes, k_scale=k_scale, v_scale=v_scale,
@@ -461,8 +485,8 @@ def prefill_attention(
         max_query_len_p2=next_power_of_2(max_query_len),
         max_seq_len_p2=next_power_of_2(max_seq_len),
         num_q_heads=q.shape[1],
-        num_kv_heads=k_cache.shape[0],
+        num_kv_heads=kv_cache.shape[3],
         head_size=q.shape[2],
-        block_size=k_cache.shape[2],
-        kv_dtype=str(k_cache.dtype),
+        block_size=kv_cache.shape[4],
+        kv_dtype=str(kv_cache.dtype),
     )

@@ -8,8 +8,10 @@ reference encodes as PyTorch oracles (reference scripts/vllm_utils.py:
 are deliberately naive: gather pages token-by-token through the block table,
 materialize the mask, softmax in f32.
 
-Cache layout here is the TPU-native one:
-  k_cache, v_cache: [num_kv_heads, num_blocks, block_size, head_size]
+Cache layout here is the TPU-native fused one (one page = one contiguous
+DMA slab holding K and V of every head):
+  kv_cache: [num_blocks, 2, num_kv_heads, block_size, head_size]
+(the per-layer view of the model-level ``[L, ...]`` cache).
 """
 
 from __future__ import annotations
@@ -45,22 +47,21 @@ def ref_masked_attention(
 
 
 def gather_kv_for_seq(
-    k_cache: np.ndarray,  # [Hkv, num_blocks, bs, hd]
-    v_cache: np.ndarray,
+    kv_cache: np.ndarray,  # [num_blocks, 2, Hkv, bs, hd]
     block_row: np.ndarray,  # [max_blocks]
     seq_len: int,
     block_size: int,
 ):
     """Reconstruct contiguous K/V [seq_len, Hkv, hd] through the block table."""
-    num_kv_heads, _, bs, hd = k_cache.shape
+    _, _, num_kv_heads, bs, hd = kv_cache.shape
     assert bs == block_size
     ks = np.empty((seq_len, num_kv_heads, hd), dtype=np.float32)
     vs = np.empty_like(ks)
     for pos in range(seq_len):
         page = int(block_row[pos // block_size])
         off = pos % block_size
-        ks[pos] = k_cache[:, page, off, :].astype(np.float32)
-        vs[pos] = v_cache[:, page, off, :].astype(np.float32)
+        ks[pos] = kv_cache[page, 0, :, off, :].astype(np.float32)
+        vs[pos] = kv_cache[page, 1, :, off, :].astype(np.float32)
     return ks, vs
 
 
@@ -101,8 +102,7 @@ def _build_mask(
 
 def ref_paged_attention(
     q: np.ndarray,  # [total_tokens, num_q_heads, head]
-    k_cache: np.ndarray,  # [Hkv, num_blocks, bs, hd]
-    v_cache: np.ndarray,
+    kv_cache: np.ndarray,  # [num_blocks, 2, Hkv, bs, hd]
     query_start_loc: np.ndarray,  # [num_seqs+1]
     seq_lens: np.ndarray,  # [num_seqs]
     block_table: np.ndarray,  # [num_seqs, max_blocks]
@@ -122,9 +122,9 @@ def ref_paged_attention(
     ``unified_attention``, backend/triton_attn.py:396,446).
     """
     num_q_heads = q.shape[1]
-    num_kv_heads = k_cache.shape[0]
+    num_kv_heads = kv_cache.shape[2]
     q_per_kv = num_q_heads // num_kv_heads
-    block_size = k_cache.shape[2]
+    block_size = kv_cache.shape[3]
     out = np.zeros_like(q, dtype=np.float32)
     n = num_seqs if num_seqs is not None else len(seq_lens)
     for i in range(n):
@@ -134,7 +134,7 @@ def ref_paged_attention(
             continue
         seq_len = int(seq_lens[i])
         ks, vs = gather_kv_for_seq(
-            k_cache, v_cache, block_table[i], seq_len, block_size
+            kv_cache, block_table[i], seq_len, block_size
         )
         ks = ks * k_scale
         vs = vs * v_scale
@@ -264,8 +264,7 @@ def ref_selective_scan(
 def ref_reshape_and_cache(
     key: np.ndarray,  # [num_tokens, Hkv, hd]
     value: np.ndarray,
-    k_cache: np.ndarray,  # [Hkv, num_blocks, bs, hd] (mutated)
-    v_cache: np.ndarray,
+    kv_cache: np.ndarray,  # [num_blocks, 2, Hkv, bs, hd] (mutated)
     slot_mapping: np.ndarray,  # [num_tokens]
     k_scale: float = 1.0,
     v_scale: float = 1.0,
@@ -276,12 +275,16 @@ def ref_reshape_and_cache(
     scales (reference backend/triton_attn.py:396-405; oracle
     scripts/vllm_utils.py:377-429).  Slots of PAD_SLOT_ID (-1) are skipped.
     """
-    block_size = k_cache.shape[2]
+    block_size = kv_cache.shape[3]
     for t, slot in enumerate(slot_mapping):
         slot = int(slot)
         if slot < 0:
             continue
         page, off = slot // block_size, slot % block_size
-        k_cache[:, page, off, :] = (key[t] / k_scale).astype(k_cache.dtype)
-        v_cache[:, page, off, :] = (value[t] / v_scale).astype(v_cache.dtype)
-    return k_cache, v_cache
+        kv_cache[page, 0, :, off, :] = (key[t] / k_scale).astype(
+            kv_cache.dtype
+        )
+        kv_cache[page, 1, :, off, :] = (value[t] / v_scale).astype(
+            kv_cache.dtype
+        )
+    return kv_cache

@@ -33,8 +33,8 @@ from vllm_triton_backend_tpu.ops.pallas.decode_attention import (
 
 def cp_decode_attention(
     q: jax.Array,  # [S, Hq, hd] (replicated across the seq axis)
-    k_cache: jax.Array,  # [Hkv, local_blocks, bs, hd] local shard
-    v_cache: jax.Array,
+    kv_cache: jax.Array,  # [L, local_blocks, 2, Hkv, bs, hd] local shard
+    layer_idx: jax.Array,  # scalar int32
     local_seq_lens: jax.Array,  # [S] kv tokens held by THIS chip
     local_block_table: jax.Array,  # [S, max_blocks] local page ids
     axis_name: str,
@@ -46,7 +46,7 @@ def cp_decode_attention(
 ) -> jax.Array:
     """Sequence-parallel paged decode attention (call under shard_map)."""
     acc, m, l = paged_decode_attention(
-        q, k_cache, v_cache, local_seq_lens, local_block_table,
+        q, kv_cache, layer_idx, local_seq_lens, local_block_table,
         scale=scale, max_seq_len=max_seq_len,
         k_scale=k_scale, v_scale=v_scale,
         return_partials=True,

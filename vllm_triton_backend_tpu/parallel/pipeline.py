@@ -87,8 +87,7 @@ def _stage_forward(
     cfg: ModelConfig,
     x: jax.Array,  # [Tm, h]
     positions: jax.Array,  # [Tm]
-    k_cache: jax.Array,  # [L/S, Hkv, blocks, bs, hd] local slice
-    v_cache: jax.Array,
+    kv_cache: jax.Array,  # [L/S, blocks, 2, Hkv, bs, hd] local slice
     meta: AttentionMetadata,
     extras: ForwardExtras,
 ):
@@ -96,20 +95,23 @@ def _stage_forward(
     hd = cfg.head_size
     inv_freq = _rope_inv_freq(cfg)
     t = x.shape[0]
+    n_local = kv_cache.shape[0]
 
-    def layer_body(h_in, xs):
-        lp, kc, vc = xs
+    def layer_body(carry, xs):
+        h_in, kv = carry
+        lp, lidx = xs  # lidx is LOCAL to this stage's cache slice
         normed = rms_norm(h_in, lp.input_norm, cfg.rms_norm_eps)
         q = linear(normed, lp.q_proj).reshape(t, cfg.num_heads, hd)
         k = linear(normed, lp.k_proj).reshape(t, cfg.num_kv_heads, hd)
         v = linear(normed, lp.v_proj).reshape(t, cfg.num_kv_heads, hd)
         q = apply_rope(q, positions, inv_freq)
         k = apply_rope(k, positions, inv_freq)
-        kc, vc = reshape_and_cache(
-            k, v, kc, vc, meta.slot_mapping, extras.k_scale, extras.v_scale
+        kv = reshape_and_cache(
+            kv, lidx, k, v, meta.slot_mapping,
+            extras.k_scale, extras.v_scale,
         )
         attn = unified_attention(
-            q, kc, vc, meta,
+            q, kv, lidx, meta,
             scale=cfg.attn_scale,
             max_query_len=extras.max_query_len,
             max_seq_len=extras.max_seq_len,
@@ -125,12 +127,13 @@ def _stage_forward(
         mlp = linear(
             gate.astype(dtype) * linear(normed2, lp.up_proj), lp.down_proj
         )
-        return h_mid + mlp, (kc, vc)
+        return (h_mid + mlp, kv), None
 
-    x, (k_cache, v_cache) = jax.lax.scan(
-        layer_body, x, (layers, k_cache, v_cache)
+    (x, kv_cache), _ = jax.lax.scan(
+        layer_body, (x, kv_cache),
+        (layers, jnp.arange(n_local, dtype=jnp.int32)),
     )
-    return x, k_cache, v_cache
+    return x, kv_cache
 
 
 def make_pp_forward(
@@ -145,20 +148,20 @@ def make_pp_forward(
       token_ids [M, Tm], positions [M, Tm], query_start_loc [M, Sm+1],
       seq_lens [M, Sm], block_table [M, Sm, B], slot_mapping [M, Tm].
     Microbatches must reference disjoint cache pages.  Returns
-    ``(logits [M, Tm, vocab], k_cache, v_cache)``.
+    ``(logits [M, Tm, vocab], kv_cache)``.
     """
     num_stages = mesh.shape["stage"]
     assert cfg.num_layers % num_stages == 0
     m = num_microbatches
 
     def step(
-        params, token_ids, positions, k_cache, v_cache,
+        params, token_ids, positions, kv_cache,
         qsl, seq_lens, block_table, slot_mapping,
     ):
         stage = jax.lax.axis_index("stage")
         # shard_map hands each stage its local [L/S, ...] slices directly
         layers = params.layers
-        kc, vc = k_cache, v_cache
+        kv = kv_cache
         tm = token_ids.shape[1]
         h = cfg.hidden_size
         dtype = jnp.dtype(cfg.dtype)
@@ -172,7 +175,7 @@ def make_pp_forward(
         perm = [(i, i + 1) for i in range(num_stages - 1)]
 
         def tick(t, carry):
-            x_cur, out_buf, kc, vc = carry
+            x_cur, out_buf, kv = carry
             mb = t - stage  # microbatch this stage works on
             active = jnp.logical_and(mb >= 0, mb < m)
             mb_c = jnp.clip(mb, 0, m - 1)
@@ -189,12 +192,11 @@ def make_pp_forward(
                 ),
                 num_seqs=jnp.int32(seq_lens.shape[1]),
             )
-            y, kc2, vc2 = _stage_forward(
-                layers, cfg, x_in, positions[mb_c], kc, vc, meta, extras
+            y, kv2 = _stage_forward(
+                layers, cfg, x_in, positions[mb_c], kv, meta, extras
             )
             # inactive stages must not mutate their cache
-            kc = jnp.where(active, kc2, kc)
-            vc = jnp.where(active, vc2, vc)
+            kv = jnp.where(active, kv2, kv)
             # last stage stores its finished microbatch
             out_buf = jnp.where(
                 jnp.logical_and(stage == num_stages - 1, active)[None],
@@ -203,10 +205,10 @@ def make_pp_forward(
             )
             # hand activations to the next stage
             x_next = jax.lax.ppermute(y, "stage", perm)
-            return x_next, out_buf, kc, vc
+            return x_next, out_buf, kv
 
-        x_cur, out_buf, kc, vc = jax.lax.fori_loop(
-            0, m + num_stages - 1, tick, (x_cur, out_buf, kc, vc)
+        x_cur, out_buf, kv = jax.lax.fori_loop(
+            0, m + num_stages - 1, tick, (x_cur, out_buf, kv)
         )
         # replicate the last stage's outputs to all stages
         out_buf = jax.lax.psum(
@@ -221,18 +223,17 @@ def make_pp_forward(
         ).astype(jnp.float32)
         if cfg.logits_scaling != 1.0:
             logits = logits / cfg.logits_scaling
-        return logits.reshape(m, tm, -1), kc, vc
+        return logits.reshape(m, tm, -1), kv
 
     batch_spec = P()
     mapped = jax.shard_map(
         step,
         mesh=mesh,
         in_specs=(
-            PARAM_SPECS_PP, batch_spec, batch_spec,
-            CACHE_SPEC_PP, CACHE_SPEC_PP,
+            PARAM_SPECS_PP, batch_spec, batch_spec, CACHE_SPEC_PP,
             batch_spec, batch_spec, batch_spec, batch_spec,
         ),
-        out_specs=(P(), CACHE_SPEC_PP, CACHE_SPEC_PP),
+        out_specs=(P(), CACHE_SPEC_PP),
         check_vma=False,
     )
-    return jax.jit(mapped, donate_argnums=(3, 4))
+    return jax.jit(mapped, donate_argnums=(3,))

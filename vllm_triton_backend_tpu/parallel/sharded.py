@@ -6,7 +6,7 @@ Sharding layout (the scaling-book TP recipe; SURVEY.md §2.6 build column):
             o_proj/down_proj    [L, in, h]     in-dim  over ``model``
             lm_head             [h, vocab]     vocab   over ``model``
             embed / norms       replicated
-  kv-cache  [L, Hkv, blocks, bs, hd]           Hkv over ``model``,
+  kv-cache  [L, blocks, 2, Hkv, bs, hd]        Hkv over ``model``,
                                                blocks over ``data``
   batch     leading [data] axis: each data shard runs its own scheduler
             batch (independent sequences, own page pool)
@@ -55,7 +55,7 @@ PARAM_SPECS = LlamaParams(
     lm_head=P(None, "model"),
 )
 
-CACHE_SPEC = P(None, "model", "data", None, None)
+CACHE_SPEC = P(None, "data", None, "model", None, None)
 
 
 def shard_params(params: LlamaParams, mesh: Mesh) -> LlamaParams:
@@ -67,9 +67,8 @@ def shard_params(params: LlamaParams, mesh: Mesh) -> LlamaParams:
     )
 
 
-def shard_caches(k_cache, v_cache, mesh: Mesh):
-    s = NamedSharding(mesh, CACHE_SPEC)
-    return jax.device_put(k_cache, s), jax.device_put(v_cache, s)
+def shard_caches(kv_cache, mesh: Mesh):
+    return jax.device_put(kv_cache, NamedSharding(mesh, CACHE_SPEC))
 
 
 def local_model_config(cfg: ModelConfig, tp: int) -> ModelConfig:
@@ -90,7 +89,7 @@ def local_model_config(cfg: ModelConfig, tp: int) -> ModelConfig:
 def make_sharded_forward(cfg: ModelConfig, mesh: Mesh, extras: ForwardExtras):
     """Build the jitted multi-chip step.
 
-    Returns ``step(params, token_ids, positions, k_cache, v_cache, *meta)``
+    Returns ``step(params, token_ids, positions, kv_cache, *meta)``
     where the batch arrays carry a leading ``[data]`` replica axis:
 
       token_ids/positions/slot_mapping [D, T], query_start_loc [D, S+1],
@@ -103,7 +102,7 @@ def make_sharded_forward(cfg: ModelConfig, mesh: Mesh, extras: ForwardExtras):
     lcfg = local_model_config(cfg, tp)
 
     def step(
-        params, token_ids, positions, k_cache, v_cache,
+        params, token_ids, positions, kv_cache,
         query_start_loc, seq_lens, block_table, slot_mapping,
     ):
         meta = AttentionMetadata(
@@ -113,24 +112,24 @@ def make_sharded_forward(cfg: ModelConfig, mesh: Mesh, extras: ForwardExtras):
             slot_mapping=slot_mapping[0],
             num_seqs=jnp.int32(seq_lens.shape[1]),
         )
-        logits, kc, vc = forward_fn(
-            params, lcfg, token_ids[0], positions[0], k_cache, v_cache,
+        logits, kv = forward_fn(
+            params, lcfg, token_ids[0], positions[0], kv_cache,
             meta, extras, tp_axis="model",
         )
-        return logits[None], kc, vc
+        return logits[None], kv
 
     batch_spec = P("data")
     mapped = jax.shard_map(
         step,
         mesh=mesh,
         in_specs=(
-            PARAM_SPECS, batch_spec, batch_spec, CACHE_SPEC, CACHE_SPEC,
+            PARAM_SPECS, batch_spec, batch_spec, CACHE_SPEC,
             batch_spec, batch_spec, batch_spec, batch_spec,
         ),
-        out_specs=(P("data"), CACHE_SPEC, CACHE_SPEC),
+        out_specs=(P("data"), CACHE_SPEC),
         check_vma=False,
     )
-    return jax.jit(mapped, donate_argnums=(3, 4))
+    return jax.jit(mapped, donate_argnums=(3,))
 
 
 def make_sharded_decode_steps(
@@ -147,8 +146,8 @@ def make_sharded_decode_steps(
     shard from replicated logits and the shared RNG key, so the sampled
     tokens are replicated without extra communication.  Returns
     ``step(params, tokens[D,S], seq_lens[D,S], block_table[D,S,B],
-    live[D,S], k_cache, v_cache, temp[D,S], top_p, top_k, key)
-    -> (sampled [D,K,S], next_tokens, final_lens, next_key, caches)``.
+    live[D,S], kv_cache, temp[D,S], top_p, top_k, key)
+    -> (sampled [D,K,S], next_tokens, final_lens, next_key, kv_cache)``.
     """
     import jax.numpy as jnp
 
@@ -159,7 +158,7 @@ def make_sharded_decode_steps(
 
     def step(
         params, tokens, seq_lens, block_table, live,
-        k_cache, v_cache, temperature, top_p, top_k, rng_key,
+        kv_cache, temperature, top_p, top_k, rng_key,
     ):
         toks0, lens0, tbl = tokens[0], seq_lens[0], block_table[0]
         lv, temp, tp_, tk = (
@@ -169,7 +168,7 @@ def make_sharded_decode_steps(
         qsl = jnp.arange(num_seqs + 1, dtype=jnp.int32)
 
         def body(carry, _):
-            toks, lens, kc, vc, key = carry
+            toks, lens, kv, key = carry
             key, sub = jax.random.split(key)
             pos = lens - 1
             page = jnp.take_along_axis(
@@ -185,22 +184,21 @@ def make_sharded_decode_steps(
                 slot_mapping=slots,
                 num_seqs=jnp.int32(num_seqs),
             )
-            logits, kc, vc = forward_fn(
-                params, lcfg, toks, pos, kc, vc, meta, extras,
+            logits, kv = forward_fn(
+                params, lcfg, toks, pos, kv, meta, extras,
                 tp_axis="model",
             )
             nxt = sample(logits, temp, tp_, tk, sub)
             nxt = jnp.where(lv, nxt, 0)
             lens = jnp.where(lv, lens + 1, lens)
-            return (nxt, lens, kc, vc, key), nxt
+            return (nxt, lens, kv, key), nxt
 
-        (toks0, lens0, k_cache, v_cache, rng_key), sampled = jax.lax.scan(
-            body, (toks0, lens0, k_cache, v_cache, rng_key), None,
+        (toks0, lens0, kv_cache, rng_key), sampled = jax.lax.scan(
+            body, (toks0, lens0, kv_cache, rng_key), None,
             length=num_steps,
         )
         return (
-            sampled[None], toks0[None], lens0[None], rng_key,
-            k_cache, v_cache,
+            sampled[None], toks0[None], lens0[None], rng_key, kv_cache,
         )
 
     b = P("data")
@@ -208,9 +206,9 @@ def make_sharded_decode_steps(
         step,
         mesh=mesh,
         in_specs=(
-            PARAM_SPECS, b, b, b, b, CACHE_SPEC, CACHE_SPEC, b, b, b, P(),
+            PARAM_SPECS, b, b, b, b, CACHE_SPEC, b, b, b, P(),
         ),
-        out_specs=(b, b, b, P(), CACHE_SPEC, CACHE_SPEC),
+        out_specs=(b, b, b, P(), CACHE_SPEC),
         check_vma=False,
     )
-    return jax.jit(mapped, donate_argnums=(5, 6))
+    return jax.jit(mapped, donate_argnums=(5,))

@@ -94,7 +94,7 @@ class LLMEngine:
             self._hybrid.make_kv_caches if self.is_hybrid
             else llama.make_kv_caches
         )
-        self.k_cache, self.v_cache = make_caches(
+        self.kv_cache = make_caches(
             mc, cc.num_blocks, cc.block_size, cache_dtype
         )
         # Tensor parallelism: shard weights/caches over the (1, tp) mesh
@@ -110,9 +110,7 @@ class LLMEngine:
             assert not self.is_hybrid, "TP for hybrid models: TODO"
             self.mesh = make_mesh(data=1, model=self.tp)
             self.params = params = shard_params(params, self.mesh)
-            self.k_cache, self.v_cache = shard_caches(
-                self.k_cache, self.v_cache, self.mesh
-            )
+            self.kv_cache = shard_caches(self.kv_cache, self.mesh)
             self._tp_steps: dict = {}  # extras -> jitted sharded step
             self._tp_decode_steps: dict = {}  # (extras, k) -> jitted
         self.scheduler = Scheduler(sched_config, cc)
@@ -256,16 +254,16 @@ class LLMEngine:
                     self.config.model, self.mesh, extras, k, bs
                 )
                 self._tp_decode_steps[(extras, k)] = step_fn
-            sampled, toks, lens, key, kc, vc = step_fn(
+            sampled, toks, lens, key, kv = step_fn(
                 self.params, tokens_d[None], lens_d[None], tbl_d[None],
-                live_d[None], self.k_cache, self.v_cache,
+                live_d[None], self.kv_cache,
                 temp_d[None], topp_d[None], topk_d[None], key_d,
             )
-            return sampled[0], toks[0], lens[0], key, kc, vc
+            return sampled[0], toks[0], lens[0], key, kv
         return decode_steps(
             self.params, self.config.model,
             tokens_d, lens_d, tbl_d, live_d,
-            self.k_cache, self.v_cache,
+            self.kv_cache,
             temp_d, topp_d, topk_d,
             key_d, extras, k, bs,
         )
@@ -374,8 +372,7 @@ class LLMEngine:
             )
             if launch:
                 (
-                    sampled, tokens_d, lens_d, key_d,
-                    self.k_cache, self.v_cache,
+                    sampled, tokens_d, lens_d, key_d, self.kv_cache,
                 ) = self._launch_decode_chunk(
                     tokens_d, lens_d, tbl_d, live_d,
                     temp_d, topp_d, topk_d, key_d, extras, k, bs,
@@ -444,11 +441,11 @@ class LLMEngine:
                     self.config.model, self.mesh, extras
                 )
                 self._tp_steps[extras] = step_fn
-            logits, self.k_cache, self.v_cache = step_fn(
+            logits, self.kv_cache = step_fn(
                 self.params,
                 jnp.asarray(batch.token_ids)[None],
                 jnp.asarray(batch.positions)[None],
-                self.k_cache, self.v_cache,
+                self.kv_cache,
                 jnp.asarray(batch.query_start_loc)[None],
                 jnp.asarray(batch.seq_lens)[None],
                 jnp.asarray(batch.block_table)[None],
@@ -478,13 +475,13 @@ class LLMEngine:
                 num_seqs=jnp.int32(batch.num_seqs),
             )
             (
-                logits, self.k_cache, self.v_cache,
+                logits, self.kv_cache,
                 self.conv_state, self.ssm_state,
             ) = self._hybrid.forward(
                 self.params, self.config.model,
                 jnp.asarray(batch.token_ids),
                 jnp.asarray(batch.positions),
-                self.k_cache, self.v_cache,
+                self.kv_cache,
                 self.conv_state, self.ssm_state,
                 jnp.asarray(state_idx), meta, extras,
             )
@@ -497,13 +494,12 @@ class LLMEngine:
                 )
             )
         else:
-            sampled_d, self._key, self.k_cache, self.v_cache = engine_step(
+            sampled_d, self._key, self.kv_cache = engine_step(
                 self.params,
                 self.config.model,
                 jnp.asarray(batch.token_ids),
                 jnp.asarray(batch.positions),
-                self.k_cache,
-                self.v_cache,
+                self.kv_cache,
                 jnp.asarray(batch.query_start_loc),
                 jnp.asarray(batch.seq_lens),
                 jnp.asarray(batch.block_table),

@@ -37,15 +37,14 @@ from vllm_triton_backend_tpu.runtime.sampler import sample
 @functools.partial(
     jax.jit,
     static_argnames=("cfg", "extras"),
-    donate_argnames=("k_cache", "v_cache"),
+    donate_argnames=("kv_cache",),
 )
 def engine_step(
     params,
     cfg: ModelConfig,
     token_ids: jax.Array,  # [T] int32
     positions: jax.Array,  # [T] int32
-    k_cache: jax.Array,
-    v_cache: jax.Array,
+    kv_cache: jax.Array,
     query_start_loc: jax.Array,
     seq_lens: jax.Array,
     block_table: jax.Array,
@@ -56,13 +55,13 @@ def engine_step(
     top_k: jax.Array,
     rng_key: jax.Array,
     extras: ForwardExtras,
-) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+) -> tuple[jax.Array, jax.Array, jax.Array]:
     """One fully-fused engine step: forward + last-token gather + sample.
 
     The per-step host work reduces to H2D enqueues, ONE dispatch, and one
     D2H of the sampled tokens — each eager op between jit calls costs a
     host-device round trip, which dominates small-step latency.
-    Returns (sampled [S], next_key, k_cache, v_cache).
+    Returns (sampled [S], next_key, kv_cache).
     """
     meta = AttentionMetadata(
         query_start_loc=query_start_loc,
@@ -71,20 +70,20 @@ def engine_step(
         slot_mapping=slot_mapping,
         num_seqs=jnp.int32(seq_lens.shape[0]),
     )
-    logits, k_cache, v_cache = forward_fn(
-        params, cfg, token_ids, positions, k_cache, v_cache, meta, extras
+    logits, kv_cache = forward_fn(
+        params, cfg, token_ids, positions, kv_cache, meta, extras
     )
     rng_key, sub = jax.random.split(rng_key)
     sampled = sample(
         logits[logits_indices], temperature, top_p, top_k, sub
     )
-    return sampled, rng_key, k_cache, v_cache
+    return sampled, rng_key, kv_cache
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("cfg", "extras", "num_steps", "block_size"),
-    donate_argnames=("k_cache", "v_cache"),
+    donate_argnames=("kv_cache",),
 )
 def decode_steps(
     params,
@@ -93,8 +92,7 @@ def decode_steps(
     seq_lens: jax.Array,  # [S] int32 length INCLUDING current token
     block_table: jax.Array,  # [S, max_blocks] int32
     live: jax.Array,  # [S] bool — padding rows False
-    k_cache: jax.Array,
-    v_cache: jax.Array,
+    kv_cache: jax.Array,
     temperature: jax.Array,  # [S] f32
     top_p: jax.Array,  # [S] f32
     top_k: jax.Array,  # [S] int32
@@ -102,11 +100,9 @@ def decode_steps(
     extras: ForwardExtras,
     num_steps: int,
     block_size: int,
-) -> tuple[
-    jax.Array, jax.Array, jax.Array, jax.Array, jax.Array, jax.Array
-]:
+) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array, jax.Array]:
     """Returns (sampled [K, S], next_tokens [S], final_seq_lens, next_key,
-    k_cache, v_cache).
+    kv_cache).
 
     ``tokens[s]`` is the token to feed at the first step (the previously
     sampled one, already counted in ``seq_lens``, not yet in the cache).
@@ -118,7 +114,7 @@ def decode_steps(
     qsl = jnp.arange(num_seqs + 1, dtype=jnp.int32)
 
     def body(carry, _):
-        toks, lens, kc, vc, key = carry
+        toks, lens, kv, key = carry
         key, sub = jax.random.split(key)
         pos = lens - 1  # current token's position
         page = jnp.take_along_axis(
@@ -134,16 +130,16 @@ def decode_steps(
             slot_mapping=slots,
             num_seqs=jnp.int32(num_seqs),
         )
-        logits, kc, vc = forward_fn(
-            params, cfg, toks, pos, kc, vc, meta, extras
+        logits, kv = forward_fn(
+            params, cfg, toks, pos, kv, meta, extras
         )
         nxt = sample(logits, temperature, top_p, top_k, sub)
         nxt = jnp.where(live, nxt, 0)
         lens = jnp.where(live, lens + 1, lens)
-        return (nxt, lens, kc, vc, key), nxt
+        return (nxt, lens, kv, key), nxt
 
-    (tokens, seq_lens, k_cache, v_cache, rng_key), sampled = jax.lax.scan(
-        body, (tokens, seq_lens, k_cache, v_cache, rng_key), None,
+    (tokens, seq_lens, kv_cache, rng_key), sampled = jax.lax.scan(
+        body, (tokens, seq_lens, kv_cache, rng_key), None,
         length=num_steps,
     )
-    return sampled, tokens, seq_lens, rng_key, k_cache, v_cache
+    return sampled, tokens, seq_lens, rng_key, kv_cache
