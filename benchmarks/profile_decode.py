@@ -16,14 +16,21 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def _fence(out):
+    """block_until_ready does not reliably wait on the tunneled TPU
+    runtime (see bench.py): fence with a D2H fetch of one element."""
+    leaf = jax.tree.leaves(out)[0]
+    np.asarray(jax.device_get(leaf.ravel()[:1]))
+
+
 def bench(fn, *args, warmup=5, reps=50):
     for _ in range(warmup):
         out = fn(*args)
-    jax.block_until_ready(out)
+    _fence(out)
     t0 = time.perf_counter()
     for _ in range(reps):
         out = fn(*args)
-    jax.block_until_ready(out)
+    _fence(out)
     return (time.perf_counter() - t0) / reps
 
 
@@ -62,7 +69,7 @@ def main():
           f"{nbytes/1e9/bw*1e3:.2f} ms/step")
 
     S = 16
-    block_size, num_blocks = 64, 512
+    block_size, num_blocks = 64, 640
     kv_cache = make_kv_caches(cfg, num_blocks, block_size)
     max_blocks = 32  # horizon 512
     bt = rng.permutation(num_blocks - 1)[: S * max_blocks].reshape(
@@ -82,14 +89,24 @@ def main():
     # ---- full fused chunk (K=32) ---------------------------------------
     K = 32
 
-    def chunk(tokens, lens_d, kv, key):
-        return decode_steps(
-            params, cfg, tokens, lens_d, bt_d, live, kv,
-            temp, topp, topk, key, extras, K, block_size,
-        )
+    # kv_cache is donated by decode_steps: thread it through the loop
+    # (inputs lens/tokens reset every call — same slots rewritten)
+    def run_chunks(kv, n):
+        k = key
+        for _ in range(n):
+            sampled, _toks, _lens, k, kv = decode_steps(
+                params, cfg, tokens, lens_d, bt_d, live, kv,
+                temp, topp, topk, k, extras, K, block_size,
+            )
+        return sampled, kv
 
-    t = bench(chunk, tokens, lens_d, kv_cache, key, warmup=3,
-              reps=10)
+    out, kv_cache = run_chunks(kv_cache, 3)  # warmup/compile
+    _fence(out)
+    t0 = time.perf_counter()
+    reps = 10
+    out, kv_cache = run_chunks(kv_cache, reps)
+    _fence(out)
+    t = (time.perf_counter() - t0) / reps
     print(f"fused chunk K={K}: {t*1e3:.2f} ms -> {t/K*1e3:.3f} ms/step "
           f"-> {S*K/t:.0f} tok/s")
 

@@ -115,3 +115,63 @@ def test_granite_multipliers(model):
     base = run_steps(cfg, params, prompt, [4], bt)
     scaled = run_steps(cfg2, params, prompt, [4], bt)
     np.testing.assert_allclose(base / 4.0, scaled, atol=1e-5, rtol=1e-5)
+
+
+def test_kv_sharing():
+    """Layers with kv_sharing read the source layer's cache and skip the
+    write (reference backend/triton_attn.py:302,393-395).  Oracle: an
+    explicit per-layer loop that stores each owner's K/V and feeds the
+    shared tensors to the sharing layers."""
+    from vllm_triton_backend_tpu.models.llama import (
+        apply_rope, linear, rms_norm, _rope_inv_freq,
+    )
+    cfg = ModelConfig.tiny(
+        dtype="float32", num_layers=4, kv_sharing=(0, 1, 1, 0)
+    )
+    params = init_params(cfg, jax.random.key(2))
+    assert make_kv_caches(cfg, 4, BLOCK_SIZE).shape[0] == 2
+
+    rng = np.random.default_rng(0)
+    T = 12
+    prompt = rng.integers(0, cfg.vocab_size, size=T).tolist()
+    block_table = np.arange(1, dtype=np.int32).reshape(1, 1)
+    got = run_steps(cfg, params, prompt, [T], block_table)
+
+    # oracle: explicit loop, dense K/V kept per owner layer
+    hd = cfg.head_size
+    inv_freq = _rope_inv_freq(cfg)
+    pos = jnp.arange(T, dtype=jnp.int32)
+    x = params.embed[jnp.asarray(prompt)].astype(jnp.float32)
+    stored = {}
+    causal = np.tril(np.ones((T, T), bool))
+    for l in range(cfg.num_layers):
+        lp = jax.tree.map(lambda a: a[l], params.layers)
+        normed = rms_norm(x, lp.input_norm, cfg.rms_norm_eps)
+        q = linear(normed, lp.q_proj).reshape(T, cfg.num_heads, hd)
+        k = linear(normed, lp.k_proj).reshape(T, cfg.num_kv_heads, hd)
+        v = linear(normed, lp.v_proj).reshape(T, cfg.num_kv_heads, hd)
+        q = apply_rope(q, pos, inv_freq)
+        k = apply_rope(k, pos, inv_freq)
+        if cfg.kv_sharing[l] == l:
+            stored[l] = (k, v)
+        k, v = stored[cfg.kv_sharing[l]]
+        qn = np.asarray(q)
+        kn = np.repeat(np.asarray(k), cfg.num_queries_per_kv, axis=1)
+        vn = np.repeat(np.asarray(v), cfg.num_queries_per_kv, axis=1)
+        s = np.einsum("qhd,khd->hqk", qn, kn) * cfg.attn_scale
+        s = np.where(causal[None], s, -np.inf)
+        p = np.exp(s - s.max(-1, keepdims=True))
+        p /= p.sum(-1, keepdims=True)
+        attn = np.einsum("hqk,khd->qhd", p, vn)
+        attn_out = linear(
+            jnp.asarray(attn.reshape(T, -1), jnp.float32), lp.o_proj
+        )
+        h_mid = x + attn_out
+        normed2 = rms_norm(h_mid, lp.post_attn_norm, cfg.rms_norm_eps)
+        gate = jax.nn.silu(linear(normed2, lp.gate_proj))
+        mlp = linear(gate * linear(normed2, lp.up_proj), lp.down_proj)
+        x = h_mid + mlp
+    x = rms_norm(x, params.final_norm, cfg.rms_norm_eps)
+    want = np.asarray(linear(x, params.lm_head))
+
+    np.testing.assert_allclose(got, want, atol=2e-4, rtol=1e-3)

@@ -1,0 +1,199 @@
+"""Real-TPU smoke: drive every Pallas kernel vs its oracle on the chip.
+
+The pytest suite runs the kernels on CPU in interpret mode, which does not
+enforce Mosaic layout/alignment rules (e.g. the 128-lane minor-dim rule for
+manual DMAs) — this script is the real-hardware gate.  Run it after any
+kernel change:
+
+    python tools/tpu_smoke.py            # full sweep
+    python tools/tpu_smoke.py decode     # name filter
+
+Checks fetch only small outputs (multi-MB D2H through the dev tunnel can
+stall); the cache-write check therefore verifies write->read through the
+decode kernel instead of fetching the cache.
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+sys.path.insert(0, ".")  # run from repo root
+
+from tests.utils import random_batch, random_cache  # noqa: E402
+from vllm_triton_backend_tpu.ops.attention import unified_attention  # noqa: E402
+from vllm_triton_backend_tpu.ops.pallas.cache_ops import reshape_and_cache  # noqa: E402
+from vllm_triton_backend_tpu.ops.refs import ref_paged_attention  # noqa: E402
+
+rng = np.random.default_rng(0)
+failures: list[str] = []
+name_filter = sys.argv[1] if len(sys.argv) > 1 else ""
+
+
+def check(name, fn):
+    if name_filter and name_filter not in name:
+        return
+    t0 = time.time()
+    try:
+        fn()
+        print(f"PASS {name}  ({time.time() - t0:.1f}s)", flush=True)
+    except Exception as e:  # noqa: BLE001
+        failures.append(name)
+        msg = str(e).split("\n")[0][:300]
+        print(f"FAIL {name}: {type(e).__name__}: {msg}", flush=True)
+
+
+def run_attn(qlens, clens, hq=8, hkv=2, hd=128, bs=32, head_pad=None,
+             cache_dtype=None, k_scale=1.0, atol=2e-2, **kw):
+    nb = 256
+    kv = random_cache(rng, hkv, nb, bs, hd, num_layers=2,
+                      head_pad=head_pad or max(hd, 128))
+    q, tbl, meta = random_batch(rng, qlens, clens, hq, hd, bs, nb)
+    if cache_dtype is not None:
+        kvj = jnp.asarray(kv / k_scale).astype(cache_dtype)
+        ref_kv = np.asarray(kvj[1].astype(jnp.float32))[..., :hd] * k_scale
+    else:
+        kvj = jnp.asarray(kv, jnp.bfloat16)
+        ref_kv = np.asarray(kvj[1].astype(jnp.float32))[..., :hd]
+    ref = ref_paged_attention(
+        q, ref_kv, np.asarray(meta.query_start_loc),
+        np.asarray(meta.seq_lens), tbl, hd ** -0.5,
+        **{k: v for k, v in kw.items() if k in
+           ("sliding_window", "logits_soft_cap", "local_chunk_size")},
+    )
+    out = unified_attention(
+        jnp.asarray(q, jnp.bfloat16), kvj, jnp.int32(1), meta,
+        scale=hd ** -0.5, max_query_len=max(qlens),
+        max_seq_len=max(c + ql for c, ql in zip(clens, qlens)),
+        k_scale=k_scale, v_scale=k_scale, **kw,
+    )
+    err = np.max(np.abs(np.asarray(out, np.float32) - ref))
+    assert err < atol, f"max err {err}"
+
+
+def run_cache_write_read():
+    """reshape_and_cache -> paged_decode_attention vs a host-built cache:
+    verifies the scatter's addressing on hardware with a small D2H."""
+    from vllm_triton_backend_tpu.ops.pallas.decode_attention import (
+        paged_decode_attention,
+    )
+
+    nb, bs, hkv, hq, hd, S = 64, 32, 2, 8, 128, 4
+    lens = np.asarray([40, 7, 100, 64], np.int32)
+    tbl = rng.permutation(nb)[: S * 4].reshape(S, 4).astype(np.int32)
+    host = np.zeros((1, nb, 2, hkv, bs, hd), np.float32)
+    slots = []
+    for i, ln in enumerate(lens):
+        for pos in range(ln):
+            slots.append(tbl[i, pos // bs] * bs + pos % bs)
+    kv_tok = rng.standard_normal((len(slots), 2, hkv, hd)).astype(
+        np.float32) * 0.5
+    for j, sl in enumerate(slots):
+        host[0, sl // bs, 0, :, sl % bs, :] = kv_tok[j, 0]
+        host[0, sl // bs, 1, :, sl % bs, :] = kv_tok[j, 1]
+
+    kv = jnp.zeros((1, nb, 2, hkv, bs, hd), jnp.float32)
+    kv = reshape_and_cache(
+        kv, jnp.int32(0),
+        jnp.asarray(kv_tok[:, 0]), jnp.asarray(kv_tok[:, 1]),
+        jnp.asarray(np.asarray(slots, np.int32)),
+    )
+    q = rng.standard_normal((S, hq, hd)).astype(np.float32)
+    out = paged_decode_attention(
+        jnp.asarray(q), kv, jnp.int32(0), jnp.asarray(lens),
+        jnp.asarray(tbl), scale=hd ** -0.5, max_seq_len=128,
+    )
+    qsl = np.arange(S + 1, dtype=np.int32)
+    ref = ref_paged_attention(q, host[0], qsl, lens, tbl, hd ** -0.5)
+    err = np.max(np.abs(np.asarray(out) - ref))
+    assert err < 2e-3, f"max err {err}"
+
+
+def run_mamba():
+    from vllm_triton_backend_tpu.ops.pallas.mamba import (
+        selective_state_update,
+    )
+    from vllm_triton_backend_tpu.ops.refs import ref_selective_state_update
+
+    slots, b, h, di, ds = 16, 4, 8, 64, 16
+    state = rng.standard_normal((slots, h, di, ds)).astype(np.float32)
+    x = rng.standard_normal((b, h, di)).astype(np.float32)
+    dt = rng.standard_normal((b, h, di)).astype(np.float32)
+    A = -np.abs(rng.standard_normal((h, di, ds))).astype(np.float32)
+    B = rng.standard_normal((b, h, ds)).astype(np.float32)
+    C = rng.standard_normal((b, h, ds)).astype(np.float32)
+    D = rng.standard_normal((h, di)).astype(np.float32)
+    z = rng.standard_normal((b, h, di)).astype(np.float32)
+    idx = np.asarray([3, 7, 1, 9], np.int32)
+    ref_state = state.copy()
+    ref_out = ref_selective_state_update(
+        ref_state, x, dt, A, B, C, D=D, z=z, state_batch_indices=idx,
+        dt_softplus=True,
+    )
+    out, new_st = selective_state_update(
+        jnp.asarray(state), jnp.asarray(x), jnp.asarray(dt), jnp.asarray(A),
+        jnp.asarray(B), jnp.asarray(C), D=jnp.asarray(D), z=jnp.asarray(z),
+        state_batch_indices=jnp.asarray(idx), dt_softplus=True,
+    )
+    np.testing.assert_allclose(np.asarray(out), ref_out, atol=2e-3,
+                               rtol=2e-2)
+    # fetch only the touched slots (small D2H)
+    got = np.asarray(new_st[jnp.asarray(idx)])
+    np.testing.assert_allclose(got, ref_state[idx], atol=2e-3, rtol=2e-2)
+
+
+def run_quant():
+    from vllm_triton_backend_tpu.ops.pallas.quant_linear import (
+        quantize_weights, quant_matmul,
+    )
+
+    x = jnp.asarray(rng.standard_normal((64, 512)), jnp.bfloat16)
+    w = jnp.asarray(rng.standard_normal((512, 1024)) * 0.02, jnp.bfloat16)
+    for dt in ("int8", "fp8"):
+        qw = quantize_weights(w, dt)
+        out = quant_matmul(x, qw)
+        ref = np.asarray(x, np.float32) @ np.asarray(w, np.float32)
+        err = np.max(np.abs(np.asarray(out, np.float32) - ref))
+        assert err < ref.std() * 0.2, f"{dt} err {err}"
+
+
+def main():
+    print("devices:", jax.devices(), flush=True)
+    check("decode hd128 bs32",
+          lambda: run_attn([1] * 8, [100, 5, 977, 32, 64, 1, 333, 80]))
+    check("decode hd64 pad128", lambda: run_attn([1, 1], [55, 200], hd=64))
+    check("decode hd256", lambda: run_attn([1, 1], [55, 200], hd=256))
+    check("decode bs16", lambda: run_attn([1, 1, 1], [31, 64, 150], bs=16))
+    check("decode mha", lambda: run_attn([1, 1], [40, 90], hq=4, hkv=4))
+    check("decode sliding",
+          lambda: run_attn([1, 1], [300, 500], sliding_window=128))
+    check("decode softcap",
+          lambda: run_attn([1, 1], [77, 11], logits_soft_cap=30.0))
+    check("decode fp8", lambda: run_attn(
+        [1, 1, 1], [40, 200, 9], cache_dtype=jnp.float8_e4m3fn,
+        k_scale=0.05, atol=6e-2))
+    check("decode local-chunk",
+          lambda: run_attn([1, 1], [300, 150], local_chunk_size=128))
+    check("prefill full", lambda: run_attn([32, 17, 5], [0, 0, 0]))
+    check("prefill chunked", lambda: run_attn([16, 8], [48, 9]))
+    check("prefill mixed+decode", lambda: run_attn([1, 7, 33], [20, 13, 0]))
+    check("prefill hd64", lambda: run_attn([12, 9], [0, 30], hd=64))
+    check("prefill sliding",
+          lambda: run_attn([16, 9], [10, 300], sliding_window=64))
+    check("prefill fp8", lambda: run_attn(
+        [9, 21], [30, 0], cache_dtype=jnp.float8_e4m3fn,
+        k_scale=0.05, atol=6e-2))
+    check("prefill long", lambda: run_attn([512], [1024]))
+    check("cache write->read", run_cache_write_read)
+    check("mamba selective_state_update", run_mamba)
+    check("quant linear int8/fp8", run_quant)
+    print(f"\n{len(failures)} failures: {failures}", flush=True)
+    sys.exit(1 if failures else 0)
+
+
+if __name__ == "__main__":
+    main()

@@ -239,18 +239,24 @@ class Autotuner:
 
     def _bench_config(self, cfg: dict, args, kwargs) -> float:
         import jax
+        import numpy as np
 
-        def call():
-            r = self.fn(*args, **kwargs, **cfg)
+        def fence(r):
+            # block_until_ready is unreliable on tunneled TPU runtimes;
+            # a 1-element D2H fetch fences the in-order dispatch stream
             leaf = jax.tree_util.tree_leaves(r)[0]
-            leaf.block_until_ready()
-            return r
+            if hasattr(leaf, "ravel"):
+                np.asarray(jax.device_get(leaf.ravel()[:1]))
 
+        r = None
         for _ in range(self.warmup):
-            call()
+            r = self.fn(*args, **kwargs, **cfg)
+        if r is not None:
+            fence(r)
         t0 = time.perf_counter()
         for _ in range(self.rep):
-            call()
+            r = self.fn(*args, **kwargs, **cfg)
+        fence(r)
         return (time.perf_counter() - t0) / self.rep
 
     def tune(self, *args, **kwargs) -> dict:

@@ -101,6 +101,13 @@ class ModelConfig:
     # this size (None = global).  Reference use_irope local-attention
     # virtual batches, backend/triton_attn.py:156-190.
     attention_chunk_size: int | None = None
+    # Cross-layer KV sharing: per-layer index of the layer whose KV this
+    # layer attends over (YOCO-style; reference kv_sharing_target_layer —
+    # backend/triton_attn.py:302,393: sharing layers skip the cache write).
+    # Owners point at themselves; entries must reference an earlier-or-same
+    # owner layer.  None = every layer owns its KV.  The cache is sized to
+    # the number of OWNER layers only.
+    kv_sharing: tuple[int, ...] | None = None
     # Weight quantization: "none" | "int8" | "fp8" (weight-only linears).
     quantization: str = "none"
     # Architecture family: "llama" (covers granite via multipliers) |
@@ -118,6 +125,30 @@ class ModelConfig:
     @property
     def head_size(self) -> int:
         return self.head_dim if self.head_dim is not None else self.hidden_size // self.num_heads
+
+    def kv_cache_slots(self) -> tuple[tuple[int, ...], int]:
+        """(per-layer cache-slot index, number of cache layers).
+
+        With ``kv_sharing`` the cache holds only OWNER layers' pages;
+        sharing layers map onto their source's slot and never write.
+        """
+        if self.kv_sharing is None:
+            return tuple(range(self.num_layers)), self.num_layers
+        if len(self.kv_sharing) != self.num_layers:
+            raise ValueError("kv_sharing must have one entry per layer")
+        slots, n = [], 0
+        for l, src in enumerate(self.kv_sharing):
+            if src == l:
+                slots.append(n)
+                n += 1
+            else:
+                if not 0 <= src < l or self.kv_sharing[src] != src:
+                    raise ValueError(
+                        f"layer {l}: kv_sharing source {src} must be an "
+                        "earlier owner layer"
+                    )
+                slots.append(slots[src])
+        return tuple(slots), n
 
     @property
     def num_queries_per_kv(self) -> int:

@@ -192,7 +192,8 @@ def forward_fn(
 
     def layer_body(carry, xs):
         h_in, kv = carry
-        lp, lidx = xs  # LayerParams slice, layer index
+        # LayerParams slice, cache slot of this layer's KV, owner flag
+        lp, slot, owns_kv = xs
         t = token_ids.shape[0]
 
         normed = rms_norm(h_in, lp.input_norm, cfg.rms_norm_eps)
@@ -202,12 +203,15 @@ def forward_fn(
         q = apply_rope(q, positions, inv_freq)
         k = apply_rope(k, positions, inv_freq)
 
+        # KV-sharing layers skip the cache write (slot -1 drops the
+        # scatter rows; reference backend/triton_attn.py:393-395)
+        write_slots = jnp.where(owns_kv, metadata.slot_mapping, -1)
         kv = reshape_and_cache(
-            kv, lidx, k, v, metadata.slot_mapping,
+            kv, slot, k, v, write_slots,
             extras.k_scale, extras.v_scale,
         )
         attn = unified_attention(
-            q, kv, lidx, metadata,
+            q, kv, slot, metadata,
             scale=cfg.attn_scale,
             max_query_len=extras.max_query_len,
             max_seq_len=extras.max_seq_len,
@@ -233,10 +237,18 @@ def forward_fn(
         h_out = h_mid + mlp * cfg.residual_multiplier
         return (h_out, kv), None
 
+    slots, _ = cfg.kv_cache_slots()
+    slots_arr = jnp.asarray(slots, jnp.int32)
+    owns_arr = (
+        jnp.ones(cfg.num_layers, bool) if cfg.kv_sharing is None
+        else jnp.asarray(
+            [s == l for l, s in enumerate(cfg.kv_sharing)], bool
+        )
+    )
     (x, kv_cache), _ = jax.lax.scan(
         layer_body,
         (x, kv_cache),
-        (params.layers, jnp.arange(cfg.num_layers, dtype=jnp.int32)),
+        (params.layers, slots_arr, owns_arr),
     )
 
     x = rms_norm(x, params.final_norm, cfg.rms_norm_eps)
@@ -294,8 +306,9 @@ def make_kv_caches(
     from vllm_triton_backend_tpu.utils import round_up
 
     dtype = cache_dtype or jnp.dtype(cfg.dtype)
+    _, n_cache_layers = cfg.kv_cache_slots()
     shape = (
-        cfg.num_layers, num_blocks, 2, cfg.num_kv_heads, block_size,
+        n_cache_layers, num_blocks, 2, cfg.num_kv_heads, block_size,
         round_up(cfg.head_size, 128),
     )
     return jnp.zeros(shape, dtype)

@@ -260,7 +260,7 @@ def _default_chunk_pages(
         "local_chunk_size",
     ),
 )
-def paged_decode_attention(
+def _paged_decode_impl(
     q: jax.Array,  # [num_seqs, num_q_heads, head_size]
     kv_cache: jax.Array,  # [L, num_blocks, 2, Hkv, block_size, head_size]
     layer_idx: jax.Array,  # scalar int32
@@ -407,3 +407,106 @@ def paged_decode_attention(
         num_seqs, num_q_heads, head_size
     )
     return out.astype(q.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Autotuned public entry: chunk_tokens (the DMA chunk size, the analog of
+# the reference's tuned BLOCK_N/num-segment split for the 3D decode kernel
+# — triton_unified_attention.py:232-266, legacy 3D NUM_SEGMENTS) resolved
+# by the dejavu layer; explicit chunk_pages bypasses.
+# ---------------------------------------------------------------------------
+
+from vllm_triton_backend_tpu.autotune import ConfigSpace, autotune  # noqa: E402
+from vllm_triton_backend_tpu.utils import next_power_of_2  # noqa: E402
+
+DECODE_CONFIG_SPACE = ConfigSpace(
+    space={"chunk_tokens": [128, 256, 512, 1024]},
+)
+
+
+def _decode_fallback(key: tuple) -> dict:
+    # mirror _default_chunk_pages: big enough to amortize grid-step
+    # overhead, small enough for double-buffered VMEM
+    max_seq_p2 = key[0]
+    return {"chunk_tokens": min(512, max(128, max_seq_p2))}
+
+
+@autotune(
+    config_space=DECODE_CONFIG_SPACE,
+    key=[
+        "max_seq_len_p2", "num_seqs_p2", "num_q_heads", "num_kv_heads",
+        "head_size", "block_size", "kv_dtype",
+    ],
+    name="paged_decode_attention",
+    fallback_heuristic=_decode_fallback,
+)
+def _decode_launch(
+    q, kv_cache, layer_idx, seq_lens, block_table,
+    *,
+    scale, max_seq_len, sliding_window, logits_soft_cap, k_scale, v_scale,
+    return_partials, local_chunk_size,
+    # autotune key fields (consumed here)
+    max_seq_len_p2, num_seqs_p2, num_q_heads, num_kv_heads, head_size,
+    block_size, kv_dtype,
+    # tuned knob (injected by the autotuner)
+    chunk_tokens,
+):
+    # clamp the tuned chunk to the VMEM double-buffer budget for these
+    # head counts / dtypes (same budget as _default_chunk_pages)
+    cap = _default_chunk_pages(
+        max_seq_len, block_size, num_kv_heads, head_size,
+        jnp.dtype(kv_dtype).itemsize,
+    )
+    chunk_pages = max(1, min(chunk_tokens // block_size, cap))
+    return _paged_decode_impl(
+        q, kv_cache, layer_idx, seq_lens, block_table,
+        scale=scale, max_seq_len=max_seq_len,
+        sliding_window=sliding_window, logits_soft_cap=logits_soft_cap,
+        k_scale=k_scale, v_scale=v_scale,
+        return_partials=return_partials, chunk_pages=chunk_pages,
+        local_chunk_size=local_chunk_size,
+    )
+
+
+def paged_decode_attention(
+    q: jax.Array,
+    kv_cache: jax.Array,
+    layer_idx: jax.Array,
+    seq_lens: jax.Array,
+    block_table: jax.Array,
+    *,
+    scale: float,
+    max_seq_len: int,
+    sliding_window: int = 0,
+    logits_soft_cap: float = 0.0,
+    k_scale: float = 1.0,
+    v_scale: float = 1.0,
+    return_partials: bool = False,
+    chunk_pages: int = 0,  # 0 -> autotuned
+    local_chunk_size: int = 0,
+) -> jax.Array:
+    """Autotuned entry — see :func:`_paged_decode_impl` for semantics."""
+    if chunk_pages:
+        return _paged_decode_impl(
+            q, kv_cache, layer_idx, seq_lens, block_table,
+            scale=scale, max_seq_len=max_seq_len,
+            sliding_window=sliding_window, logits_soft_cap=logits_soft_cap,
+            k_scale=k_scale, v_scale=v_scale,
+            return_partials=return_partials, chunk_pages=chunk_pages,
+            local_chunk_size=local_chunk_size,
+        )
+    _, _, _, num_kv_heads, block_size, head_pad = kv_cache.shape
+    return _decode_launch(
+        q, kv_cache, layer_idx, seq_lens, block_table,
+        scale=scale, max_seq_len=max_seq_len,
+        sliding_window=sliding_window, logits_soft_cap=logits_soft_cap,
+        k_scale=k_scale, v_scale=v_scale,
+        return_partials=return_partials, local_chunk_size=local_chunk_size,
+        max_seq_len_p2=next_power_of_2(max_seq_len),
+        num_seqs_p2=next_power_of_2(q.shape[0]),
+        num_q_heads=q.shape[1],
+        num_kv_heads=num_kv_heads,
+        head_size=head_pad,
+        block_size=block_size,
+        kv_dtype=str(kv_cache.dtype),
+    )
