@@ -9,6 +9,7 @@ roofline ceiling.  The reference's analog is scripts/profile_and_bench.py
 
 from __future__ import annotations
 
+import functools
 import time
 
 import jax
@@ -116,8 +117,8 @@ def main():
     page = jnp.take_along_axis(bt_d, (pos // block_size)[:, None], 1)[:, 0]
     slots = (page * block_size + pos % block_size).astype(jnp.int32)
 
-    @jax.jit
-    def fwd(tokens, kv):
+    @functools.partial(jax.jit, static_argnums=())
+    def fwd(params, tokens, pos, kv, qsl, lens_d, bt_d, slots):
         meta = AttentionMetadata(
             query_start_loc=qsl, seq_lens=lens_d, block_table=bt_d,
             slot_mapping=slots, num_seqs=jnp.int32(S),
@@ -126,19 +127,19 @@ def main():
             params, cfg, tokens, pos, kv, meta, extras)
         return logits, kv
 
-    t = bench(fwd, tokens, kv_cache)
+    t = bench(fwd, params, tokens, pos, kv_cache, qsl, lens_d, bt_d, slots)
     print(f"single forward step: {t*1e3:.3f} ms")
 
     # ---- components ----------------------------------------------------
     H, KV, hd = cfg.num_heads, cfg.num_kv_heads, cfg.head_size
     q = jnp.asarray(rng.standard_normal((S, H, hd)), jnp.bfloat16)
 
-    def attn(q, kv):
+    def attn(q, kv, lens_d, bt_d):
         return paged_decode_attention(
             q, kv, jnp.int32(0), lens_d, bt_d, scale=hd**-0.5,
             max_seq_len=512)
 
-    t = bench(jax.jit(attn), q, kv_cache)
+    t = bench(attn, q, kv_cache, lens_d, bt_d)
     print(f"decode attention kernel (1 layer): {t*1e3:.3f} ms  x"
           f"{cfg.num_layers} = {t*cfg.num_layers*1e3:.3f} ms")
 
@@ -169,10 +170,10 @@ def main():
     knew = jnp.asarray(rng.standard_normal((S, KV, hd)), jnp.bfloat16)
 
     @jax.jit
-    def cache_write(kv):
+    def cache_write(kv, knew, slots):
         return reshape_and_cache(kv, jnp.int32(0), knew, knew, slots)
 
-    t = bench(cache_write, kv_cache)
+    t = bench(cache_write, kv_cache, knew, slots)
     print(f"cache write (1 layer): {t*1e3:.3f} ms  x{cfg.num_layers} = "
           f"{t*cfg.num_layers*1e3:.3f} ms")
 

@@ -329,3 +329,14 @@ def test_local_chunk_attention(mode):
         )
     )
     assert np.abs(full - ref).max() > 1e-3
+
+
+def test_decode_alibi():
+    """ALiBi bias in the decode kernel (reference decode kernels support
+    ALiBi: triton_unified_attention.py:481-482, test.py alibi sweep)."""
+    run_case([1, 1, 1], [12, 40, 70], alibi=True, atol=5e-3)
+
+
+def test_decode_alibi_gqa():
+    run_case([1, 1], [33, 100], num_q_heads=8, num_kv_heads=2, alibi=True,
+             atol=5e-3)

@@ -59,11 +59,13 @@ def run_attn(qlens, clens, hq=8, hkv=2, hd=128, bs=32, head_pad=None,
     else:
         kvj = jnp.asarray(kv, jnp.bfloat16)
         ref_kv = np.asarray(kvj[1].astype(jnp.float32))[..., :hd]
+    ref_kw = {k: v for k, v in kw.items() if k in
+              ("sliding_window", "logits_soft_cap", "local_chunk_size")}
+    if kw.get("alibi_slopes") is not None:
+        ref_kw["alibi_slopes"] = np.asarray(kw["alibi_slopes"])
     ref = ref_paged_attention(
         q, ref_kv, np.asarray(meta.query_start_loc),
-        np.asarray(meta.seq_lens), tbl, hd ** -0.5,
-        **{k: v for k, v in kw.items() if k in
-           ("sliding_window", "logits_soft_cap", "local_chunk_size")},
+        np.asarray(meta.seq_lens), tbl, hd ** -0.5, **ref_kw,
     )
     out = unified_attention(
         jnp.asarray(q, jnp.bfloat16), kvj, jnp.int32(1), meta,
@@ -178,6 +180,11 @@ def main():
         k_scale=0.05, atol=6e-2))
     check("decode local-chunk",
           lambda: run_attn([1, 1], [300, 150], local_chunk_size=128))
+    check("decode alibi", lambda: run_attn(
+        [1, 1], [33, 100],
+        alibi_slopes=jnp.asarray(
+            np.geomspace(0.5, 0.01, 8, dtype=np.float32)),
+        atol=5e-2))
     check("prefill full", lambda: run_attn([32, 17, 5], [0, 0, 0]))
     check("prefill chunked", lambda: run_attn([16, 8], [48, 9]))
     check("prefill mixed+decode", lambda: run_attn([1, 7, 33], [20, 13, 0]))

@@ -56,11 +56,6 @@ def unified_attention(
         force_selection == "decode"
     )
     if use_decode:
-        if alibi_slopes is not None:
-            raise NotImplementedError(
-                "ALiBi decode is served by the prefill kernel for now; "
-                "pass force_selection='prefill'."
-            )
         # one token per sequence: token order == sequence order
         return paged_decode_attention(
             q,
@@ -72,6 +67,7 @@ def unified_attention(
             max_seq_len=max_seq_len,
             sliding_window=sliding_window,
             logits_soft_cap=logits_soft_cap,
+            alibi_slopes=alibi_slopes,
             k_scale=k_scale,
             v_scale=v_scale,
             local_chunk_size=local_chunk_size,

@@ -79,9 +79,8 @@ def _ragged_decode_kernel(
     # inputs
     q_ref,  # [1, Hkv, qpk_pad, hd] f32 (VMEM, per-seq block)
     kv_hbm,  # [L, num_blocks, 2, Hkv, bs, hd] cache dtype (stays in HBM)
-    # outputs
-    o_ref,  # [1, Hkv, qpk_pad, hd]
-    *rest,  # partials mode: (m_out, l_out) then scratch
+    # then optionally alibi [Hkv, qpk_pad, 128], outputs, scratch
+    *rest,
     scale: float,
     block_size: int,
     chunk_pages: int,
@@ -91,7 +90,11 @@ def _ragged_decode_kernel(
     v_scale: float,
     return_partials: bool,
     local_chunk_size: int,
+    has_alibi: bool,
 ):
+    rest = list(rest)
+    alibi_ref = rest.pop(0) if has_alibi else None
+    o_ref = rest.pop(0)  # [1, Hkv, qpk_pad, hd]
     if return_partials:
         m_out, l_out, kv_buf, sems, m_scr, l_scr, acc_scr = rest
     else:
@@ -203,6 +206,13 @@ def _ragged_decode_kernel(
         pos = chunk_lo + jax.lax.broadcasted_iota(
             jnp.int32, s_blk.shape, 2
         )
+        if has_alibi:
+            # bias = slope * (kv_pos - q_pos); the decode token sits at
+            # q_pos = seq_len - 1 (reference unified kernel :481-482)
+            slope = alibi_ref[:, :, :1]  # [H, qpk_pad, 1]
+            s_blk = s_blk + slope * (pos - (seq_len - 1)).astype(
+                jnp.float32
+            )
         mask = jnp.logical_and(pos < seq_len, pos >= lo)
         s_blk = jnp.where(mask, s_blk, MASK_VALUE)
 
@@ -271,6 +281,7 @@ def _paged_decode_impl(
     max_seq_len: int,
     sliding_window: int = 0,
     logits_soft_cap: float = 0.0,
+    alibi_slopes: jax.Array | None = None,  # [num_q_heads] f32
     k_scale: float = 1.0,
     v_scale: float = 1.0,
     return_partials: bool = False,
@@ -329,6 +340,7 @@ def _paged_decode_impl(
         v_scale=v_scale,
         return_partials=return_partials,
         local_chunk_size=local_chunk_size,
+        has_alibi=alibi_slopes is not None,
     )
 
     def q_map(s, c, lyr, sl, tbl):
@@ -354,7 +366,12 @@ def _paged_decode_impl(
         in_specs=[
             pl.BlockSpec((1, num_kv_heads, qpk_pad, head_pad), q_map),
             pl.BlockSpec(memory_space=pl.ANY),  # cache stays in HBM
-        ],
+        ] + ([
+            pl.BlockSpec(
+                (num_kv_heads, qpk_pad, 128),
+                lambda s, c, lyr, sl, tbl: (0, 0, 0),
+            )
+        ] if alibi_slopes is not None else []),
         out_specs=out_specs,
         scratch_shapes=[
             pltpu.VMEM(
@@ -392,6 +409,19 @@ def _paged_decode_impl(
         block_table,
         qr,
         kv_cache,
+        *(
+            () if alibi_slopes is None else (
+                jnp.broadcast_to(
+                    jnp.pad(
+                        alibi_slopes.astype(jnp.float32).reshape(
+                            num_kv_heads, qpk
+                        ),
+                        ((0, 0), (0, qpk_pad - qpk)),
+                    )[:, :, None],
+                    (num_kv_heads, qpk_pad, 128),
+                ),
+            )
+        ),
     )
 
     if return_partials:
@@ -443,8 +473,8 @@ def _decode_fallback(key: tuple) -> dict:
 def _decode_launch(
     q, kv_cache, layer_idx, seq_lens, block_table,
     *,
-    scale, max_seq_len, sliding_window, logits_soft_cap, k_scale, v_scale,
-    return_partials, local_chunk_size,
+    scale, max_seq_len, sliding_window, logits_soft_cap, alibi_slopes,
+    k_scale, v_scale, return_partials, local_chunk_size,
     # autotune key fields (consumed here)
     max_seq_len_p2, num_seqs_p2, num_q_heads, num_kv_heads, head_size,
     block_size, kv_dtype,
@@ -462,7 +492,7 @@ def _decode_launch(
         q, kv_cache, layer_idx, seq_lens, block_table,
         scale=scale, max_seq_len=max_seq_len,
         sliding_window=sliding_window, logits_soft_cap=logits_soft_cap,
-        k_scale=k_scale, v_scale=v_scale,
+        alibi_slopes=alibi_slopes, k_scale=k_scale, v_scale=v_scale,
         return_partials=return_partials, chunk_pages=chunk_pages,
         local_chunk_size=local_chunk_size,
     )
@@ -479,6 +509,7 @@ def paged_decode_attention(
     max_seq_len: int,
     sliding_window: int = 0,
     logits_soft_cap: float = 0.0,
+    alibi_slopes: jax.Array | None = None,
     k_scale: float = 1.0,
     v_scale: float = 1.0,
     return_partials: bool = False,
@@ -491,7 +522,7 @@ def paged_decode_attention(
             q, kv_cache, layer_idx, seq_lens, block_table,
             scale=scale, max_seq_len=max_seq_len,
             sliding_window=sliding_window, logits_soft_cap=logits_soft_cap,
-            k_scale=k_scale, v_scale=v_scale,
+            alibi_slopes=alibi_slopes, k_scale=k_scale, v_scale=v_scale,
             return_partials=return_partials, chunk_pages=chunk_pages,
             local_chunk_size=local_chunk_size,
         )
@@ -500,7 +531,7 @@ def paged_decode_attention(
         q, kv_cache, layer_idx, seq_lens, block_table,
         scale=scale, max_seq_len=max_seq_len,
         sliding_window=sliding_window, logits_soft_cap=logits_soft_cap,
-        k_scale=k_scale, v_scale=v_scale,
+        alibi_slopes=alibi_slopes, k_scale=k_scale, v_scale=v_scale,
         return_partials=return_partials, local_chunk_size=local_chunk_size,
         max_seq_len_p2=next_power_of_2(max_seq_len),
         num_seqs_p2=next_power_of_2(q.shape[0]),
