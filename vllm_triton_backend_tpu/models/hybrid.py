@@ -28,7 +28,6 @@ Layers are a Python loop (not ``lax.scan``): blocks are heterogeneous.
 
 from __future__ import annotations
 
-import functools
 from typing import Any, NamedTuple
 
 import jax
@@ -203,10 +202,22 @@ def _mamba_mixer(
     seq_ids: jax.Array,
     local: jax.Array,
     q_lens: jax.Array,  # [S]
+    tp_axis: str | None = None,
 ):
     """One Mamba layer over the flat ragged batch.  Returns
-    (out_flat [T, h], conv_state, ssm_state)."""
-    di, ds, dr = d_inner(cfg), cfg.mamba_state_size, dt_rank(cfg)
+    (out_flat [T, h], conv_state, ssm_state).
+
+    Tensor parallelism (``tp_axis`` set inside a ``shard_map``): the
+    channel dim ``d_inner`` is sharded — in_proj/dt_proj column-parallel,
+    conv/A/D/dt_bias/state pools per-channel local, x_proj and out_proj
+    row-parallel with a ``psum`` each.  ``di`` is therefore derived from
+    the *local* param shard, never from cfg.
+    """
+    ds, dr = cfg.mamba_state_size, dt_rank(cfg)
+    di = lp.conv_w.shape[0]  # local channels (d_inner / tp under TP)
+
+    def maybe_psum(x):
+        return jax.lax.psum(x, tp_axis) if tp_axis else x
     kk = cfg.mamba_conv_kernel
     t_total = x_flat.shape[0]
     num_seqs = q_lens.shape[0]
@@ -232,7 +243,8 @@ def _mamba_mixer(
         xc = jax.nn.silu(conv_out)  # [S, di]
         new_cs = window[:, :, 1:]
 
-        dbc = xc.astype(dtype) @ lp.x_proj  # [S, dr+2ds]
+        # x_proj is row-parallel under TP: partial sums over local channels
+        dbc = maybe_psum(xc.astype(dtype) @ lp.x_proj)  # [S, dr+2ds]
         dt = dbc[:, :dr] @ lp.dt_proj  # [S, di]
         B = dbc[:, dr : dr + ds].astype(jnp.float32)
         C = dbc[:, dr + ds :].astype(jnp.float32)
@@ -256,7 +268,7 @@ def _mamba_mixer(
         conv_state = conv_state.at[safe_idx].set(
             jnp.where(live[:, :, None], new_cs, conv_state[safe_idx])
         )
-        out_s = linear(y.astype(dtype), lp.out_proj)  # [S, h]
+        out_s = maybe_psum(linear(y.astype(dtype), lp.out_proj))  # [S, h]
         out = jnp.zeros((t_total, out_s.shape[1]), dtype)
         out = out.at[:num_seqs].set(out_s)
         return out, conv_state, new_ssm[:, 0]
@@ -296,8 +308,8 @@ def _mamba_mixer(
         seq_in, tail_idx[:, None, :].repeat(di, 1), axis=-1
     )
 
-    dbc = jnp.einsum(
-        "sdq,de->sqe", xc.astype(dtype), lp.x_proj
+    dbc = maybe_psum(
+        jnp.einsum("sdq,de->sqe", xc.astype(dtype), lp.x_proj)
     )  # [S, Q, dr+2ds]
     dt = jnp.einsum("sqr,rd->sdq", dbc[:, :, :dr], lp.dt_proj)
     B = dbc[:, :, dr : dr + ds].astype(jnp.float32).transpose(0, 2, 1)
@@ -328,16 +340,11 @@ def _mamba_mixer(
     )
     # unpack [S, di, Q] -> flat [T, di]
     y_flat = y.transpose(0, 2, 1)[seq_ids, local]
-    out = linear(y_flat.astype(dtype), lp.out_proj)
+    out = maybe_psum(linear(y_flat.astype(dtype), lp.out_proj))
     return out, conv_state, ssm_state
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("cfg", "extras"),
-    donate_argnames=("kv_cache", "conv_state", "ssm_state"),
-)
-def forward(
+def forward_fn(
     params: HybridParams,
     cfg: ModelConfig,
     token_ids: jax.Array,
@@ -348,15 +355,27 @@ def forward(
     state_indices: jax.Array,  # [S] int32
     metadata: AttentionMetadata,
     extras: ForwardExtras,
+    tp_axis: str | None = None,
 ):
     """Hybrid forward.  Attention layers consume the fused kv cache (in
     block-type order), Mamba layers consume the state pools.  Returns
-    (logits, kv_cache, conv_state, ssm_state)."""
+    (logits, kv_cache, conv_state, ssm_state).
+
+    With ``tp_axis`` set (inside ``shard_map``), ``cfg`` carries per-shard
+    head counts and params/caches/state pools are the local shards
+    (parallel/sharded.py hybrid specs); communication is one ``psum`` per
+    projection-reduction (o_proj, down_proj, mamba x_proj/out_proj) plus
+    the vocab all-gather — Megatron-style TP generalized to SSM channel
+    sharding (SURVEY.md §2.6 build column).
+    """
     dtype = jnp.dtype(cfg.dtype)
     hd = cfg.head_size
     inv_freq = _rope_inv_freq(cfg)
     t = token_ids.shape[0]
     num_seqs = metadata.seq_lens.shape[0]
+
+    def maybe_psum(x):
+        return jax.lax.psum(x, tp_axis) if tp_axis else x
 
     # ragged bookkeeping shared by mamba layers
     tk = jnp.arange(t, dtype=jnp.int32)
@@ -396,17 +415,19 @@ def forward(
                 v_scale=extras.v_scale,
                 local_chunk_size=cfg.attention_chunk_size or 0,
             )
-            attn_out = linear(
-                attn.reshape(t, cfg.num_heads * hd), lp.o_proj
+            attn_out = maybe_psum(
+                linear(attn.reshape(t, cfg.num_heads * hd), lp.o_proj)
             )
             x = x + attn_out * cfg.residual_multiplier
             normed2 = rms_norm(x, lp.post_attn_norm, cfg.rms_norm_eps)
             gate = jax.nn.silu(
                 linear(normed2, lp.gate_proj).astype(jnp.float32)
             )
-            mlp = linear(
-                gate.astype(dtype) * linear(normed2, lp.up_proj),
-                lp.down_proj,
+            mlp = maybe_psum(
+                linear(
+                    gate.astype(dtype) * linear(normed2, lp.up_proj),
+                    lp.down_proj,
+                )
             )
             x = x + mlp * cfg.residual_multiplier
             attn_i += 1
@@ -415,7 +436,7 @@ def forward(
             out, new_conv, new_ssm = _mamba_mixer(
                 lp, cfg, normed, metadata, extras,
                 conv_state[mamba_i], ssm_state[mamba_i], state_indices,
-                seq_ids, local, q_lens,
+                seq_ids, local, q_lens, tp_axis=tp_axis,
             )
             conv_state = conv_state.at[mamba_i].set(new_conv)
             ssm_state = ssm_state.at[mamba_i].set(new_ssm)
@@ -424,6 +445,16 @@ def forward(
 
     x = rms_norm(x, params.final_norm, cfg.rms_norm_eps)
     logits = linear(x, params.lm_head).astype(jnp.float32)
+    if tp_axis:
+        # lm_head is vocab-sharded: gather shards into the full vocab axis
+        logits = jax.lax.all_gather(logits, tp_axis, axis=1, tiled=True)
     if cfg.logits_scaling != 1.0:
         logits = logits / cfg.logits_scaling
     return logits, kv_cache, conv_state, ssm_state
+
+
+forward = jax.jit(
+    forward_fn,
+    static_argnames=("cfg", "extras", "tp_axis"),
+    donate_argnames=("kv_cache", "conv_state", "ssm_state"),
+)

@@ -212,3 +212,168 @@ def make_sharded_decode_steps(
         check_vma=False,
     )
     return jax.jit(mapped, donate_argnums=(5,))
+
+
+# ---------------------------------------------------------------------------
+# Hybrid (attention + Mamba) tensor parallelism
+# ---------------------------------------------------------------------------
+#
+# Attention layers shard exactly like llama's (per-layer specs, no leading
+# stacked-L axis: hybrid layers are a heterogeneous Python tuple).  Mamba
+# layers shard the channel dim d_inner: in_proj/dt_proj column-parallel,
+# conv/A/D/dt_bias and the state pools per-channel local, x_proj/out_proj
+# row-parallel (psum inside models/hybrid._mamba_mixer).  The fused x|z
+# in_proj needs a one-time column permutation so each shard's local columns
+# are [x_shard, z_shard] and the in-shard split stays a contiguous halving
+# (the Megatron fused-weight trick).
+
+_ATTN_LAYER_SPECS = LayerParams(
+    input_norm=P(None),
+    q_proj=P(None, "model"),
+    k_proj=P(None, "model"),
+    v_proj=P(None, "model"),
+    o_proj=P("model", None),
+    post_attn_norm=P(None),
+    gate_proj=P(None, "model"),
+    up_proj=P(None, "model"),
+    down_proj=P("model", None),
+)
+
+# state pools [Lm, slots, di, *]: channel dim over ``model``
+STATE_POOL_SPEC = P(None, None, "model", None)
+
+
+def _mamba_layer_specs():
+    from vllm_triton_backend_tpu.models.hybrid import MambaLayerParams
+
+    return MambaLayerParams(
+        norm=P(None),
+        in_proj=P(None, "model"),
+        conv_w=P("model", None),
+        conv_b=P("model"),
+        x_proj=P("model", None),
+        dt_proj=P(None, "model"),
+        dt_bias=P("model"),
+        A_log=P("model", None),
+        D=P("model"),
+        out_proj=P("model", None),
+    )
+
+
+def hybrid_param_specs(cfg: ModelConfig):
+    from vllm_triton_backend_tpu.models.hybrid import (
+        HybridParams,
+        block_types,
+    )
+
+    mamba_specs = _mamba_layer_specs()
+    return HybridParams(
+        embed=P(None, None),
+        layers=tuple(
+            _ATTN_LAYER_SPECS if kind == "attention" else mamba_specs
+            for kind in block_types(cfg)
+        ),
+        final_norm=P(None),
+        lm_head=P(None, "model"),
+    )
+
+
+def _permute_fused_in_proj(w, tp: int):
+    """[h, 2*di] x|z-fused weight -> per-shard-grouped [x_s | z_s] columns."""
+    h, two_di = w.shape
+    di = two_di // 2
+    return (
+        w.reshape(h, 2, tp, di // tp)
+        .transpose(0, 2, 1, 3)
+        .reshape(h, two_di)
+    )
+
+
+def local_hybrid_config(cfg: ModelConfig, tp: int) -> ModelConfig:
+    from vllm_triton_backend_tpu.models.hybrid import d_inner, dt_rank
+
+    lcfg = local_model_config(cfg, tp)
+    if d_inner(cfg) % tp:
+        raise ValueError(
+            f"model axis {tp} must divide mamba d_inner {d_inner(cfg)}"
+        )
+    # dt_rank / d_state stay global (replicated after the x_proj psum);
+    # pin them so the per-shard hidden_size never changes their value.
+    return dataclasses.replace(
+        lcfg, mamba_dt_rank=dt_rank(cfg)
+    )
+
+
+def shard_hybrid_params(params, mesh: Mesh, cfg: ModelConfig):
+    from vllm_triton_backend_tpu.models.hybrid import MambaLayerParams
+
+    tp = mesh.shape["model"]
+    layers = tuple(
+        lp._replace(in_proj=_permute_fused_in_proj(lp.in_proj, tp))
+        if isinstance(lp, MambaLayerParams)
+        else lp
+        for lp in params.layers
+    )
+    params = params._replace(layers=layers)
+    return jax.tree.map(
+        lambda x, spec: jax.device_put(x, NamedSharding(mesh, spec)),
+        params,
+        hybrid_param_specs(cfg),
+    )
+
+
+def shard_state_pools(conv_state, ssm_state, mesh: Mesh):
+    s = NamedSharding(mesh, STATE_POOL_SPEC)
+    return jax.device_put(conv_state, s), jax.device_put(ssm_state, s)
+
+
+def make_sharded_hybrid_forward(
+    cfg: ModelConfig, mesh: Mesh, extras: ForwardExtras
+):
+    """Jitted multi-chip hybrid step (make_sharded_forward analog).
+
+    Batch arrays carry a leading [data] replica axis; state pools and the
+    kv cache are channel-/head-sharded over ``model``.  Returns
+    ``step(params, token_ids, positions, kv_cache, conv_state, ssm_state,
+    state_indices, query_start_loc, seq_lens, block_table, slot_mapping)
+    -> (logits [D, T, vocab], kv_cache, conv_state, ssm_state)``.
+    """
+    from vllm_triton_backend_tpu.models import hybrid
+
+    tp = mesh.shape["model"]
+    lcfg = local_hybrid_config(cfg, tp)
+    specs = hybrid_param_specs(cfg)
+
+    def step(
+        params, token_ids, positions, kv_cache, conv_state, ssm_state,
+        state_indices, query_start_loc, seq_lens, block_table,
+        slot_mapping,
+    ):
+        meta = AttentionMetadata(
+            query_start_loc=query_start_loc[0],
+            seq_lens=seq_lens[0],
+            block_table=block_table[0],
+            slot_mapping=slot_mapping[0],
+            num_seqs=jnp.int32(seq_lens.shape[1]),
+        )
+        logits, kv, cs, ss = hybrid.forward_fn(
+            params, lcfg, token_ids[0], positions[0], kv_cache,
+            conv_state, ssm_state, state_indices[0], meta, extras,
+            tp_axis="model",
+        )
+        return logits[None], kv, cs, ss
+
+    b = P("data")
+    mapped = jax.shard_map(
+        step,
+        mesh=mesh,
+        in_specs=(
+            specs, b, b, CACHE_SPEC, STATE_POOL_SPEC, STATE_POOL_SPEC,
+            b, b, b, b, b,
+        ),
+        out_specs=(
+            P("data"), CACHE_SPEC, STATE_POOL_SPEC, STATE_POOL_SPEC,
+        ),
+        check_vma=False,
+    )
+    return jax.jit(mapped, donate_argnums=(3, 4, 5))

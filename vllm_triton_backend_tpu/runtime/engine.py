@@ -107,9 +107,21 @@ class LLMEngine:
                 shard_params,
             )
 
-            assert not self.is_hybrid, "TP for hybrid models: TODO"
             self.mesh = make_mesh(data=1, model=self.tp)
-            self.params = params = shard_params(params, self.mesh)
+            if self.is_hybrid:
+                from vllm_triton_backend_tpu.parallel.sharded import (
+                    shard_hybrid_params,
+                    shard_state_pools,
+                )
+
+                self.params = params = shard_hybrid_params(
+                    params, self.mesh, mc
+                )
+                self.conv_state, self.ssm_state = shard_state_pools(
+                    self.conv_state, self.ssm_state, self.mesh
+                )
+            else:
+                self.params = params = shard_params(params, self.mesh)
             self.kv_cache = shard_caches(self.kv_cache, self.mesh)
             self._tp_steps: dict = {}  # extras -> jitted sharded step
             self._tp_decode_steps: dict = {}  # (extras, k) -> jitted
@@ -430,7 +442,7 @@ class LLMEngine:
             temp[i] = r.sampling.temperature
             top_p[i] = r.sampling.top_p
             top_k[i] = r.sampling.top_k
-        if self.tp > 1:
+        if self.tp > 1 and not self.is_hybrid:
             from vllm_triton_backend_tpu.parallel import (
                 make_sharded_forward,
             )
@@ -467,24 +479,52 @@ class LLMEngine:
                 if rid not in self._slot_of:
                     self._slot_of[rid] = self._free_slots.pop()
                 state_idx[i] = self._slot_of[rid]
-            meta = AttentionMetadata(
-                query_start_loc=jnp.asarray(batch.query_start_loc),
-                seq_lens=jnp.asarray(batch.seq_lens),
-                block_table=jnp.asarray(batch.block_table),
-                slot_mapping=jnp.asarray(batch.slot_mapping),
-                num_seqs=jnp.int32(batch.num_seqs),
-            )
-            (
-                logits, self.kv_cache,
-                self.conv_state, self.ssm_state,
-            ) = self._hybrid.forward(
-                self.params, self.config.model,
-                jnp.asarray(batch.token_ids),
-                jnp.asarray(batch.positions),
-                self.kv_cache,
-                self.conv_state, self.ssm_state,
-                jnp.asarray(state_idx), meta, extras,
-            )
+            if self.tp > 1:
+                from vllm_triton_backend_tpu.parallel.sharded import (
+                    make_sharded_hybrid_forward,
+                )
+
+                step_fn = self._tp_steps.get(extras)
+                if step_fn is None:
+                    step_fn = make_sharded_hybrid_forward(
+                        self.config.model, self.mesh, extras
+                    )
+                    self._tp_steps[extras] = step_fn
+                (
+                    logits, self.kv_cache,
+                    self.conv_state, self.ssm_state,
+                ) = step_fn(
+                    self.params,
+                    jnp.asarray(batch.token_ids)[None],
+                    jnp.asarray(batch.positions)[None],
+                    self.kv_cache,
+                    self.conv_state, self.ssm_state,
+                    jnp.asarray(state_idx)[None],
+                    jnp.asarray(batch.query_start_loc)[None],
+                    jnp.asarray(batch.seq_lens)[None],
+                    jnp.asarray(batch.block_table)[None],
+                    jnp.asarray(batch.slot_mapping)[None],
+                )
+                logits = logits[0]
+            else:
+                meta = AttentionMetadata(
+                    query_start_loc=jnp.asarray(batch.query_start_loc),
+                    seq_lens=jnp.asarray(batch.seq_lens),
+                    block_table=jnp.asarray(batch.block_table),
+                    slot_mapping=jnp.asarray(batch.slot_mapping),
+                    num_seqs=jnp.int32(batch.num_seqs),
+                )
+                (
+                    logits, self.kv_cache,
+                    self.conv_state, self.ssm_state,
+                ) = self._hybrid.forward(
+                    self.params, self.config.model,
+                    jnp.asarray(batch.token_ids),
+                    jnp.asarray(batch.positions),
+                    self.kv_cache,
+                    self.conv_state, self.ssm_state,
+                    jnp.asarray(state_idx), meta, extras,
+                )
             self._key, sub = jax.random.split(self._key)
             sampled = np.asarray(
                 sample(
