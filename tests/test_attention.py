@@ -340,3 +340,57 @@ def test_decode_alibi():
 def test_decode_alibi_gqa():
     run_case([1, 1], [33, 100], num_q_heads=8, num_kv_heads=2, alibi=True,
              atol=5e-3)
+
+
+# ---------------- stick-breaking variant ----------------
+
+@pytest.mark.parametrize("attend_current", [False, True])
+@pytest.mark.parametrize("heads", [(4, 2), (8, 8)])
+def test_stickbreaking_decode(heads, attend_current):
+    from vllm_triton_backend_tpu.ops.attention import xla_stickbreaking_decode
+    from vllm_triton_backend_tpu.ops.refs import ref_stickbreaking_decode
+
+    hq, hkv = heads
+    rng = np.random.default_rng(3)
+    head_size, block_size, num_blocks = 64, 16, 64
+    context_lens = [1, 17, 33, 130]
+    kv_cache = random_cache(rng, hkv, num_blocks, block_size, head_size)
+    q, block_table, meta = random_batch(
+        rng, [1] * len(context_lens), context_lens, hq, head_size,
+        block_size, num_blocks,
+    )
+    scale = SCALE_BY_HD(head_size)
+    qd = q.reshape(len(context_lens), hq, head_size)
+
+    ref = ref_stickbreaking_decode(
+        qd, kv_cache[0], np.asarray(meta.seq_lens)[: len(context_lens)],
+        block_table, scale, attend_current=attend_current,
+    )
+    out = xla_stickbreaking_decode(
+        jnp.asarray(qd), jnp.asarray(kv_cache), jnp.int32(0),
+        meta.seq_lens[: len(context_lens)], jnp.asarray(block_table),
+        scale=scale, max_seq_len=max(context_lens),
+        attend_current=attend_current,
+    )
+    np.testing.assert_allclose(np.asarray(out), ref, atol=2e-3, rtol=2e-2)
+
+
+def test_stickbreaking_mass_bounded():
+    """Unnormalized stick weights must sum to <= 1 per head."""
+    from vllm_triton_backend_tpu.ops.refs import ref_stickbreaking_decode
+
+    rng = np.random.default_rng(0)
+    head_size, block_size, num_blocks = 64, 16, 32
+    kv_cache = random_cache(rng, 2, num_blocks, block_size, head_size)
+    # V == 1 everywhere -> output == total attention mass
+    kv_cache[:, :, 1] = 1.0
+    q, block_table, meta = random_batch(
+        rng, [1], [100], 4, head_size, block_size, num_blocks,
+    )
+    out = ref_stickbreaking_decode(
+        q.reshape(1, 4, head_size) * 4.0,  # sharpen logits
+        kv_cache[0], np.asarray(meta.seq_lens)[:1], block_table,
+        SCALE_BY_HD(head_size),
+    )
+    mass = np.asarray(out)[0, :, 0]
+    assert np.all(mass <= 1.0 + 1e-5) and np.all(mass > 0.0)

@@ -182,3 +182,77 @@ def xla_paged_attention(
     out = jnp.einsum("shgqk,hskd->sqhgd", p, vg)
     out = out.reshape(num_seqs, q_pad, num_q_heads, head_size)
     return out[seq_ids, local].astype(q.dtype)
+
+
+def xla_stickbreaking_decode(
+    q: jax.Array,  # [num_seqs, num_q_heads, head_size]
+    kv_cache: jax.Array,  # [L, num_blocks, 2, Hkv, block_size, head_pad]
+    layer_idx: jax.Array,
+    seq_lens: jax.Array,  # [num_seqs]
+    block_table: jax.Array,  # [num_seqs, max_blocks]
+    *,
+    scale: float,
+    max_seq_len: int,
+    attend_current: bool = False,
+    k_scale: float = 1.0,
+    v_scale: float = 1.0,
+) -> jax.Array:
+    """Stick-breaking paged decode attention (softmax-free variant).
+
+    TPU counterpart of the reference's stick-breaking option in the fused
+    GQA paged split-KV kernel (reference legacy/fused_gqa_paged/
+    sb_jit_func.py:119-175; decode-only, fused_gqa_paged_splitkv.py:493).
+    Weight of key j:  p_j = sigmoid(z_j) * prod_{k>j} (1 - sigmoid(z_k)),
+    z = scale * q.k — evaluated in log space with an inclusive reverse
+    cumsum of -softplus(z); masked keys contribute 0 to the log (i.e.
+    factor 1), so padding never eats stick mass.  Unnormalized (mass not
+    consumed by the last ``max_seq_len`` keys is dropped), hence no
+    (max, expsum) state: partials across KV splits combine additively
+    after scaling by exp of the later splits' total -softplus — the same
+    shape as the reference's stick-breaking 2nd-stage reduction
+    (fused_gqa_paged_splitkv.py:324).
+    """
+    num_seqs, num_q_heads, head_size = q.shape
+    _, _, _, num_kv_heads, block_size, _hp = kv_cache.shape
+    qpk = num_q_heads // num_kv_heads
+    num_blocks_needed = min(
+        -(-max_seq_len // block_size), block_table.shape[1]
+    )
+
+    pages = block_table[:, :num_blocks_needed]
+    layer = jax.lax.dynamic_index_in_dim(
+        kv_cache, layer_idx, axis=0, keepdims=False
+    )
+    kv = jnp.take(layer, pages.reshape(-1), axis=0)
+    kv_len = num_blocks_needed * block_size
+
+    def dq(x, sc):
+        if x.dtype in (jnp.float32, jnp.bfloat16, jnp.float16):
+            return x.astype(jnp.float32)
+        return x.astype(jnp.float32) * sc
+
+    kv = kv[..., :head_size].reshape(
+        num_seqs, num_blocks_needed, 2, num_kv_heads, block_size, head_size
+    )
+    kg = dq(kv[:, :, 0], k_scale).transpose(0, 1, 3, 2, 4).reshape(
+        num_seqs, kv_len, num_kv_heads, head_size
+    )
+    vg = dq(kv[:, :, 1], v_scale).transpose(0, 1, 3, 2, 4).reshape(
+        num_seqs, kv_len, num_kv_heads, head_size
+    )
+
+    qr = q.astype(jnp.float32).reshape(
+        num_seqs, num_kv_heads, qpk, head_size
+    )
+    z = jnp.einsum("shgd,skhd->shgk", qr, kg) * scale  # [S, Hkv, qpk, K]
+
+    n_keys = seq_lens - (0 if attend_current else 1)  # [S]
+    kpos = jnp.arange(kv_len, dtype=jnp.int32)
+    valid = kpos[None, :] < n_keys[:, None]  # [S, K]
+    valid = valid[:, None, None, :]
+    log_om_beta = jnp.where(valid, -jax.nn.softplus(z), 0.0)
+    # inclusive reverse cumsum: log p_j = z_j + sum_{k>=j} log(1-beta_k)
+    suffix = jnp.cumsum(log_om_beta[..., ::-1], axis=-1)[..., ::-1]
+    p = jnp.where(valid, jnp.exp(z + suffix), 0.0)
+    out = jnp.einsum("shgk,skhd->shgd", p, vg)
+    return out.reshape(num_seqs, num_q_heads, head_size).astype(q.dtype)

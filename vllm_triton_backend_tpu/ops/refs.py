@@ -288,3 +288,55 @@ def ref_reshape_and_cache(
             kv_cache.dtype
         )
     return kv_cache
+
+
+def ref_stickbreaking_decode(
+    q: np.ndarray,  # [num_seqs, num_q_heads, head]
+    kv_cache: np.ndarray,  # [num_blocks, 2, Hkv, bs, hd]
+    seq_lens: np.ndarray,  # [num_seqs]
+    block_table: np.ndarray,  # [num_seqs, max_blocks]
+    scale: float,
+    attend_current: bool = False,
+    k_scale: float = 1.0,
+    v_scale: float = 1.0,
+) -> np.ndarray:
+    """Stick-breaking attention oracle (decode-only, paged cache).
+
+    The reference ships stick-breaking as an optional variant of its fused
+    GQA paged split-KV decode kernel (reference legacy/fused_gqa_paged/
+    sb_jit_func.py:119-175, enabled via ``stickbreaking=True`` and asserted
+    decode-only, fused_gqa_paged_splitkv.py:442,493).  Instead of softmax,
+    attention mass is allocated by breaking a unit stick from the NEWEST
+    key backwards:
+
+        beta_j = sigmoid(scale * q.k_j)
+        p_j    = beta_j * prod_{k > j} (1 - beta_k)
+
+    computed stably in log space:  log p_j = z_j + sum_{k >= j} -softplus(z_k)
+    (an inclusive reverse cumsum; note z - softplus(z) = log sigmoid(z)).
+    There is no normalization — sum_j p_j <= 1, remaining mass is dropped.
+    ``attend_current`` includes the in-flight token's own key (the
+    reference's ATTEND_CURRENT constexpr; default excludes it).
+    """
+    num_seqs, num_q_heads, _ = q.shape
+    num_kv_heads = kv_cache.shape[2]
+    q_per_kv = num_q_heads // num_kv_heads
+    block_size = kv_cache.shape[3]
+    out = np.zeros_like(q, dtype=np.float32)
+    for i in range(num_seqs):
+        n = int(seq_lens[i]) - (0 if attend_current else 1)
+        if n <= 0:
+            continue
+        ks, vs = gather_kv_for_seq(
+            kv_cache, block_table[i], n, block_size
+        )
+        ks = np.repeat(ks * k_scale, q_per_kv, axis=1)  # [n, Hq, hd]
+        vs = np.repeat(vs * v_scale, q_per_kv, axis=1)
+        z = np.einsum(
+            "hd,khd->hk", q[i].astype(np.float64), ks.astype(np.float64)
+        ) * scale
+        log_om_beta = -np.logaddexp(0.0, z)  # log(1 - sigmoid(z))
+        suffix = np.cumsum(log_om_beta[:, ::-1], axis=1)[:, ::-1]  # incl.
+        p = np.exp(z + suffix)  # [Hq, n]
+        out[i] = np.einsum("hk,khd->hd", p, vs.astype(np.float64))
+    return out.astype(q.dtype)
