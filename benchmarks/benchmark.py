@@ -4,7 +4,10 @@ The reference's dev loop (reference scripts/benchmark.py, 1864 LoC) rebuilt
 for TPU.  Protocol parity:
 
 * sweep axes: batch x (q_heads, kv_heads) x seqlen x head_size x
-  block_size x prompt_pattern x impl x mode (benchmark.py:94-115);
+  block_size x prompt_pattern x impl x mode (benchmark.py:94-115), plus a
+  mixed-batch ``composition`` axis ordering decode / partial-prefill /
+  full-prefill rows (reference BatchComposition DEC_PRE / PRE_DEC /
+  ALTERNATING, benchmark.py:80-84 with batch synthesis 1053-1112);
 * numerical gate *before* timing — incorrect kernels never produce perf
   rows (benchmark.py:476-489);
 * warmup 25 / rep 100, quantiles [0.5, 0.2, 0.8] (benchmark.py:144,518);
@@ -58,6 +61,15 @@ class BenchSetup:
     head_sizes: list[int] = field(default_factory=lambda: [128])
     block_sizes: list[int] = field(default_factory=lambda: [16])
     prompt_patterns: list[str] = field(default_factory=lambda: ["uniform"])
+    # mixed-batch row ordering (mode == "mixed" only): decode rows first,
+    # prefill rows first, or interleaved.
+    batch_compositions: list[str] = field(
+        default_factory=lambda: ["alternating"]
+    )
+    # mixed-batch shares of (decode, partial-prefill, full-prefill) rows.
+    mixed_shares: list[float] = field(
+        default_factory=lambda: [0.5, 0.25, 0.25]
+    )
     kv_dtypes: list[str] = field(default_factory=lambda: ["bfloat16"])
     warmup: int = 25
     rep: int = 100
@@ -88,7 +100,46 @@ class BenchSetup:
         return cls(**values)
 
 
-def _build_case(rng, mode, batch, seq_len, nq, nkv, hd, bs, pattern, kv_dtype):
+def _compose_mixed(batch, seq_len, fracs, shares, composition):
+    """(query_len, context_len) rows for a mixed batch, ordered.
+
+    Reference semantics: the batch is a blend of decode rows, partial
+    prefills (half the tokens already cached) and full prefills, laid out
+    decodes-first (dec_pre), prefills-first (pre_dec), or interleaved
+    (alternating) — reference benchmark.py:80-84,1053-1112.
+    """
+    n_dec = max(1, round(batch * shares[0]))
+    n_part = max(1, round(batch * shares[1]))
+    n_full = max(1, batch - n_dec - n_part)
+    n_dec = batch - n_part - n_full
+    rows = {"dec": [], "part": [], "full": []}
+    for i in range(n_dec):
+        s = max(2, int(seq_len * fracs[i % len(fracs)]))
+        rows["dec"].append((1, s - 1))
+    for i in range(n_part):
+        s = max(4, int(seq_len * fracs[i % len(fracs)]))
+        rows["part"].append((s // 2, s - s // 2))
+    for i in range(n_full):
+        s = max(2, int(seq_len * fracs[i % len(fracs)]))
+        rows["full"].append((s, 0))
+    if composition == "dec_pre":
+        ordered = rows["dec"] + rows["part"] + rows["full"]
+    elif composition == "pre_dec":
+        ordered = rows["part"] + rows["full"] + rows["dec"]
+    elif composition == "alternating":
+        ordered = []
+        pools = [rows["dec"], rows["part"], rows["full"]]
+        while any(pools):
+            for p in pools:
+                if p:
+                    ordered.append(p.pop(0))
+    else:
+        raise ValueError(f"unknown composition {composition!r}")
+    return ordered
+
+
+def _build_case(rng, mode, batch, seq_len, nq, nkv, hd, bs, pattern, kv_dtype,
+                composition="alternating", shares=(0.5, 0.25, 0.25)):
     import jax.numpy as jnp
 
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
@@ -107,6 +158,10 @@ def _build_case(rng, mode, batch, seq_len, nq, nkv, hd, bs, pattern, kv_dtype):
             for i in range(batch)
         ]
         context_lens = [0] * batch
+    elif mode == "mixed":  # decode + partial + full prefill in one batch
+        ordered = _compose_mixed(batch, seq_len, fracs, shares, composition)
+        query_lens = [ql for ql, _ in ordered]
+        context_lens = [cl for _, cl in ordered]
     else:  # prefix: half context cached, half new
         query_lens = []
         context_lens = []
@@ -152,14 +207,22 @@ def run(setup: BenchSetup, out_stream=sys.stdout) -> list[dict]:
             itertools.product(
                 setup.modes, setup.batch_sizes, setup.seq_lens,
                 setup.heads, setup.head_sizes, setup.block_sizes,
-                setup.prompt_patterns, setup.kv_dtypes,
+                setup.prompt_patterns, setup.batch_compositions,
+                setup.kv_dtypes,
             )
         )
-        for mode, batch, seq_len, (nq, nkv), hd, bs, pattern, kvd in cases:
+        for mode, batch, seq_len, (nq, nkv), hd, bs, pattern, comp, kvd in (
+            cases
+        ):
+            # composition only reshapes mixed batches — don't duplicate
+            # the other modes across the axis
+            if mode != "mixed" and comp != setup.batch_compositions[0]:
+                continue
             (
                 q, kv_cache, meta, bt, host, qlens, clens
             ) = _build_case(
-                rng, mode, batch, seq_len, nq, nkv, hd, bs, pattern, kvd
+                rng, mode, batch, seq_len, nq, nkv, hd, bs, pattern, kvd,
+                composition=comp, shares=tuple(setup.mixed_shares),
             )
             scale = hd**-0.5
             max_q = int(max(qlens))
@@ -228,6 +291,7 @@ def run(setup: BenchSetup, out_stream=sys.stdout) -> list[dict]:
                     "head_size": hd,
                     "block_size": bs,
                     "pattern": pattern,
+                    "composition": comp if mode == "mixed" else "",
                     "kv_dtype": kvd,
                     "ms": qs[0] * 1e3,
                     "min_ms": qs[1] * 1e3,

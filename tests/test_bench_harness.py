@@ -64,3 +64,34 @@ def test_roofline_math():
     assert u["attained_tflops"] == pytest.approx(flops / 1e-3 / 1e12)
     assert 0 < u["util_bytes"] < 1e3
     assert np.isfinite(u["util_flops"])
+
+
+def test_mixed_batch_compositions():
+    """Mixed decode/partial/full batches run under every row ordering."""
+    from benchmarks.benchmark import _compose_mixed
+
+    # synthesis invariants across orderings
+    for comp in ["dec_pre", "pre_dec", "alternating"]:
+        rows = _compose_mixed(8, 64, [1.0], (0.5, 0.25, 0.25), comp)
+        assert len(rows) == 8
+        kinds = sorted(
+            ("dec" if ql == 1 else "full" if cl == 0 else "part")
+            for ql, cl in rows
+        )
+        assert set(kinds) == {"dec", "part", "full"}
+    assert _compose_mixed(6, 64, [1.0], (0.5, 0.25, 0.25), "dec_pre")[0][0] == 1
+    assert _compose_mixed(6, 64, [1.0], (0.5, 0.25, 0.25), "pre_dec")[-1][0] == 1
+
+    # end-to-end: correctness-gated rows for each composition
+    out = io.StringIO()
+    setup = _micro_setup(
+        modes=["mixed"],
+        batch_sizes=[4],
+        batch_compositions=["dec_pre", "pre_dec", "alternating"],
+        impls=["pallas_unified"],
+    )
+    rows = run(setup, out_stream=out)
+    assert {r["composition"] for r in rows} == {
+        "dec_pre", "pre_dec", "alternating"
+    }
+    assert all(r["correct"] for r in rows)
