@@ -131,3 +131,35 @@ def test_conditions_filter_configs():
     )
     cfgs = space.configs()
     assert {(c["a"], c["b"]) for c in cfgs} == {(1, 10), (1, 20), (2, 10)}
+
+
+def test_random_search_order(storage):
+    """use_random_search shuffles the sweep deterministically per key."""
+    import jax.numpy as jnp
+
+    space = ConfigSpace(space={"block": list(range(1, 33))})
+    orders = []
+    for _ in range(2):
+        calls = []
+
+        @autotune(
+            config_space=space,
+            key=["n"],
+            name="toy_random",
+            warmup=0,
+            rep=1,
+            use_random_search=True,
+        )
+        def launcher(x, *, n, block, _c=calls):
+            _c.append(block)
+            return jnp.sum(x[:block])
+
+        import shutil
+
+        shutil.rmtree(str(storage), ignore_errors=True)
+        launcher(jnp.arange(64, dtype=jnp.float32), n=64)
+        orders.append(calls[: len(space.configs())])
+
+    assert sorted(orders[0]) == list(range(1, 33))  # full space still swept
+    assert orders[0] != list(range(1, 33))  # ...but not declaration order
+    assert orders[0] == orders[1]  # same key -> same seed -> reproducible

@@ -23,7 +23,8 @@ Semantics recreated from the reference's consumed API surface (SURVEY.md
 
 Env contract (reference Dockerfile:256-264 family):
   VTB_DEJAVU_STORAGE, VTB_DEJAVU_FORCE_FALLBACK, VTB_DEJAVU_TAG,
-  VTB_DEJAVU_DEBUG, VTB_PRINT_AUTOTUNING.
+  VTB_DEJAVU_DEBUG, VTB_PRINT_AUTOTUNING, VTB_USE_RANDOM_SEARCH
+  (randomized search order, reference NGL_EXP_USE_RANDOM_SEARCH).
 """
 
 from __future__ import annotations
@@ -34,6 +35,7 @@ import inspect
 import itertools
 import json
 import os
+import random
 import threading
 import time
 from dataclasses import dataclass, field
@@ -129,12 +131,22 @@ class Autotuner:
         fallback_heuristic: Callable[[tuple], dict] | None = None,
         warmup: int = 2,
         rep: int = 10,
+        use_random_search: bool | None = None,
     ):
         self.fn = fn
         self.space = config_space
         self.key_names = list(key)
         self.name = name or fn.__name__
         self.search_max_t = search_max_t
+        # randomized search order (reference NGL_EXP_USE_RANDOM_SEARCH,
+        # triton_flash_attention.py:710-732): under a time cap, sampling
+        # the space uniformly beats truncating it in declaration order.
+        # Seeded by the key so reruns tune identically.
+        if use_random_search is None:
+            use_random_search = bool(
+                os.environ.get("VTB_USE_RANDOM_SEARCH")
+            )
+        self.use_random_search = use_random_search
         self.fallback_heuristic = fallback_heuristic
         self.warmup = warmup
         self.rep = rep
@@ -265,7 +277,13 @@ class Autotuner:
         t_start = time.perf_counter()
         timings = {}
         best_cfg, best_t = None, None
-        for cfg in self.space.configs():
+        configs = self.space.configs()
+        if self.use_random_search:
+            seed = int(
+                hashlib.sha256(repr(key).encode()).hexdigest()[:8], 16
+            )
+            random.Random(seed).shuffle(configs)
+        for cfg in configs:
             if time.perf_counter() - t_start > self.search_max_t and best_cfg:
                 _debug("search time cap hit")
                 break
