@@ -112,7 +112,10 @@ def run_cache_write_read():
     qsl = np.arange(S + 1, dtype=np.int32)
     ref = ref_paged_attention(q, host[0], qsl, lens, tbl, hd ** -0.5)
     err = np.max(np.abs(np.asarray(out) - ref))
-    assert err < 2e-3, f"max err {err}"
+    # addressing bugs show up as O(1) errors; 1e-2 leaves room for the
+    # MXU's default-precision (bf16-pass) matmul vs the f32 oracle while
+    # still catching any misplaced token (suite tolerance policy is 2e-2)
+    assert err < 1e-2, f"max err {err}"
 
 
 def run_mamba():
