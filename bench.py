@@ -1,15 +1,36 @@
-"""Headline benchmark: decode throughput on the flagship model, one chip.
+"""Headline benchmark — the BASELINE.md north-star metrics, one chip.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line carrying the four north-star numbers
+(BASELINE.md "Targets"; reference anchors scripts/bench_vllm_serve_avg.py
+:97-123 for the serving metrics, scripts/benchmark.py:549-564 for kernel
+utilization):
 
-Protocol (BASELINE.md discipline): correctness-gate first (kernel vs oracle
-on the bench shapes — incorrect kernels never produce perf rows, reference
-scripts/benchmark.py:476-489), warmup, then timed reps.  ``vs_baseline`` is
-the speedup of the Pallas paged-decode kernel over the pure-XLA paged
-attention baseline on the same shapes (the reference's
-implementation-under-test vs BASELINE_TRITON methodology, SURVEY.md §2.5) —
-the reference publishes no absolute numbers to compare against
-(BASELINE.md).
+  * ``value``/``metric``: steady-state decode tokens/s/chip on
+    granite-3.1-8B with INT8 weight-only linears + FP8(e4m3) KV-cache
+    (the largest north-star config that fits one v5e's 16 GB HBM —
+    granite bf16 weights alone are 16 GB, so weight-only INT8 is the
+    fitting configuration; reference README.md:58 names granite-3.1-8b
+    as the serving example).  Prefill excluded: the decode clock starts
+    once every request has produced its first token.
+  * ``ttft_p50_ms``: median time-to-first-token across the batch, from
+    request submission (includes queueing behind other prefills — the
+    serving-driver definition).
+  * ``paged_attn_util_bytes_pct``: measured decode-attention kernel time
+    (device wall-clock amortized over an in-jit scan of kernel calls —
+    no dispatch overhead in the loop) vs the chip's HBM roofline.
+  * ``vs_baseline``: Pallas decode kernel speedup over the pure-XLA paged
+    attention baseline on the same shapes (the reference's IUT-vs-
+    BASELINE_TRITON methodology; the reference publishes no absolute
+    numbers, BASELINE.md).
+
+Also reports ``tinyllama_decode_tps`` (round-1 continuity config) and the
+measured decode step latency.
+
+Protocol: correctness-gate first (kernel vs oracle — incorrect kernels
+never produce perf rows, reference scripts/benchmark.py:476-489), then
+compile-warmup, then timed run.  Device timing is fenced with a 1-element
+device-side slice fetch (fetching full arrays over the tunneled runtime
+costs seconds).
 """
 
 from __future__ import annotations
@@ -20,44 +41,58 @@ import time
 import numpy as np
 
 
-def main() -> None:
+def _fence(x) -> None:
+    import jax
+
+    np.asarray(jax.device_get(x.ravel()[:1]))
+
+
+def bench_fn(fn, warmup=3, reps=20):
+    for _ in range(warmup):
+        r = fn()
+    _fence(r)
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        r = fn()
+    _fence(r)
+    return (time.perf_counter() - t0) / reps
+
+
+def kernel_microbench(peaks):
+    """Pallas decode kernel vs XLA baseline + measured HBM utilization on
+    granite-3.1-8B decode shapes with an FP8 KV-cache."""
+    import functools
+
     import jax
     import jax.numpy as jnp
 
-    from vllm_triton_backend_tpu.config import (
-        CacheConfig,
-        EngineConfig,
-        ModelConfig,
-        SchedulerConfig,
-    )
     from vllm_triton_backend_tpu.ops.attention import xla_paged_attention
     from vllm_triton_backend_tpu.ops.metadata import make_metadata
     from vllm_triton_backend_tpu.ops.pallas.decode_attention import (
+        _paged_decode_impl,
         paged_decode_attention,
     )
     from vllm_triton_backend_tpu.ops.refs import ref_paged_attention
-    from vllm_triton_backend_tpu.runtime.engine import LLMEngine
-    from vllm_triton_backend_tpu.runtime.sampler import SamplingParams
 
-    # ---------------- kernel microbench: pallas vs XLA baseline ----------
     rng = np.random.default_rng(0)
-    num_seqs, num_q_heads, num_kv_heads, hd = 32, 32, 4, 64
-    block_size, seq_len = 32, 1024
-    num_blocks = num_seqs * (seq_len // block_size) + 1
-    # production lane-padded cache layout (llama.make_kv_caches): real
-    # data in [..., :hd], zeros up to the 128-lane boundary
-    hd_pad = max(hd, 128)
-    shape = (1, num_blocks, 2, num_kv_heads, block_size, hd)
-    kv_host = np.zeros(shape[:-1] + (hd_pad,), np.float32)
-    kv_host[..., :hd] = (rng.standard_normal(shape) * 0.3).astype(np.float32)
-    kv_cache = jnp.asarray(kv_host, jnp.bfloat16)
+    # granite-3.1-8B decode shapes: 32 q heads, 8 kv heads, head 128
+    num_seqs, num_q_heads, num_kv_heads, hd = 16, 32, 8, 128
+    block_size, seq_len, max_seq = 64, 640, 1024
+    pages_per_seq = max_seq // block_size
+    num_blocks = num_seqs * pages_per_seq + 1
+    k_scale = v_scale = 0.03
+    kv_f = rng.standard_normal(
+        (1, num_blocks, 2, num_kv_heads, block_size, hd)
+    ).astype(np.float32) * 0.3
+    kv_cache = jnp.asarray(kv_f / k_scale, jnp.float8_e4m3fn)
     q = jnp.asarray(
-        rng.standard_normal((num_seqs, num_q_heads, hd)).astype(np.float32),
-        jnp.bfloat16,
+        rng.standard_normal((num_seqs, num_q_heads, hd)) * 0.3, jnp.bfloat16
     )
-    bt = rng.permutation(num_blocks - 1)[
-        : num_seqs * (seq_len // block_size)
-    ].reshape(num_seqs, -1).astype(np.int32)
+    bt = (
+        rng.permutation(num_blocks - 1)[: num_seqs * pages_per_seq]
+        .reshape(num_seqs, -1)
+        .astype(np.int32)
+    )
     meta = make_metadata(
         [1] * num_seqs, [seq_len - 1] * num_seqs, bt, block_size
     )
@@ -67,74 +102,153 @@ def main() -> None:
     def run_pallas():
         return paged_decode_attention(
             q, kv_cache, layer, meta.seq_lens, meta.block_table,
-            scale=scale, max_seq_len=seq_len,
+            scale=scale, max_seq_len=max_seq,
+            k_scale=k_scale, v_scale=v_scale,
         )
 
     def run_xla():
         return xla_paged_attention(
-            q, kv_cache, layer, meta,
-            scale=scale, max_query_len=1, max_seq_len=seq_len,
+            q, kv_cache, layer, meta, scale=scale,
+            max_query_len=1, max_seq_len=max_seq,
+            k_scale=k_scale, v_scale=v_scale,
         )
 
-    # correctness gate
+    # correctness gate (dequantized cache vs f32 oracle, fp8 tolerance —
+    # reference test.py:283-316 discipline)
     out = np.asarray(run_pallas(), np.float32)
+    deq = np.asarray(kv_cache.astype(jnp.float32)) * k_scale
     ref = ref_paged_attention(
-        np.asarray(q, np.float32),
-        np.asarray(kv_cache[0, ..., :hd], np.float32),
-        np.asarray(meta.query_start_loc),
-        np.asarray(meta.seq_lens),
-        bt,
-        scale,
+        np.asarray(q, np.float32), deq[0],
+        np.asarray(meta.query_start_loc), np.asarray(meta.seq_lens),
+        bt, scale,
     )
     err = np.max(np.abs(out - ref))
-    assert err < 2e-2, f"decode kernel incorrect: max err {err}"
+    assert err < 5e-2, f"decode kernel incorrect: max err {err}"
 
-    def bench(fn, warmup=5, reps=50):
-        # the tunneled TPU runtime's block_until_ready does not reliably
-        # wait: force a D2H fetch of one element to fence the timed chain
-        for _ in range(warmup):
-            fn()
-        np.asarray(fn())[:1, :1]
-        t0 = time.perf_counter()
-        for _ in range(reps):
-            r = fn()
-        np.asarray(r)[:1, :1]
-        return (time.perf_counter() - t0) / reps
+    t_pallas = bench_fn(run_pallas)
+    t_xla = bench_fn(run_xla, warmup=2, reps=5)
 
-    t_pallas = bench(run_pallas)
-    t_xla = bench(run_xla)
-    vs_baseline = t_xla / t_pallas
+    # measured kernel-only time: in-jit scan of N kernel calls — the loop
+    # has no dispatch or fence inside, so t/N is device kernel time
+    N = 32
 
-    # ---------------- e2e decode throughput, flagship model --------------
+    @functools.partial(jax.jit, static_argnames=())
+    def kscan(q, kv, lens, tbl):
+        def body(c, _):
+            o = _paged_decode_impl(
+                q, kv, layer, lens, tbl, scale=scale, max_seq_len=max_seq,
+                k_scale=k_scale, v_scale=v_scale, chunk_pages=8,
+            )
+            return c + o.astype(jnp.float32).sum(), None
+        c, _ = jax.lax.scan(
+            body, jnp.float32(0), None, length=N
+        )
+        return c
+
+    t_loop = bench_fn(
+        lambda: kscan(q, kv_cache, meta.seq_lens, meta.block_table),
+        warmup=2, reps=5,
+    )
+    t_kernel = t_loop / N
+    # true bytes: live KV pages for each sequence (fp8 = 1 B/elem)
+    kv_bytes = num_seqs * (
+        -(-seq_len // block_size) * block_size
+    ) * 2 * num_kv_heads * hd * 1
+    util_bytes = kv_bytes / t_kernel / peaks.hbm_bytes
+    return t_xla / t_pallas, t_kernel, util_bytes
+
+
+def run_e2e(cfg, params, n_seqs, prompt_len, n_new, vocab):
+    """Step an engine over a batch; returns (ttft_p50_s, decode_tps,
+    decode_step_ms)."""
+    from vllm_triton_backend_tpu.runtime.engine import LLMEngine
+    from vllm_triton_backend_tpu.runtime.sampler import SamplingParams
+
+    rng = np.random.default_rng(7)
+    engine = LLMEngine(cfg, params=params)
+    t_start = time.perf_counter()
+    for _ in range(n_seqs):
+        prompt = rng.integers(0, vocab, size=prompt_len)
+        engine.add_request(prompt.tolist(), SamplingParams(max_tokens=n_new))
+    first_tok: dict = {}
+    decode_t0 = None
+    tokens_at_decode_start = 0
+    deadline = time.perf_counter() + 560
+    while engine.has_unfinished() and time.perf_counter() < deadline:
+        engine.step()
+        now = time.perf_counter()
+        total = 0
+        for rid, r in engine.scheduler.requests.items():
+            n = len(r.output_token_ids)
+            total += n
+            if n > 0 and rid not in first_tok:
+                first_tok[rid] = now
+        if decode_t0 is None and len(first_tok) == n_seqs:
+            decode_t0 = now
+            tokens_at_decode_start = total
+    t_end = time.perf_counter()
+    ttfts = sorted(t - t_start for t in first_tok.values())
+    ttft_p50 = ttfts[len(ttfts) // 2] if ttfts else float("nan")
+    decode_tokens = total - tokens_at_decode_start
+    decode_dt = max(t_end - decode_t0, 1e-9) if decode_t0 else float("nan")
+    decode_tps = decode_tokens / decode_dt
+    step_ms = 1e3 * decode_dt / max(1, decode_tokens / n_seqs)
+    return ttft_p50, decode_tps, step_ms
+
+
+def main() -> None:
+    import jax
+
+    from benchmarks.roofline import chip_peaks
+    from vllm_triton_backend_tpu.config import (
+        CacheConfig,
+        EngineConfig,
+        ModelConfig,
+        SchedulerConfig,
+    )
+    from vllm_triton_backend_tpu.models import llama
+
+    peaks = chip_peaks()
+    vs_baseline, t_kernel, util_bytes = kernel_microbench(peaks)
+
+    # ---------------- granite-3.1-8B INT8-weights + FP8-KV ----------------
+    mc = ModelConfig.granite_3_1_8b()
+    params = llama.init_quantized_params(mc, jax.random.key(0), "int8")
     cfg = EngineConfig(
-        model=ModelConfig.tinyllama_1_1b(),
+        model=mc,
+        cache=CacheConfig(
+            block_size=64, num_blocks=256, cache_dtype="fp8"
+        ),
+        scheduler=SchedulerConfig(
+            max_num_seqs=16,
+            max_num_batched_tokens=2048,
+            max_model_len=1024,
+            token_buckets=(16, 512, 1024, 2048),
+        ),
+    )
+    n_seqs, prompt_len, n_new = 16, 512, 96
+    # warmup pass compiles every (bucket, extras) executable
+    run_e2e(cfg, params, n_seqs, prompt_len, n_new, mc.vocab_size)
+    ttft_p50, decode_tps, step_ms = run_e2e(
+        cfg, params, n_seqs, prompt_len, n_new, mc.vocab_size
+    )
+    del params
+
+    # ---------------- TinyLlama bf16 (round-1 continuity) ----------------
+    mc_t = ModelConfig.tinyllama_1_1b()
+    params_t = llama.init_params(mc_t, jax.random.key(0))
+    cfg_t = EngineConfig(
+        model=mc_t,
         cache=CacheConfig(block_size=64, num_blocks=512),
         scheduler=SchedulerConfig(
             max_num_seqs=16,
             max_num_batched_tokens=2048,
             max_model_len=2048,
-            token_buckets=(16, 32, 64, 128, 256, 512, 1024, 2048),
+            token_buckets=(16, 512, 1024, 2048),
         ),
     )
-    engine = LLMEngine(cfg)
-    n_seqs, prompt_len, n_new = 16, 128, 256
-
-    def run_workload():
-        for _ in range(n_seqs):
-            prompt = rng.integers(0, cfg.model.vocab_size, size=prompt_len)
-            engine.add_request(
-                prompt.tolist(), SamplingParams(max_tokens=n_new)
-            )
-        tokens = 0
-        t0 = time.perf_counter()
-        while engine.has_unfinished() and time.perf_counter() - t0 < 300:
-            for out in engine.step():
-                tokens += len(out.output_token_ids)
-        return tokens, time.perf_counter() - t0
-
-    run_workload()  # warmup: compiles prefill + decode-session executables
-    tokens, dt = run_workload()
-    decode_tps = tokens / dt
+    run_e2e(cfg_t, params_t, 16, 128, 64, mc_t.vocab_size)
+    _, tiny_tps, _ = run_e2e(cfg_t, params_t, 16, 128, 256, mc_t.vocab_size)
 
     print(
         json.dumps(
@@ -143,6 +257,14 @@ def main() -> None:
                 "value": round(decode_tps, 1),
                 "unit": "tok/s",
                 "vs_baseline": round(vs_baseline, 3),
+                "model": "granite-3.1-8b-int8w-fp8kv",
+                "batch": n_seqs,
+                "ttft_p50_ms": round(ttft_p50 * 1e3, 1),
+                "decode_step_ms": round(step_ms, 2),
+                "paged_attn_kernel_us": round(t_kernel * 1e6, 1),
+                "paged_attn_util_bytes_pct": round(100 * util_bytes, 1),
+                "chip": peaks.name,
+                "tinyllama_decode_tps": round(tiny_tps, 1),
             }
         )
     )

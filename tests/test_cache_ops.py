@@ -13,7 +13,8 @@ def test_reshape_and_cache_matches_ref(with_pad):
     rng = np.random.default_rng(0)
     L, Hkv, B, bs, hd, T = 3, 2, 8, 16, 64, 10
     layer = 1
-    kv_cache = np.zeros((L, B, 2, Hkv, bs, hd), np.float32)
+    # B usable pages + the reserved trash page (last)
+    kv_cache = np.zeros((L, B + 1, 2, Hkv, bs, hd), np.float32)
     key = rng.standard_normal((T, Hkv, hd)).astype(np.float32)
     value = rng.standard_normal((T, Hkv, hd)).astype(np.float32)
     slots = rng.choice(B * bs, size=T, replace=False).astype(np.int32)
@@ -26,10 +27,48 @@ def test_reshape_and_cache_matches_ref(with_pad):
         jnp.asarray(kv_cache), jnp.int32(layer),
         jnp.asarray(key), jnp.asarray(value), jnp.asarray(slots),
     )
-    np.testing.assert_allclose(np.asarray(out)[layer], ref, atol=1e-6)
+    # dead slots land in the trash page, which no block table references;
+    # compare the usable pages against the oracle's dropped-slot semantics
+    np.testing.assert_allclose(
+        np.asarray(out)[layer, :B], ref[:B], atol=1e-6
+    )
     # other layers untouched
     np.testing.assert_allclose(np.asarray(out)[0], 0.0)
     np.testing.assert_allclose(np.asarray(out)[2], 0.0)
+
+
+def test_reshape_and_cache_run_path_matches_ref():
+    """Large flat batch (> token-path threshold): scheduler-format slot
+    mapping — per-sequence contiguous slot runs + trailing -1 padding."""
+    rng = np.random.default_rng(2)
+    L, Hkv, B, bs, hd = 2, 2, 32, 16, 64
+    layer = 0
+    kv_cache = np.zeros((L, B + 1, 2, Hkv, bs, hd), np.float32)
+    # 3 sequences with ragged lengths over non-adjacent pages, then pad
+    T = 128
+    slots = np.full(T, -1, np.int32)
+    t = 0
+    for pages, start_off, n in (
+        ([5, 9, 2], 3, 40),   # mid-page start, crosses two page bounds
+        ([17, 11], 0, 20),
+        ([30], 7, 9),         # single partial page
+    ):
+        for j in range(n):
+            pos = start_off + j
+            slots[t] = pages[pos // bs] * bs + pos % bs
+            t += 1
+    key = rng.standard_normal((T, Hkv, hd)).astype(np.float32)
+    value = rng.standard_normal((T, Hkv, hd)).astype(np.float32)
+
+    ref = ref_reshape_and_cache(key, value, kv_cache[layer].copy(), slots)
+    out = reshape_and_cache(
+        jnp.asarray(kv_cache), jnp.int32(layer),
+        jnp.asarray(key), jnp.asarray(value), jnp.asarray(slots),
+    )
+    np.testing.assert_allclose(
+        np.asarray(out)[layer, :B], ref[:B], atol=1e-6
+    )
+    np.testing.assert_allclose(np.asarray(out)[1], 0.0)
 
 
 def test_quantize_on_write_fp8():

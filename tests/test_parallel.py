@@ -62,7 +62,7 @@ def test_sharded_forward_matches_single_device(dp, tp):
 
     # --- sharded run: all replicas in one step ---
     sp = shard_params(params, mesh)
-    kv_cache = make_kv_caches(cfg, dp * NB_LOCAL, BS)
+    kv_cache = make_kv_caches(cfg, dp * NB_LOCAL, BS, data_shards=dp)
     kv_cache = shard_caches(kv_cache, mesh)
 
     T = 16

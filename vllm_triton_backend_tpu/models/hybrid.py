@@ -160,13 +160,14 @@ def make_kv_caches(
     cache_dtype: Any = None,
 ) -> jax.Array:
     """Fused KV cache sized to the number of ATTENTION layers only
-    (head dim lane-padded as in llama.make_kv_caches)."""
+    (head dim lane-padded + trailing trash page as in
+    llama.make_kv_caches)."""
     from vllm_triton_backend_tpu.utils import round_up
 
     dtype = cache_dtype or jnp.dtype(cfg.dtype)
     n_attn = sum(1 for t in block_types(cfg) if t == "attention")
     shape = (
-        max(n_attn, 1), num_blocks, 2, cfg.num_kv_heads, block_size,
+        max(n_attn, 1), num_blocks + 1, 2, cfg.num_kv_heads, block_size,
         round_up(cfg.head_size, 128),
     )
     return jnp.zeros(shape, dtype)

@@ -160,9 +160,16 @@ def forward_fn(
     metadata: AttentionMetadata,
     extras: ForwardExtras,
     tp_axis: str | None = None,
+    logits_indices: jax.Array | None = None,
 ) -> tuple[jax.Array, jax.Array]:
     """One engine step: embeds the flat token batch, runs all layers with
     paged-cache attention, returns (logits [T, vocab], kv_cache).
+
+    ``logits_indices`` ([S] int32) gathers the rows to decode BEFORE the
+    final norm + lm_head, so the vocab projection runs on S rows instead
+    of the whole flat batch — on an 8B model a 2048-token prefill step
+    saves an ~0.8 TFLOP matmul (and its [T, vocab] f32 buffer) that the
+    sampler would discard anyway.
 
     The fused cache rides the layer-``scan`` **carry** — each layer scatters
     its new K/V at its layer index and the attention kernels address
@@ -251,6 +258,8 @@ def forward_fn(
         (params.layers, slots_arr, owns_arr),
     )
 
+    if logits_indices is not None:
+        x = x[logits_indices]
     x = rms_norm(x, params.final_norm, cfg.rms_norm_eps)
     logits = linear(x, params.lm_head).astype(jnp.float32)
     if tp_axis:
@@ -268,6 +277,62 @@ forward = functools.partial(
     static_argnames=("cfg", "extras"),
     donate_argnames=("kv_cache",),
 )(functools.partial(forward_fn, tp_axis=None))
+
+
+def init_quantized_params(
+    cfg: ModelConfig, key: jax.Array, weight_dtype: str = "int8"
+) -> LlamaParams:
+    """Random init with projections quantized leaf-by-leaf.
+
+    ``init_params`` + ``quantize_params`` materializes the whole bf16
+    model first (16 GB for an 8B model — over a v5e's HBM); here each
+    stacked projection is quantized immediately after it is drawn, so the
+    transient peak is one bf16 leaf (~4 GB for the largest 8B leaf)."""
+    dtype = jnp.dtype(cfg.dtype)
+    h, inter, hd = cfg.hidden_size, cfg.intermediate_size, cfg.head_size
+    nl = cfg.num_layers
+    keys = jax.random.split(key, 12)
+    qw = jax.jit(
+        jax.vmap(functools.partial(quantize_weights, dtype=weight_dtype))
+    )
+
+    def init_q(k, shape, fan_in):
+        dense = (
+            jax.random.normal(k, shape, jnp.float32) * (fan_in**-0.5)
+        ).astype(dtype)
+        q = qw(dense)
+        dense.delete()
+        return q
+
+    embed = (
+        jax.random.normal(keys[0], (cfg.vocab_size, h), jnp.float32)
+        * (h**-0.5)
+    ).astype(dtype)
+    layers = LayerParams(
+        input_norm=jnp.ones((nl, h), dtype),
+        q_proj=init_q(keys[1], (nl, h, cfg.num_heads * hd), h),
+        k_proj=init_q(keys[2], (nl, h, cfg.num_kv_heads * hd), h),
+        v_proj=init_q(keys[3], (nl, h, cfg.num_kv_heads * hd), h),
+        o_proj=init_q(
+            keys[4], (nl, cfg.num_heads * hd, h), cfg.num_heads * hd
+        ),
+        post_attn_norm=jnp.ones((nl, h), dtype),
+        gate_proj=init_q(keys[5], (nl, h, inter), h),
+        up_proj=init_q(keys[6], (nl, h, inter), h),
+        down_proj=init_q(keys[7], (nl, inter, h), inter),
+    )
+    if cfg.tie_word_embeddings:
+        lm_head = jax.jit(functools.partial(
+            quantize_weights, dtype=weight_dtype
+        ))(embed.T)
+    else:
+        lm_head = init_q(keys[8], (h, cfg.vocab_size), h)
+    return LlamaParams(
+        embed=embed,
+        layers=layers,
+        final_norm=jnp.ones((h,), dtype),
+        lm_head=lm_head,
+    )
 
 
 def quantize_params(params: LlamaParams, dtype: str = "int8") -> LlamaParams:
@@ -292,10 +357,20 @@ def make_kv_caches(
     num_blocks: int,
     block_size: int,
     cache_dtype: Any = None,
+    data_shards: int = 1,
 ) -> jax.Array:
     """Allocate the zeroed fused paged KV cache
-    ``[L, num_blocks, 2, Hkv, block_size, head_pad]`` (one page = one
-    contiguous K+V slab for all heads — the kernels' DMA unit).
+    ``[L, num_blocks + data_shards, 2, Hkv, block_size, head_pad]`` (one
+    page = one contiguous K+V slab for all heads — the kernels' DMA unit).
+
+    Each data shard's chunk ends with a reserved **trash page**: the block
+    allocator hands out local pages ``0..num_blocks/data_shards-1`` only,
+    and ``reshape_and_cache`` redirects padded slots (-1) to the last
+    local page so cache writes are pure in-place stores (see
+    ops/pallas/cache_ops.py).  With ``data_shards > 1`` the blocks axis
+    is ``num_blocks/data_shards + 1`` pages per shard, contiguous per
+    shard, so sharding over the replica axis gives every shard its own
+    trash page as its local last page.
 
     The head dim is padded up to the 128-lane width: Mosaic requires the
     minor dim of manually-DMA'd slices to be lane-aligned, so a head_size
@@ -307,8 +382,11 @@ def make_kv_caches(
 
     dtype = cache_dtype or jnp.dtype(cfg.dtype)
     _, n_cache_layers = cfg.kv_cache_slots()
+    assert num_blocks % data_shards == 0, (
+        "num_blocks must divide evenly across data shards"
+    )
     shape = (
-        n_cache_layers, num_blocks, 2, cfg.num_kv_heads, block_size,
-        round_up(cfg.head_size, 128),
+        n_cache_layers, num_blocks + data_shards, 2, cfg.num_kv_heads,
+        block_size, round_up(cfg.head_size, 128),
     )
     return jnp.zeros(shape, dtype)

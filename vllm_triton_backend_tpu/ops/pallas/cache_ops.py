@@ -7,12 +7,35 @@ scales (reference backend/triton_attn.py:396-405; SURVEY.md §2.4).
 Cache layout (fused, page-contiguous):
     ``kv_cache[L, num_blocks, 2, num_kv_heads, block_size, head_size]``
 One page — K and V of every head — is one contiguous slab, the DMA unit of
-the attention kernels.  The write is an XLA scatter of
-``num_tokens x 2 x Hkv x head`` elements addressed by (layer, page, offset);
-the decoder threads the cache through its layer-``scan`` carry, so the
-scatter updates the donated buffer in place (no copy of the multi-GiB
-cache — the first version returned per-layer caches as scan ys, which made
-XLA materialize a full cache copy every step).
+the attention kernels.
+
+Why ``dynamic_update_slice`` chains and not one XLA scatter: the first
+version used ``kv_cache.at[layer, pages, :, :, offs].set(...)``; measured
+on a real TPU v5e, XLA refuses to update that windowed scatter in place
+even with the buffer donated through the decoder's layer-``scan`` carry and
+instead copies the FULL multi-GiB cache — twice per layer when the result
+also feeds the attention kernel (~5 ms/layer for a 1.5 GiB cache ≈ the
+whole decode-step budget).  ``dynamic_update_slice`` with the update
+covering whole trailing windows IS aliased in place by XLA, so the write
+costs only its own bytes.  Two paths:
+
+* **token path** (``num_tokens <= 64``, the decode regime): one
+  ``[1, 1, 2, H, 1, hd]`` DUS per token.  Measured: fused with the decode
+  attention kernel the whole write+attend layer scan runs *faster* than
+  attention alone did next to the scatter (0.15 ms/layer vs 5 ms/layer).
+* **run path** (larger flat batches, the prefill/mixed regime): tokens of
+  one sequence occupy consecutive slots, so they form page-aligned *runs*;
+  each run is applied as one read-merge-write of the whole
+  ``[2, H, block_size, hd]`` page under a ``while_loop`` over the actual
+  run count.  The merge uses a full ``block_size`` source window (padded
+  staging tensor) so the slice sizes stay static.
+
+Dead slots (``slot_mapping == -1``, the PAD_SLOT_ID skip of reference
+mamba_ssm.py / triton_attn.py:146-153): redirected to the cache's reserved
+**trash page** — callers allocate ``num_blocks + 1`` pages (see
+``models.llama.make_kv_caches``) and the allocator never hands out the last
+one, so dead writes land in a page no block table references.  This keeps
+the write a pure store (no read-modify-select per token).
 """
 
 from __future__ import annotations
@@ -36,8 +59,17 @@ def quantize_kv(x: jax.Array, scale, dtype) -> jax.Array:
     return x.astype(dtype)
 
 
+# Flat batches up to this many tokens take the per-token DUS path; larger
+# ones the page-run path.  64 covers every decode batch (max_num_seqs).
+_TOKEN_PATH_MAX = 64
+
+# Run-path capacity head-room: runs = page crossings + one per sequence;
+# sized for max_num_seqs up to 128 (scheduler-format slot mappings).
+_MAX_SEQ_RUNS = 129
+
+
 def reshape_and_cache(
-    kv_cache: jax.Array,  # [L, num_blocks, 2, Hkv, block_size, head]
+    kv_cache: jax.Array,  # [L, num_blocks + 1, 2, Hkv, block_size, head]
     layer_idx: jax.Array,  # scalar int32
     key: jax.Array,  # [num_tokens, num_kv_heads, head_size]
     value: jax.Array,  # [num_tokens, num_kv_heads, head_size]
@@ -47,13 +79,12 @@ def reshape_and_cache(
 ) -> jax.Array:
     """Returns the updated kv_cache (in place when the buffer is donated).
 
-    Padded slots (-1) are dropped — their page index is remapped out of
-    bounds so ``mode="drop"`` skips them, the scatter analog of the
-    reference's PAD_SLOT_ID skip.
+    The cache's LAST page is the reserved trash page (never in any block
+    table): padded slots (-1) are redirected there instead of dropped, so
+    the update lowers to in-place ``dynamic_update_slice`` stores.
     """
-    n_layers, num_blocks, _, num_kv_heads, block_size, head_pad = (
-        kv_cache.shape
-    )
+    n_layers, n_pages, _, num_kv_heads, block_size, head_pad = kv_cache.shape
+    trash = n_pages - 1
     dtype = kv_cache.dtype
     if key.shape[-1] != head_pad:  # cache head dim is lane-padded
         pad = ((0, 0), (0, 0), (0, head_pad - key.shape[-1]))
@@ -63,6 +94,86 @@ def reshape_and_cache(
         (quantize_kv(key, k_scale, dtype), quantize_kv(value, v_scale, dtype)),
         axis=1,
     )  # [T, 2, Hkv, head_pad]
-    pages = jnp.where(slot_mapping < 0, num_blocks, slot_mapping // block_size)
-    offs = jnp.where(slot_mapping < 0, 0, slot_mapping % block_size)
-    return kv_cache.at[layer_idx, pages, :, :, offs].set(upd, mode="drop")
+    num_tokens = upd.shape[0]
+    slot_mapping = slot_mapping.astype(jnp.int32)
+    valid = slot_mapping >= 0
+    page = jnp.where(valid, slot_mapping // block_size, trash).astype(
+        jnp.int32
+    )
+    off = jnp.where(valid, slot_mapping % block_size, 0).astype(jnp.int32)
+    lidx = jnp.asarray(layer_idx, jnp.int32).reshape(())
+    zero = jnp.int32(0)
+
+    if num_tokens <= _TOKEN_PATH_MAX:
+        for t in range(num_tokens):
+            win = upd[t][None, None, :, :, None, :]  # [1,1,2,H,1,hd]
+            kv_cache = jax.lax.dynamic_update_slice(
+                kv_cache, win, (lidx, page[t], zero, zero, off[t], zero)
+            )
+        return kv_cache
+
+    # ---- page-run path ----
+    # A run = a maximal group of consecutive tokens writing consecutive
+    # slots within one page.  Scheduler batches give one run per
+    # (sequence, touched page).
+    prev_slot = jnp.concatenate(
+        [jnp.full((1,), -2, jnp.int32), slot_mapping[:-1]]
+    )
+    prev_valid = jnp.concatenate([jnp.zeros((1,), bool), valid[:-1]])
+    is_start = valid & (
+        ~prev_valid | (slot_mapping != prev_slot + 1) | (off == 0)
+    )
+    run_of = jnp.cumsum(is_start.astype(jnp.int32)) - 1  # [T]
+    max_runs = num_tokens // block_size + _MAX_SEQ_RUNS
+    t_idx = jnp.arange(num_tokens, dtype=jnp.int32)
+    rid = jnp.where(valid, jnp.clip(run_of, 0, max_runs - 1), max_runs)
+    # per-run descriptors via small scatters (overflow bin at max_runs)
+    run_page = jnp.full((max_runs + 1,), trash, jnp.int32).at[rid].set(
+        page, mode="drop"
+    )
+    run_t0 = jnp.full(
+        (max_runs + 1,), jnp.iinfo(jnp.int32).max, jnp.int32
+    ).at[rid].min(t_idx, mode="drop")
+    run_o0 = jnp.full((max_runs + 1,), block_size, jnp.int32).at[rid].min(
+        off, mode="drop"
+    )
+    run_hi = jnp.zeros((max_runs + 1,), jnp.int32).at[rid].max(
+        off + 1, mode="drop"
+    )
+    n_runs = jnp.maximum(run_of[-1] + 1, 0)
+
+    # staging source: [2, H, T + 2*bs, hd] so a full block_size window
+    # around any run start is a static-size slice
+    stage_src = jnp.pad(
+        upd.transpose(1, 2, 0, 3),
+        ((0, 0), (0, 0), (block_size, block_size), (0, 0)),
+    )
+    off_iota = jnp.arange(block_size, dtype=jnp.int32)
+
+    def apply_run(state):
+        p, kvc = state
+        pg = run_page[p]
+        o0 = run_o0[p]
+        hi = run_hi[p]
+        ws = run_t0[p] - o0 + block_size  # source window start (padded)
+        window = jax.lax.dynamic_slice(
+            stage_src,
+            (zero, zero, ws, zero),
+            (2, num_kv_heads, block_size, head_pad),
+        )
+        cur = jax.lax.dynamic_slice(
+            kvc,
+            (lidx, pg, zero, zero, zero, zero),
+            (1, 1, 2, num_kv_heads, block_size, head_pad),
+        )[0, 0]
+        m = (off_iota >= o0) & (off_iota < hi)
+        merged = jnp.where(m[None, None, :, None], window, cur)
+        kvc = jax.lax.dynamic_update_slice(
+            kvc, merged[None, None], (lidx, pg, zero, zero, zero, zero)
+        )
+        return p + 1, kvc
+
+    _, kv_cache = jax.lax.while_loop(
+        lambda st: st[0] < n_runs, apply_run, (jnp.int32(0), kv_cache)
+    )
+    return kv_cache

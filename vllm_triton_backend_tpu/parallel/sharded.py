@@ -138,6 +138,7 @@ def make_sharded_decode_steps(
     extras: ForwardExtras,
     num_steps: int,
     block_size: int,
+    greedy_only: bool = False,
 ):
     """TP/DP-sharded fused multi-step decode (runtime/multistep.py analog).
 
@@ -188,7 +189,9 @@ def make_sharded_decode_steps(
                 params, lcfg, toks, pos, kv, meta, extras,
                 tp_axis="model",
             )
-            nxt = sample(logits, temp, tp_, tk, sub)
+            nxt = sample(
+                logits, temp, tp_, tk, sub, greedy_only=greedy_only
+            )
             nxt = jnp.where(lv, nxt, 0)
             lens = jnp.where(lv, lens + 1, lens)
             return (nxt, lens, kv, key), nxt

@@ -252,7 +252,7 @@ class LLMEngine:
 
     def _launch_decode_chunk(
         self, tokens_d, lens_d, tbl_d, live_d, temp_d, topp_d, topk_d,
-        key_d, extras, k, bs,
+        key_d, extras, k, bs, greedy_only,
     ):
         """One fused K-step chunk: single-chip or TP-sharded."""
         if self.tp > 1:
@@ -260,12 +260,13 @@ class LLMEngine:
                 make_sharded_decode_steps,
             )
 
-            step_fn = self._tp_decode_steps.get((extras, k))
+            step_fn = self._tp_decode_steps.get((extras, k, greedy_only))
             if step_fn is None:
                 step_fn = make_sharded_decode_steps(
-                    self.config.model, self.mesh, extras, k, bs
+                    self.config.model, self.mesh, extras, k, bs,
+                    greedy_only=greedy_only,
                 )
-                self._tp_decode_steps[(extras, k)] = step_fn
+                self._tp_decode_steps[(extras, k, greedy_only)] = step_fn
             sampled, toks, lens, key, kv = step_fn(
                 self.params, tokens_d[None], lens_d[None], tbl_d[None],
                 live_d[None], self.kv_cache,
@@ -277,7 +278,7 @@ class LLMEngine:
             tokens_d, lens_d, tbl_d, live_d,
             self.kv_cache,
             temp_d, topp_d, topk_d,
-            key_d, extras, k, bs,
+            key_d, extras, k, bs, greedy_only,
         )
 
     def _try_multistep(self) -> list[RequestOutput] | None:
@@ -365,6 +366,9 @@ class LLMEngine:
         tokens_d, lens_d, live_d, temp_d, topp_d, topk_d = (
             build_host_state(reqs)
         )
+        # static sampler specialization: skip the stochastic path (full-
+        # vocab sort) entirely when every request decodes greedily
+        greedy_only = all(r.sampling.temperature <= 0.0 for r in reqs)
         key_d = self._key
         pending: jax.Array | None = None  # in-flight chunk's sampled [K,S]
         # in-flight tokens per live req not yet applied on host
@@ -388,6 +392,7 @@ class LLMEngine:
                 ) = self._launch_decode_chunk(
                     tokens_d, lens_d, tbl_d, live_d,
                     temp_d, topp_d, topk_d, key_d, extras, k, bs,
+                    greedy_only,
                 )
                 inflight += k
                 chunks_launched += 1
@@ -469,6 +474,9 @@ class LLMEngine:
                     logits[0][jnp.asarray(batch.logits_indices)],
                     jnp.asarray(temp), jnp.asarray(top_p),
                     jnp.asarray(top_k), sub,
+                    greedy_only=all(
+                        r.sampling.temperature <= 0.0 for r in reqs
+                    ),
                 )
             )
         elif self.is_hybrid:
@@ -531,6 +539,9 @@ class LLMEngine:
                     logits[jnp.asarray(batch.logits_indices)],
                     jnp.asarray(temp), jnp.asarray(top_p),
                     jnp.asarray(top_k), sub,
+                    greedy_only=all(
+                        r.sampling.temperature <= 0.0 for r in reqs
+                    ),
                 )
             )
         else:
@@ -550,6 +561,7 @@ class LLMEngine:
                 jnp.asarray(top_k),
                 self._key,
                 extras,
+                all(r.sampling.temperature <= 0.0 for r in reqs),
             )
             sampled = np.asarray(sampled_d)
         finished = self.scheduler.update(batch, sampled, self.eos_token_id)

@@ -36,7 +36,7 @@ from vllm_triton_backend_tpu.runtime.sampler import sample
 
 @functools.partial(
     jax.jit,
-    static_argnames=("cfg", "extras"),
+    static_argnames=("cfg", "extras", "greedy_only"),
     donate_argnames=("kv_cache",),
 )
 def engine_step(
@@ -55,6 +55,7 @@ def engine_step(
     top_k: jax.Array,
     rng_key: jax.Array,
     extras: ForwardExtras,
+    greedy_only: bool = False,
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """One fully-fused engine step: forward + last-token gather + sample.
 
@@ -71,18 +72,22 @@ def engine_step(
         num_seqs=jnp.int32(seq_lens.shape[0]),
     )
     logits, kv_cache = forward_fn(
-        params, cfg, token_ids, positions, kv_cache, meta, extras
+        params, cfg, token_ids, positions, kv_cache, meta, extras,
+        logits_indices=logits_indices,
     )
     rng_key, sub = jax.random.split(rng_key)
     sampled = sample(
-        logits[logits_indices], temperature, top_p, top_k, sub
+        logits, temperature, top_p, top_k, sub,
+        greedy_only=greedy_only,
     )
     return sampled, rng_key, kv_cache
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("cfg", "extras", "num_steps", "block_size"),
+    static_argnames=(
+        "cfg", "extras", "num_steps", "block_size", "greedy_only",
+    ),
     donate_argnames=("kv_cache",),
 )
 def decode_steps(
@@ -100,6 +105,7 @@ def decode_steps(
     extras: ForwardExtras,
     num_steps: int,
     block_size: int,
+    greedy_only: bool = False,
 ) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array, jax.Array]:
     """Returns (sampled [K, S], next_tokens [S], final_seq_lens, next_key,
     kv_cache).
@@ -133,7 +139,10 @@ def decode_steps(
         logits, kv = forward_fn(
             params, cfg, toks, pos, kv, meta, extras
         )
-        nxt = sample(logits, temperature, top_p, top_k, sub)
+        nxt = sample(
+            logits, temperature, top_p, top_k, sub,
+            greedy_only=greedy_only,
+        )
         nxt = jnp.where(live, nxt, 0)
         lens = jnp.where(live, lens + 1, lens)
         return (nxt, lens, kv, key), nxt

@@ -30,7 +30,9 @@ class SamplingParams:
     seed: int | None = None
 
 
-@functools.partial(jax.jit, static_argnames=("vocab_padded",))
+@functools.partial(
+    jax.jit, static_argnames=("vocab_padded", "greedy_only")
+)
 def sample(
     logits: jax.Array,  # [num_seqs, vocab] f32 (last-token logits)
     temperature: jax.Array,  # [num_seqs] f32; 0 => greedy
@@ -38,8 +40,17 @@ def sample(
     top_k: jax.Array,  # [num_seqs] int32; 0 => disabled
     key: jax.Array,
     vocab_padded: int | None = None,
+    greedy_only: bool = False,
 ) -> jax.Array:
-    """Sample one token per sequence. Returns [num_seqs] int32."""
+    """Sample one token per sequence. Returns [num_seqs] int32.
+
+    ``greedy_only`` is a STATIC host-known flag: when every request in the
+    batch has temperature 0 the caller sets it and the stochastic path —
+    including the full-vocab sort, ~4 ms/step for [16, 32k] on TPU v5e —
+    is never traced.  The stochastic path itself sorts ONCE and derives
+    both the top-k and top-p thresholds from that sorted copy (the first
+    version sorted three times).
+    """
     num_seqs, vocab = logits.shape
     if vocab_padded and vocab_padded > vocab:
         pad = jnp.full(
@@ -49,37 +60,37 @@ def sample(
         vocab = vocab_padded
 
     greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    if greedy_only:
+        return greedy
 
     # --- scaled logits for stochastic path ---
     t = jnp.maximum(temperature, 1e-6)[:, None]
     scaled = logits / t
 
-    # top-k: mask logits below the k-th largest (k==0 disables)
-    sorted_desc = jnp.sort(scaled, axis=-1)[:, ::-1]  # [S, V] descending
+    # ONE descending sort serves both filters.  Top-k keeps ranks < k;
+    # masking ranks >= k on the sorted copy is identical to masking
+    # values below the k-th largest on the unsorted copy.
+    sorted_desc = jnp.sort(scaled, axis=-1)[:, ::-1]  # [S, V]
+    ranks = jnp.arange(vocab, dtype=jnp.int32)[None, :]
+    k_on = (top_k > 0)[:, None]
+    keep_k_sorted = ~k_on | (ranks < top_k[:, None])
     k_idx = jnp.clip(top_k - 1, 0, vocab - 1)
     kth = jnp.take_along_axis(sorted_desc, k_idx[:, None], axis=-1)
-    k_mask = jnp.where(
-        (top_k > 0)[:, None], scaled < kth, jnp.zeros_like(scaled, bool)
-    )
-    scaled = jnp.where(k_mask, -jnp.inf, scaled)
 
-    # top-p (nucleus): keep the smallest prefix of the sorted probs with
-    # cumulative mass >= top_p; implemented on sorted copy then mapped back
-    # via threshold value.
+    # top-p (nucleus) on the k-filtered sorted distribution: smallest
+    # prefix with cumulative mass >= top_p, mapped back via threshold.
     probs_sorted = jax.nn.softmax(
-        jnp.sort(scaled, axis=-1)[:, ::-1], axis=-1
+        jnp.where(keep_k_sorted, sorted_desc, -jnp.inf), axis=-1
     )
     cumsum = jnp.cumsum(probs_sorted, axis=-1)
-    # first index where cumsum >= top_p (inclusive)
     cutoff = jnp.sum(cumsum < top_p[:, None], axis=-1)  # [S]
     cutoff = jnp.clip(cutoff, 0, vocab - 1)
-    thresh = jnp.take_along_axis(
-        jnp.sort(scaled, axis=-1)[:, ::-1], cutoff[:, None], axis=-1
+    thresh = jnp.take_along_axis(sorted_desc, cutoff[:, None], axis=-1)
+
+    mask = (k_on & (scaled < kth)) | (
+        (top_p < 1.0)[:, None] & (scaled < thresh)
     )
-    p_mask = jnp.where(
-        (top_p < 1.0)[:, None], scaled < thresh, jnp.zeros_like(scaled, bool)
-    )
-    scaled = jnp.where(p_mask, -jnp.inf, scaled)
+    scaled = jnp.where(mask, -jnp.inf, scaled)
 
     sampled = jax.random.categorical(key, scaled, axis=-1).astype(jnp.int32)
     return jnp.where(temperature <= 0.0, greedy, sampled)
