@@ -6,12 +6,17 @@ Prints ONE JSON line carrying the four north-star numbers
 utilization):
 
   * ``value``/``metric``: steady-state decode tokens/s/chip on
-    granite-3.1-8B with INT8 weight-only linears + FP8(e4m3) KV-cache
+    granite-3.1-8B with INT8 weight-only linears + INT8 KV-cache
     (the largest north-star config that fits one v5e's 16 GB HBM —
     granite bf16 weights alone are 16 GB, so weight-only INT8 is the
     fitting configuration; reference README.md:58 names granite-3.1-8b
-    as the serving example).  Prefill excluded: the decode clock starts
-    once every request has produced its first token.
+    as the serving example).  INT8 rather than FP8-e4m3 KV because the
+    v5e VPU has no fast e4m3 path: measured (xplane trace) the decode
+    kernel runs 245 us/call on an fp8 cache vs 27-44 us on int8 at the
+    same byte count — int8 is this chip generation's hardware-matched
+    8-bit KV format (fp8 stays fully supported, and is the right
+    choice on v6e-class chips).  Prefill excluded: the decode clock
+    starts once every request has produced its first token.
   * ``ttft_p50_ms``: median time-to-first-token across the batch, from
     request submission (includes queueing behind other prefills — the
     serving-driver definition).
@@ -60,7 +65,7 @@ def bench_fn(fn, warmup=3, reps=20):
 
 def kernel_microbench(peaks):
     """Pallas decode kernel vs XLA baseline + measured HBM utilization on
-    granite-3.1-8B decode shapes with an FP8 KV-cache."""
+    granite-3.1-8B decode shapes with an INT8 KV-cache."""
     import functools
 
     import jax
@@ -81,10 +86,14 @@ def kernel_microbench(peaks):
     pages_per_seq = max_seq // block_size
     num_blocks = num_seqs * pages_per_seq + 1
     k_scale = v_scale = 0.03
+    n_bench_layers = 4  # >1: a constant layer index would let XLA hoist
+    # the loop-invariant kernel call out of the timing scan below
     kv_f = rng.standard_normal(
-        (1, num_blocks, 2, num_kv_heads, block_size, hd)
+        (n_bench_layers, num_blocks, 2, num_kv_heads, block_size, hd)
     ).astype(np.float32) * 0.3
-    kv_cache = jnp.asarray(kv_f / k_scale, jnp.float8_e4m3fn)
+    kv_cache = jnp.asarray(
+        np.clip(np.round(kv_f / k_scale), -127, 127), jnp.int8
+    )
     q = jnp.asarray(
         rng.standard_normal((num_seqs, num_q_heads, hd)) * 0.3, jnp.bfloat16
     )
@@ -134,14 +143,15 @@ def kernel_microbench(peaks):
 
     @functools.partial(jax.jit, static_argnames=())
     def kscan(q, kv, lens, tbl):
-        def body(c, _):
+        def body(c, l):
             o = _paged_decode_impl(
-                q, kv, layer, lens, tbl, scale=scale, max_seq_len=max_seq,
+                q, kv, l % n_bench_layers, lens, tbl, scale=scale,
+                max_seq_len=max_seq,
                 k_scale=k_scale, v_scale=v_scale, chunk_pages=8,
             )
             return c + o.astype(jnp.float32).sum(), None
         c, _ = jax.lax.scan(
-            body, jnp.float32(0), None, length=N
+            body, jnp.float32(0), jnp.arange(N, dtype=jnp.int32)
         )
         return c
 
@@ -153,7 +163,7 @@ def kernel_microbench(peaks):
     # true bytes: live KV pages for each sequence (fp8 = 1 B/elem)
     kv_bytes = num_seqs * (
         -(-seq_len // block_size) * block_size
-    ) * 2 * num_kv_heads * hd * 1
+    ) * 2 * num_kv_heads * hd * 1  # int8: 1 B/elem
     util_bytes = kv_bytes / t_kernel / peaks.hbm_bytes
     return t_xla / t_pallas, t_kernel, util_bytes
 
@@ -178,7 +188,7 @@ def run_e2e(cfg, params, n_seqs, prompt_len, n_new, vocab):
         engine.step()
         now = time.perf_counter()
         total = 0
-        for rid, r in engine.scheduler.requests.items():
+        for rid, r in engine.all_requests().items():
             n = len(r.output_token_ids)
             total += n
             if n > 0 and rid not in first_tok:
@@ -217,7 +227,7 @@ def main() -> None:
     cfg = EngineConfig(
         model=mc,
         cache=CacheConfig(
-            block_size=64, num_blocks=256, cache_dtype="fp8"
+            block_size=64, num_blocks=256, cache_dtype="int8"
         ),
         scheduler=SchedulerConfig(
             max_num_seqs=16,
@@ -227,7 +237,8 @@ def main() -> None:
         ),
     )
     n_seqs, prompt_len, n_new = 16, 512, 96
-    # warmup pass compiles every (bucket, extras) executable
+    # warmup pass compiles every (bucket, extras) executable — MUST use
+    # identical shapes (same n_new => same session horizon bucket / K)
     run_e2e(cfg, params, n_seqs, prompt_len, n_new, mc.vocab_size)
     ttft_p50, decode_tps, step_ms = run_e2e(
         cfg, params, n_seqs, prompt_len, n_new, mc.vocab_size
@@ -247,7 +258,7 @@ def main() -> None:
             token_buckets=(16, 512, 1024, 2048),
         ),
     )
-    run_e2e(cfg_t, params_t, 16, 128, 64, mc_t.vocab_size)
+    run_e2e(cfg_t, params_t, 16, 128, 256, mc_t.vocab_size)
     _, tiny_tps, _ = run_e2e(cfg_t, params_t, 16, 128, 256, mc_t.vocab_size)
 
     print(
@@ -257,7 +268,7 @@ def main() -> None:
                 "value": round(decode_tps, 1),
                 "unit": "tok/s",
                 "vs_baseline": round(vs_baseline, 3),
-                "model": "granite-3.1-8b-int8w-fp8kv",
+                "model": "granite-3.1-8b-int8w-int8kv",
                 "batch": n_seqs,
                 "ttft_p50_ms": round(ttft_p50 * 1e3, 1),
                 "decode_step_ms": round(step_ms, 2),

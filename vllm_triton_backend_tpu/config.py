@@ -236,14 +236,28 @@ class CacheConfig:
 
 @dataclass(frozen=True)
 class ParallelConfig:
-    """Mesh axes for multi-chip execution (SURVEY.md §2.6 build column)."""
+    """Mesh axes for multi-chip execution (SURVEY.md §2.6 build column).
+
+    * ``data_parallel`` — replica scheduling: each data shard runs its own
+      scheduler + page pool; batches stack on a leading replica axis.
+    * ``tensor_parallel`` — Megatron TP (parallel/sharded.py).
+    * ``pipeline_parallel`` — GPipe stage pipeline (parallel/pipeline.py);
+      mutually exclusive with tp/dp in v1.
+    * ``context_parallel`` — sequence-sharded KV (parallel/context.py);
+      mutually exclusive with the others in v1.
+    """
 
     data_parallel: int = 1
     tensor_parallel: int = 1
+    pipeline_parallel: int = 1
+    context_parallel: int = 1
 
     @property
     def world_size(self) -> int:
-        return self.data_parallel * self.tensor_parallel
+        return (
+            self.data_parallel * self.tensor_parallel
+            * self.pipeline_parallel * self.context_parallel
+        )
 
 
 @dataclass(frozen=True)

@@ -35,6 +35,7 @@ from vllm_triton_backend_tpu.ops.pallas.cache_ops import reshape_and_cache
 from vllm_triton_backend_tpu.ops.pallas.quant_linear import (
     QuantizedLinear,
     linear,
+    linear_at,
     quantize_weights,
 )
 
@@ -197,16 +198,33 @@ def forward_fn(
     if cfg.embedding_multiplier != 1.0:
         x = x * cfg.embedding_multiplier
 
+    # Quantized projections stay OUTSIDE the scan, addressed by layer
+    # index inside the pallas kernel (quant_linear.linear_at): feeding a
+    # per-layer dynamic-slice to an opaque pallas call makes XLA
+    # materialize a full HBM copy of every weight every step.  Dense
+    # weights ride the scan xs as before — XLA fuses those slices into
+    # its own matmul fusions at no cost.
+    layers = params.layers
+    quantized = isinstance(layers.q_proj, QuantizedLinear)
+
     def layer_body(carry, xs):
         h_in, kv = carry
-        # LayerParams slice, cache slot of this layer's KV, owner flag
-        lp, slot, owns_kv = xs
         t = token_ids.shape[0]
+        if quantized:
+            in_norm, post_norm, slot, owns_kv, lidx = xs
+            lp = layers._replace(
+                input_norm=in_norm, post_attn_norm=post_norm
+            )
+            lin = functools.partial(linear_at, layer_idx=lidx)
+        else:
+            # LayerParams slice, cache slot of this layer's KV, owner flag
+            lp, slot, owns_kv = xs
+            lin = linear
 
         normed = rms_norm(h_in, lp.input_norm, cfg.rms_norm_eps)
-        q = linear(normed, lp.q_proj).reshape(t, cfg.num_heads, hd)
-        k = linear(normed, lp.k_proj).reshape(t, cfg.num_kv_heads, hd)
-        v = linear(normed, lp.v_proj).reshape(t, cfg.num_kv_heads, hd)
+        q = lin(normed, lp.q_proj).reshape(t, cfg.num_heads, hd)
+        k = lin(normed, lp.k_proj).reshape(t, cfg.num_kv_heads, hd)
+        v = lin(normed, lp.v_proj).reshape(t, cfg.num_kv_heads, hd)
         q = apply_rope(q, positions, inv_freq)
         k = apply_rope(k, positions, inv_freq)
 
@@ -229,15 +247,15 @@ def forward_fn(
             local_chunk_size=cfg.attention_chunk_size or 0,
         )
         attn_out = maybe_psum(
-            linear(attn.reshape(t, cfg.num_heads * hd), lp.o_proj)
+            lin(attn.reshape(t, cfg.num_heads * hd), lp.o_proj)
         )
         h_mid = h_in + attn_out * cfg.residual_multiplier
 
         normed2 = rms_norm(h_mid, lp.post_attn_norm, cfg.rms_norm_eps)
-        gate = jax.nn.silu(linear(normed2, lp.gate_proj).astype(jnp.float32))
+        gate = jax.nn.silu(lin(normed2, lp.gate_proj).astype(jnp.float32))
         mlp = maybe_psum(
-            linear(
-                gate.astype(dtype) * linear(normed2, lp.up_proj),
+            lin(
+                gate.astype(dtype) * lin(normed2, lp.up_proj),
                 lp.down_proj,
             )
         )
@@ -252,10 +270,16 @@ def forward_fn(
             [s == l for l, s in enumerate(cfg.kv_sharing)], bool
         )
     )
+    if quantized:
+        scan_xs = (
+            layers.input_norm, layers.post_attn_norm,
+            slots_arr, owns_arr,
+            jnp.arange(cfg.num_layers, dtype=jnp.int32),
+        )
+    else:
+        scan_xs = (layers, slots_arr, owns_arr)
     (x, kv_cache), _ = jax.lax.scan(
-        layer_body,
-        (x, kv_cache),
-        (params.layers, slots_arr, owns_arr),
+        layer_body, (x, kv_cache), scan_xs
     )
 
     if logits_indices is not None:
@@ -296,13 +320,26 @@ def init_quantized_params(
         jax.vmap(functools.partial(quantize_weights, dtype=weight_dtype))
     )
 
-    def init_q(k, shape, fan_in):
-        dense = (
-            jax.random.normal(k, shape, jnp.float32) * (fan_in**-0.5)
-        ).astype(dtype)
-        q = qw(dense)
-        dense.delete()
-        return q
+    def init_q(k, shape, fan_in, chunk=8):
+        # layer-chunked: quantize_weights upcasts to f32, so a whole
+        # stacked 8B-model leaf would transiently need ~3x its bf16 size
+        w_parts, s_parts = [], []
+        for i0 in range(0, shape[0], chunk):
+            n = min(chunk, shape[0] - i0)
+            dense = (
+                jax.random.normal(
+                    jax.random.fold_in(k, i0), (n,) + shape[1:],
+                    jnp.float32,
+                )
+                * (fan_in**-0.5)
+            ).astype(dtype)
+            q = qw(dense)
+            dense.delete()
+            w_parts.append(q.w_q)
+            s_parts.append(q.scales)
+        return QuantizedLinear(
+            w_q=jnp.concatenate(w_parts), scales=jnp.concatenate(s_parts)
+        )
 
     embed = (
         jax.random.normal(keys[0], (cfg.vocab_size, h), jnp.float32)

