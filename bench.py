@@ -155,11 +155,33 @@ def kernel_microbench(peaks):
         )
         return c
 
-    t_loop = bench_fn(
-        lambda: kscan(q, kv_cache, meta.seq_lens, meta.block_table),
-        warmup=2, reps=5,
-    )
-    t_kernel = t_loop / N
+    # measured from the xplane trace (real device kernel durations — the
+    # reference's proton-profile discipline, benchmark.py:549-564): the
+    # wall-clock alternative carries the tunnel's ~30 ms D2H fence
+    # latency, which at 5 reps x 32 calls adds ~200 us/call of noise
+    import shutil
+    import tempfile
+
+    from benchmarks.xplane import matched_kernel_time
+
+    _fence(kscan(q, kv_cache, meta.seq_lens, meta.block_table))  # warm
+    trace_dir = tempfile.mkdtemp(prefix="bench_xplane_")
+    try:
+        with jax.profiler.trace(trace_dir):
+            _fence(kscan(q, kv_cache, meta.seq_lens, meta.block_table))
+        kt = matched_kernel_time(trace_dir, "paged_decode")
+    except Exception:
+        kt = None
+    finally:
+        shutil.rmtree(trace_dir, ignore_errors=True)
+    if kt is not None and kt.count:
+        t_kernel = kt.total_s / kt.count
+    else:  # fallback: amortized wall clock
+        t_loop = bench_fn(
+            lambda: kscan(q, kv_cache, meta.seq_lens, meta.block_table),
+            warmup=1, reps=5,
+        )
+        t_kernel = t_loop / N
     # true bytes: live KV pages for each sequence (fp8 = 1 B/elem)
     kv_bytes = num_seqs * (
         -(-seq_len // block_size) * block_size

@@ -93,3 +93,37 @@ def test_sharded_forward_matches_single_device(dp, tp):
             atol=2e-4, rtol=1e-3,
             err_msg=f"replica {d} (dp={dp}, tp={tp})",
         )
+
+
+def test_row_parallel_matmul_overlapped_matches_psum():
+    """collective_matmul ring reduce-scatter == monolithic psum."""
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 devices")
+    from jax.sharding import Mesh, PartitionSpec as P
+
+    from vllm_triton_backend_tpu.parallel.sharded import (
+        row_parallel_matmul_overlapped,
+    )
+
+    p = 4
+    mesh = Mesh(np.asarray(jax.devices()[:p]), ("model",))
+    rng = np.random.default_rng(0)
+    t, k, n = 8, 64, 32
+    x = jnp.asarray(rng.standard_normal((t, k)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((k, n)), jnp.float32)
+
+    def ring(x, w):
+        return row_parallel_matmul_overlapped(x, w, "model")
+
+    def mono(x, w):
+        return jax.lax.psum(x @ w, "model")
+
+    run = lambda f: jax.jit(
+        jax.shard_map(
+            f, mesh=mesh, in_specs=(P(None, "model"), P("model", None)),
+            out_specs=P(), check_vma=False,
+        )
+    )(x, w)
+    np.testing.assert_allclose(
+        np.asarray(run(ring)), np.asarray(run(mono)), rtol=1e-5, atol=1e-5
+    )

@@ -1,0 +1,260 @@
+"""On-chip autotuning sweep — populates the SHIPPED dejavu DBs.
+
+Run on real TPU hardware:  ``python tools/tune_chip.py [--quick]``
+
+Tunes the decode kernel (``chunk_tokens``) and the prefill kernel
+(``block_q`` x ``super_size``) over the north-star shape grid
+(TinyLlama-1.1B, llama3-8B, granite-3.1-8B head configs x seq buckets x
+cache dtypes) and writes the winning configs into
+``vllm_triton_backend_tpu/autotune/dejavu_data/`` — the tree that ships
+with the package, the analog of the reference's committed
+``kernels/dejavu_data`` (reference setup.py:66-68; 540 configs /
+72,003 s of tuning evidence per SURVEY.md §2.2).  Configs are timed by
+MEASURED device kernel duration from xplane traces (dejavu
+``trace_pattern``), not wall clock.
+
+Also emits a tuned-vs-fallback TSV (`dejavu_data/tuned_vs_fallback.tsv`)
+proving the tuned configs beat the static heuristic.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+# write straight into the shipped package data tree
+os.environ["VTB_DEJAVU_STORAGE"] = os.path.join(
+    REPO, "vllm_triton_backend_tpu", "autotune", "dejavu_data"
+)
+os.environ.setdefault("VTB_PRINT_AUTOTUNING", "1")
+
+import numpy as np  # noqa: E402
+
+
+def main(quick: bool = False) -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from vllm_triton_backend_tpu.ops.metadata import make_metadata
+    import importlib
+
+    # the pallas package __init__ re-exports a function named
+    # prefill_attention, shadowing the submodule attribute — go through
+    # importlib to get the modules themselves
+    da = importlib.import_module(
+        "vllm_triton_backend_tpu.ops.pallas.decode_attention"
+    )
+    pa = importlib.import_module(
+        "vllm_triton_backend_tpu.ops.pallas.prefill_attention"
+    )
+    import sys as _sys
+    da = _sys.modules["vllm_triton_backend_tpu.ops.pallas.decode_attention"]
+    pa = _sys.modules["vllm_triton_backend_tpu.ops.pallas.prefill_attention"]
+    from vllm_triton_backend_tpu.utils import next_power_of_2
+    from vllm_triton_backend_tpu.utils.xplane import matched_kernel_time
+
+    rng = np.random.default_rng(0)
+    rows = []
+
+    # (num_q_heads, num_kv_heads, head_size) per model family
+    head_cfgs = [
+        (32, 4, 64),    # TinyLlama-1.1B
+        (32, 8, 128),   # llama3-8B / granite-3.1-8B
+    ]
+    seq_lens = [512, 1024] if quick else [256, 512, 1024, 2048]
+    dtypes = [jnp.bfloat16, jnp.int8] if quick else [
+        jnp.bfloat16, jnp.int8, jnp.float8_e4m3fn
+    ]
+    batch, bs = 16, 64
+
+    def measure(fn, pattern, reps=10):
+        """Measured device kernel time per call via an xplane trace."""
+        import shutil
+        import tempfile
+
+        def fence(r):
+            leaf = jax.tree_util.tree_leaves(r)[0]
+            np.asarray(jax.device_get(leaf.ravel()[:1]))
+
+        fence(fn())
+        d = tempfile.mkdtemp(prefix="tune_tsv_")
+        try:
+            with jax.profiler.trace(d):
+                r = None
+                for _ in range(reps):
+                    r = fn()
+                fence(r)
+            kt = matched_kernel_time(d, pattern)
+            return kt.total_s / kt.count if kt and kt.count else None
+        finally:
+            shutil.rmtree(d, ignore_errors=True)
+
+    for (hq, hkv, hd) in head_cfgs:
+        for dtype in dtypes:
+            for max_seq in seq_lens:
+                pages = max_seq // bs
+                nb = batch * pages + 1
+                kv = jnp.zeros((1, nb, 2, hkv, bs, max(hd, 128)), dtype)
+                q = jnp.asarray(
+                    rng.standard_normal((batch, hq, hd)) * 0.3,
+                    jnp.bfloat16,
+                )
+                seq = max(1, max_seq - bs // 2)
+                bt = (
+                    np.arange(batch * pages, dtype=np.int32)
+                    .reshape(batch, pages) % (nb - 1)
+                )
+                meta = make_metadata(
+                    [1] * batch, [seq - 1] * batch, bt, bs
+                )
+                kw = dict(
+                    scale=hd**-0.5, max_seq_len=max_seq,
+                    sliding_window=0, logits_soft_cap=0.0,
+                    alibi_slopes=None, k_scale=1 / 16.0,
+                    v_scale=1 / 16.0, return_partials=False,
+                    local_chunk_size=0,
+                    max_seq_len_p2=next_power_of_2(max_seq),
+                    num_seqs_p2=next_power_of_2(batch),
+                    num_q_heads=hq, num_kv_heads=hkv,
+                    head_size=max(hd, 128), block_size=bs,
+                    kv_dtype=str(jnp.dtype(dtype)),
+                )
+                da._decode_launch._load_db()
+                tuned_already = (
+                    da._decode_launch._make_key(kw)
+                    in da._decode_launch._mem
+                )
+                # fallback timing (heuristic config), then tune
+                fb_cfg = da._decode_launch.fallback_heuristic(
+                    da._decode_launch._make_key(kw)
+                )
+                args = (q, kv, jnp.int32(0), meta.seq_lens,
+                        meta.block_table)
+                t_fb = measure(
+                    lambda: da._decode_launch.fn(*args, **kw, **fb_cfg),
+                    "paged_decode",
+                )
+                if tuned_already:
+                    won = dict(
+                        da._decode_launch._mem[
+                            da._decode_launch._make_key(kw)
+                        ]
+                    )
+                else:
+                    won = da._decode_launch.tune(*args, **kw)
+                t_tuned = measure(
+                    lambda: da._decode_launch.fn(*args, **kw, **won),
+                    "paged_decode",
+                )
+                rows.append(
+                    ("decode", f"{hq}/{hkv}h hd{hd}",
+                     str(jnp.dtype(dtype)), max_seq,
+                     fb_cfg, t_fb, won, t_tuned)
+                )
+                print(
+                    f"decode {hq}/{hkv} hd{hd} {jnp.dtype(dtype)} "
+                    f"seq{max_seq}: fallback {fb_cfg} "
+                    f"{(t_fb or 0)*1e6:.1f}us -> tuned {won} "
+                    f"{(t_tuned or 0)*1e6:.1f}us",
+                    flush=True,
+                )
+                del kv
+
+    # ---- prefill ----
+    prefill_seqs = [512] if quick else [512, 2048]
+    for (hq, hkv, hd) in head_cfgs:
+        for dtype in dtypes[:2]:  # bf16 + int8
+            for max_seq in prefill_seqs:
+                pages = max_seq // bs
+                n_seqs = 4
+                nb = n_seqs * pages + 1
+                kv = jnp.zeros((1, nb, 2, hkv, bs, max(hd, 128)), dtype)
+                q_len = min(512, max_seq)
+                total = n_seqs * q_len
+                q = jnp.asarray(
+                    rng.standard_normal((total, hq, hd)) * 0.3,
+                    jnp.bfloat16,
+                )
+                bt = (
+                    np.arange(n_seqs * pages, dtype=np.int32)
+                    .reshape(n_seqs, pages) % (nb - 1)
+                )
+                meta = make_metadata(
+                    [q_len] * n_seqs,
+                    [max_seq - q_len] * n_seqs,
+                    bt, bs, num_token_bucket=total,
+                )
+                kw = dict(
+                    scale=hd**-0.5, max_query_len=q_len,
+                    max_seq_len=max_seq, sliding_window=0,
+                    logits_soft_cap=0.0, alibi_slopes=None,
+                    k_scale=1 / 16.0, v_scale=1 / 16.0,
+                    local_chunk_size=0,
+                    max_query_len_p2=next_power_of_2(q_len),
+                    max_seq_len_p2=next_power_of_2(max_seq),
+                    num_q_heads=hq, num_kv_heads=hkv,
+                    head_size=hd, block_size=bs,
+                    kv_dtype=str(jnp.dtype(dtype)),
+                )
+                pa._prefill_launch._load_db()
+                tuned_already = (
+                    pa._prefill_launch._make_key(kw)
+                    in pa._prefill_launch._mem
+                )
+                fb_cfg = pa._prefill_launch.fallback_heuristic(
+                    pa._prefill_launch._make_key(kw)
+                )
+                args = (q, kv, jnp.int32(0), meta.query_start_loc,
+                        meta.seq_lens, meta.block_table)
+                t_fb = measure(
+                    lambda: pa._prefill_launch.fn(*args, **kw, **fb_cfg),
+                    "prefill_attention", reps=3,
+                )
+                if tuned_already:
+                    won = dict(
+                        pa._prefill_launch._mem[
+                            pa._prefill_launch._make_key(kw)
+                        ]
+                    )
+                else:
+                    won = pa._prefill_launch.tune(*args, **kw)
+                t_tuned = measure(
+                    lambda: pa._prefill_launch.fn(*args, **kw, **won),
+                    "prefill_attention", reps=3,
+                )
+                rows.append(
+                    ("prefill", f"{hq}/{hkv}h hd{hd}",
+                     str(jnp.dtype(dtype)), max_seq,
+                     fb_cfg, t_fb, won, t_tuned)
+                )
+                print(
+                    f"prefill {hq}/{hkv} hd{hd} {jnp.dtype(dtype)} "
+                    f"seq{max_seq}: fallback {fb_cfg} "
+                    f"{(t_fb or 0)*1e6:.1f}us -> tuned {won} "
+                    f"{(t_tuned or 0)*1e6:.1f}us",
+                    flush=True,
+                )
+                del kv
+
+    tsv = os.path.join(
+        os.environ["VTB_DEJAVU_STORAGE"], "tuned_vs_fallback.tsv"
+    )
+    os.makedirs(os.path.dirname(tsv), exist_ok=True)
+    with open(tsv, "w") as f:
+        f.write(
+            "kernel\theads\tkv_dtype\tmax_seq\tfallback_cfg\t"
+            "fallback_us\ttuned_cfg\ttuned_us\n"
+        )
+        for r in rows:
+            f.write(
+                f"{r[0]}\t{r[1]}\t{r[2]}\t{r[3]}\t{r[4]}\t"
+                f"{(r[5] or 0)*1e6:.1f}\t{r[6]}\t{(r[7] or 0)*1e6:.1f}\n"
+            )
+    print("wrote", tsv)
+
+
+if __name__ == "__main__":
+    main(quick="--quick" in sys.argv)

@@ -132,6 +132,7 @@ class Autotuner:
         warmup: int = 2,
         rep: int = 10,
         use_random_search: bool | None = None,
+        trace_pattern: str | None = None,
     ):
         self.fn = fn
         self.space = config_space
@@ -150,6 +151,13 @@ class Autotuner:
         self.fallback_heuristic = fallback_heuristic
         self.warmup = warmup
         self.rep = rep
+        # regex of device kernel names: when set (and a profiler trace is
+        # available) configs are timed by MEASURED device kernel duration
+        # from the xplane trace — wall-clock through a tunneled runtime
+        # carries tens of ms of dispatch/fence latency per measurement,
+        # drowning config differences of tens of us (the reference's
+        # CUDA-graph timing fidelity concern, SURVEY.md §7 hard-part 5)
+        self.trace_pattern = trace_pattern
         self._mem: dict[tuple, dict] = {}
         self._db_loaded = False
         self._mu = threading.Lock()
@@ -162,12 +170,11 @@ class Autotuner:
 
     # ---------------- persistence ----------------
 
-    def _db_path(self) -> str:
+    def _db_subpath(self) -> str:
         tag = os.environ.get("VTB_DEJAVU_TAG", "default")
         import jax
 
         return os.path.join(
-            _storage_root(),
             tag,
             f"jax_{jax.__version__}",
             _chip_label(),
@@ -176,21 +183,34 @@ class Autotuner:
             "cache.json",
         )
 
+    def _db_path(self) -> str:
+        return os.path.join(_storage_root(), self._db_subpath())
+
+    def _shipped_db_path(self) -> str:
+        """Tuning DBs committed with the package (the reference ships its
+        dejavu_data in the wheel, setup.py:66-68; SURVEY.md §5.4)."""
+        return os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            "dejavu_data",
+            self._db_subpath(),
+        )
+
     def _load_db(self):
         if self._db_loaded:
             return
         self._db_loaded = True
-        path = self._db_path()
-        if not os.path.exists(path):
-            return
-        try:
-            with open(path) as f:
-                db = json.load(f)
-            for k, v in db.get("cache", {}).items():
-                self._mem[tuple(json.loads(k))] = v
-            _debug(f"loaded {len(self._mem)} entries from {path}")
-        except (OSError, json.JSONDecodeError) as e:
-            _debug("db load failed:", e)
+        # shipped package data first, user storage second (user wins)
+        for path in (self._shipped_db_path(), self._db_path()):
+            if not os.path.exists(path):
+                continue
+            try:
+                with open(path) as f:
+                    db = json.load(f)
+                for k, v in db.get("cache", {}).items():
+                    self._mem[tuple(json.loads(k))] = v
+                _debug(f"loaded {len(self._mem)} entries from {path}")
+            except (OSError, json.JSONDecodeError) as e:
+                _debug("db load failed:", e)
 
     def _save_db(self, timings: dict | None = None, bench_time: float = 0.0):
         path = self._db_path()
@@ -254,8 +274,9 @@ class Autotuner:
         import numpy as np
 
         def fence(r):
-            # block_until_ready is unreliable on tunneled TPU runtimes;
-            # a 1-element D2H fetch fences the in-order dispatch stream
+            # 1-element device-side slice fetch: synchronizes the
+            # in-order dispatch stream without pulling full outputs over
+            # a (possibly tunneled) runtime link
             leaf = jax.tree_util.tree_leaves(r)[0]
             if hasattr(leaf, "ravel"):
                 np.asarray(jax.device_get(leaf.ravel()[:1]))
@@ -265,11 +286,45 @@ class Autotuner:
             r = self.fn(*args, **kwargs, **cfg)
         if r is not None:
             fence(r)
+
+        if self.trace_pattern and jax.default_backend() != "cpu":
+            t = self._bench_config_traced(cfg, args, kwargs, fence)
+            if t is not None:
+                return t
+
         t0 = time.perf_counter()
         for _ in range(self.rep):
             r = self.fn(*args, **kwargs, **cfg)
         fence(r)
         return (time.perf_counter() - t0) / self.rep
+
+    def _bench_config_traced(self, cfg, args, kwargs, fence):
+        """Measured per-call device kernel time from an xplane trace
+        (None when tracing/parsing is unavailable)."""
+        import shutil
+        import tempfile
+
+        import jax
+
+        d = tempfile.mkdtemp(prefix="vtb_dejavu_trace_")
+        try:
+            with jax.profiler.trace(d):
+                r = None
+                for _ in range(self.rep):
+                    r = self.fn(*args, **kwargs, **cfg)
+                fence(r)
+            from vllm_triton_backend_tpu.utils.xplane import (
+                matched_kernel_time,
+            )
+
+            kt = matched_kernel_time(d, self.trace_pattern)
+            if kt is not None and kt.count:
+                return kt.total_s / kt.count
+        except Exception as e:
+            _debug("traced bench failed:", type(e).__name__, e)
+        finally:
+            shutil.rmtree(d, ignore_errors=True)
+        return None
 
     def tune(self, *args, **kwargs) -> dict:
         """Benchmark the config space for this call's key; persist winner."""

@@ -251,6 +251,12 @@ class ParallelConfig:
     tensor_parallel: int = 1
     pipeline_parallel: int = 1
     context_parallel: int = 1
+    # Decompose TP reductions into ring reduce-scatter collective_matmuls
+    # so communication overlaps with compute (dense weights only;
+    # parallel/sharded.row_parallel_matmul_overlapped).  Off by default:
+    # ring summation order differs from psum, so bit-exact parity with
+    # the single-chip engine no longer holds.
+    overlap_collectives: bool = False
 
     @property
     def world_size(self) -> int:

@@ -162,6 +162,9 @@ def forward_fn(
     extras: ForwardExtras,
     tp_axis: str | None = None,
     logits_indices: jax.Array | None = None,
+    cp_axis: str | None = None,
+    cp_chunk_len: int = 0,
+    tp_overlap: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
     """One engine step: embeds the flat token batch, runs all layers with
     paged-cache attention, returns (logits [T, vocab], kv_cache).
@@ -186,6 +189,15 @@ def forward_fn(
     logits are all-gathered (Megatron-style TP, SURVEY.md §2.6 build
     column).  The attention math itself needs no communication: each shard
     owns whole kv-head groups.
+
+    With ``cp_axis`` set (context parallelism, SURVEY.md §5.7), the
+    KV-cache blocks axis is sequence-sharded: chip ``c`` owns positions
+    ``[c*cp_chunk_len, (c+1)*cp_chunk_len)`` of every sequence.
+    ``metadata.block_table`` is the position-ordered VIRTUAL table of
+    local page ids (runtime.block_allocator.CPBlockAllocator contract);
+    each chip slices its own rows, writes only the tokens it owns, runs
+    attention over its local KV shard, and merges flash partials over the
+    axis (parallel/context.py).
     """
     dtype = jnp.dtype(cfg.dtype)
     hd = cfg.head_size
@@ -193,6 +205,22 @@ def forward_fn(
 
     def maybe_psum(x):
         return jax.lax.psum(x, tp_axis) if tp_axis else x
+
+    def reduce_proj(lin, xin, w):
+        """Row-parallel projection + cross-shard reduction.  With
+        ``tp_overlap`` (dense weights only) the psum is decomposed into
+        the ring reduce-scatter collective_matmul so communication hides
+        under the chunked matmuls (parallel/sharded.py)."""
+        if (
+            tp_axis is not None and tp_overlap
+            and not isinstance(w, QuantizedLinear)
+        ):
+            from vllm_triton_backend_tpu.parallel.sharded import (
+                row_parallel_matmul_overlapped,
+            )
+
+            return row_parallel_matmul_overlapped(xin, w, tp_axis)
+        return maybe_psum(lin(xin, w))
 
     x = params.embed[token_ids].astype(dtype)
     if cfg.embedding_multiplier != 1.0:
@@ -231,33 +259,70 @@ def forward_fn(
         # KV-sharing layers skip the cache write (slot -1 drops the
         # scatter rows; reference backend/triton_attn.py:393-395)
         write_slots = jnp.where(owns_kv, metadata.slot_mapping, -1)
-        kv = reshape_and_cache(
-            kv, slot, k, v, write_slots,
-            extras.k_scale, extras.v_scale,
-        )
-        attn = unified_attention(
-            q, kv, slot, metadata,
-            scale=cfg.attn_scale,
-            max_query_len=extras.max_query_len,
-            max_seq_len=extras.max_seq_len,
-            sliding_window=cfg.sliding_window or 0,
-            logits_soft_cap=cfg.logits_soft_cap,
-            k_scale=extras.k_scale,
-            v_scale=extras.v_scale,
-            local_chunk_size=cfg.attention_chunk_size or 0,
-        )
-        attn_out = maybe_psum(
-            lin(attn.reshape(t, cfg.num_heads * hd), lp.o_proj)
+        if cp_axis is not None:
+            from vllm_triton_backend_tpu.parallel.context import (
+                cp_decode_attention,
+                cp_prefill_attention,
+            )
+
+            cidx = jax.lax.axis_index(cp_axis)
+            bs = kv.shape[4]
+            ppc = cp_chunk_len // bs
+            # tokens whose position this chip owns; slots are local ids
+            owner = (positions // cp_chunk_len) == cidx
+            write_slots = jnp.where(owner, write_slots, -1)
+            kv = reshape_and_cache(
+                kv, slot, k, v, write_slots,
+                extras.k_scale, extras.v_scale,
+            )
+            local_tbl = jax.lax.dynamic_slice_in_dim(
+                metadata.block_table, cidx * ppc, ppc, axis=1
+            )
+            if extras.max_query_len == 1:
+                local_lens = jnp.clip(
+                    metadata.seq_lens - cidx * cp_chunk_len,
+                    0, cp_chunk_len,
+                )
+                attn = cp_decode_attention(
+                    q, kv, slot, local_lens, local_tbl, cp_axis,
+                    scale=cfg.attn_scale, max_seq_len=cp_chunk_len,
+                    k_scale=extras.k_scale, v_scale=extras.v_scale,
+                )
+            else:
+                attn = cp_prefill_attention(
+                    q, kv, slot, metadata.query_start_loc,
+                    metadata.seq_lens, local_tbl, cp_axis, cp_chunk_len,
+                    scale=cfg.attn_scale,
+                    max_query_len=extras.max_query_len,
+                    k_scale=extras.k_scale, v_scale=extras.v_scale,
+                )
+        else:
+            kv = reshape_and_cache(
+                kv, slot, k, v, write_slots,
+                extras.k_scale, extras.v_scale,
+            )
+            attn = unified_attention(
+                q, kv, slot, metadata,
+                scale=cfg.attn_scale,
+                max_query_len=extras.max_query_len,
+                max_seq_len=extras.max_seq_len,
+                sliding_window=cfg.sliding_window or 0,
+                logits_soft_cap=cfg.logits_soft_cap,
+                k_scale=extras.k_scale,
+                v_scale=extras.v_scale,
+                local_chunk_size=cfg.attention_chunk_size or 0,
+            )
+        attn_out = reduce_proj(
+            lin, attn.reshape(t, cfg.num_heads * hd), lp.o_proj
         )
         h_mid = h_in + attn_out * cfg.residual_multiplier
 
         normed2 = rms_norm(h_mid, lp.post_attn_norm, cfg.rms_norm_eps)
         gate = jax.nn.silu(lin(normed2, lp.gate_proj).astype(jnp.float32))
-        mlp = maybe_psum(
-            lin(
-                gate.astype(dtype) * lin(normed2, lp.up_proj),
-                lp.down_proj,
-            )
+        mlp = reduce_proj(
+            lin,
+            gate.astype(dtype) * lin(normed2, lp.up_proj),
+            lp.down_proj,
         )
         h_out = h_mid + mlp * cfg.residual_multiplier
         return (h_out, kv), None

@@ -56,9 +56,15 @@ def unified_attention(
         force_selection == "decode"
     )
     if use_decode:
-        # one token per sequence: token order == sequence order
-        return paged_decode_attention(
-            q,
+        # one token per sequence: token order == sequence order.  The
+        # flat token batch may be padded BEYOND the seq-table length
+        # (token bucket > max_num_seqs) — slice to the sequence rows so
+        # the kernel never indexes past seq_lens/block_table, and pad
+        # the padding rows back with zeros.
+        num_seqs = metadata.seq_lens.shape[0]
+        t = q.shape[0]
+        out = paged_decode_attention(
+            q[:num_seqs],
             kv_cache,
             layer_idx,
             metadata.seq_lens,
@@ -72,6 +78,11 @@ def unified_attention(
             v_scale=v_scale,
             local_chunk_size=local_chunk_size,
         )
+        if t > num_seqs:
+            out = jnp.concatenate(
+                [out, jnp.zeros((t - num_seqs,) + out.shape[1:], out.dtype)]
+            )
+        return out
     return prefill_attention(
         q,
         kv_cache,

@@ -481,6 +481,7 @@ def _decode_fallback(key: tuple) -> dict:
     ],
     name="paged_decode_attention",
     fallback_heuristic=_decode_fallback,
+    trace_pattern="paged_decode",
 )
 def _decode_launch(
     q, kv_cache, layer_idx, seq_lens, block_table,

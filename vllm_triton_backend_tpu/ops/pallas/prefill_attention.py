@@ -55,22 +55,16 @@ def _prefill_kernel(
     # scalar prefetch
     layer_ref,  # [1] int32 (consumed by the kv index maps)
     qsl_ref,  # [S+1] int32
-    sl_ref,  # [S] int32
+    sl_ref,  # [S] int32 causal bound (may exceed cap under CP)
+    cap_ref,  # [S] int32 kv tokens PRESENT locally (== sl normally)
     tbl_ref,  # [S, max_blocks] int32
     # inputs
-    q_ref,  # [1, 1, qpk, BQ, hd] f32
+    q_ref,  # [1, 1, qpk, BQ, hd] compute dtype
     k_ref,  # [1, 1, 1, 1, bs, hd] cache dtype
     v_ref,  # [1, 1, 1, 1, bs, hd] cache dtype
     alibi_ref,  # [1, qpk_pad, 128] f32 or None (bound statically)
-    # outputs
-    o_ref,  # [1, 1, qpk, BQ, hd]
-    # scratch
-    k_buf,  # [SUPER, hd] f32
-    v_buf,  # [SUPER, hd] f32
-    m_scr,  # [M, 128] f32
-    l_scr,  # [M, 128] f32
-    acc_scr,  # [M, hd] f32
-    *,
+    # outputs: o_ref [1, 1, qpk, BQ, hd]; +(m_out, l_out) with partials
+    *refs,
     scale: float,
     block_size: int,
     block_q: int,
@@ -81,17 +75,27 @@ def _prefill_kernel(
     v_scale: float,
     has_alibi: bool,
     local_chunk_size: int = 0,
+    return_partials: bool = False,
 ):
+    refs = list(refs)
+    o_ref = refs.pop(0)
+    if return_partials:
+        m_out, l_out = refs.pop(0), refs.pop(0)
+    k_buf, v_buf, m_scr, l_scr, acc_scr = refs
+
     s = pl.program_id(0)
     qb = pl.program_id(2)
     kb = pl.program_id(3)
     pages_per_super = super_size // block_size
 
     seq_len = sl_ref[s]
+    cap = cap_ref[s]
     q_len = qsl_ref[s + 1] - qsl_ref[s]
     ctx_len = seq_len - q_len
-    # exclusive kv bound this q-tile may see (causal horizon)
-    kv_hi = jnp.minimum(seq_len, ctx_len + (qb + 1) * block_q)
+    # exclusive kv bound this q-tile may see (causal horizon ∩ local kv)
+    kv_hi = jnp.minimum(
+        jnp.minimum(seq_len, ctx_len + (qb + 1) * block_q), cap
+    )
 
     @pl.when(kb == 0)
     def _init():
@@ -151,7 +155,9 @@ def _prefill_kernel(
         kpos = sb_base + jax.lax.broadcasted_iota(
             jnp.int32, (m_rows, super_size), 1
         )
-        mask = jnp.logical_and(kpos <= qpos, kpos < seq_len)
+        mask = jnp.logical_and(
+            kpos <= qpos, kpos < jnp.minimum(seq_len, cap)
+        )
         # rows past this sequence's query length are padding
         mask = jnp.logical_and(mask, (qb * block_q + row_q % bq) < q_len)
         if sliding_window > 0:
@@ -186,10 +192,22 @@ def _prefill_kernel(
     def _finish():
         qpk, bq = o_ref.shape[2], o_ref.shape[3]
         hd = o_ref.shape[4]
-        l = l_scr[:, :1]
-        safe = jnp.where(l == 0.0, 1.0, l)
-        out = jnp.where(l == 0.0, 0.0, acc_scr[...] / safe)
-        o_ref[0, 0] = out.reshape(qpk, bq, hd).astype(o_ref.dtype)
+        if return_partials:
+            # unnormalized accumulator + running (max, expsum): the
+            # cross-chip LSE merge normalizes after combining shards
+            # (context.cp_prefill_attention; the reference's
+            # reduce_segments contract, triton_unified_attention.py
+            # :757-836, lifted onto the mesh axis)
+            o_ref[0, 0] = acc_scr[...].reshape(qpk, bq, hd).astype(
+                o_ref.dtype
+            )
+            m_out[0, 0] = m_scr[...].reshape(qpk, bq, 128)
+            l_out[0, 0] = l_scr[...].reshape(qpk, bq, 128)
+        else:
+            l = l_scr[:, :1]
+            safe = jnp.where(l == 0.0, 1.0, l)
+            out = jnp.where(l == 0.0, 0.0, acc_scr[...] / safe)
+            o_ref[0, 0] = out.reshape(qpk, bq, hd).astype(o_ref.dtype)
 
 
 def _pack_ragged(q, query_start_loc, num_seqs_static, q_pad):
@@ -213,7 +231,7 @@ def _pack_ragged(q, query_start_loc, num_seqs_static, q_pad):
     static_argnames=(
         "scale", "max_query_len", "max_seq_len", "sliding_window",
         "logits_soft_cap", "k_scale", "v_scale", "block_q", "super_size",
-        "local_chunk_size",
+        "local_chunk_size", "return_partials",
     ),
 )
 def _prefill_attention_impl(
@@ -235,6 +253,8 @@ def _prefill_attention_impl(
     block_q: int = 0,  # 0 -> heuristic
     super_size: int = 0,  # 0 -> heuristic
     local_chunk_size: int = 0,
+    kv_len_cap: jax.Array | None = None,  # [S] local kv tokens present
+    return_partials: bool = False,
 ) -> jax.Array:
     """Varlen prefill / chunked prefill over the paged cache.
 
@@ -242,6 +262,13 @@ def _prefill_attention_impl(
     mixed batches (any per-seq query length >= 0, incl. decode rows).
     ``block_q`` / ``super_size`` are the tunable block shapes (autotuned by
     the dejavu layer via :func:`prefill_attention`).
+
+    Context parallelism hooks (SURVEY.md §5.7): ``kv_len_cap`` bounds the
+    kv tokens PRESENT in this shard's cache per sequence (``seq_lens``
+    stays the causal coordinate and may exceed it or go non-positive);
+    ``return_partials`` returns the unnormalized flash state
+    ``(acc [T, Hq, hd], m [T, Hq], l [T, Hq])`` for the cross-chip
+    log-sum-exp merge instead of the normalized output.
     """
     total, num_q_heads, head_size = q.shape
     _, _, _, num_kv_heads, block_size, head_pad = kv_cache.shape
@@ -294,35 +321,43 @@ def _prefill_attention_impl(
         v_scale=v_scale,
         has_alibi=has_alibi,
         local_chunk_size=local_chunk_size,
+        return_partials=return_partials,
     )
+    if kv_len_cap is None:
+        kv_len_cap = seq_lens
     if has_alibi:
         kernel = functools.partial(_prefill_kernel, **params)
     else:
-        def kernel(lyr, qsl, sl, tbl, q_r, k_r, v_r, o_r, *scratch):
+        def kernel(lyr, qsl, sl, cap, tbl, q_r, k_r, v_r, *rest):
             return _prefill_kernel(
-                lyr, qsl, sl, tbl, q_r, k_r, v_r, None, o_r, *scratch,
+                lyr, qsl, sl, cap, tbl, q_r, k_r, v_r, None, *rest,
                 **params,
             )
 
-    def q_map(s, h, qb, kb, lyr, qsl, sl, tbl):
-        del kb, lyr, qsl, sl, tbl
+    def q_map(s, h, qb, kb, lyr, qsl, sl, cap, tbl):
+        del kb, lyr, qsl, sl, cap, tbl
         return (s, h, 0, qb, 0)
 
-    def _page(s, h, qb, kb, qsl, sl, tbl):
+    def _page(s, h, qb, kb, qsl, sl, cap, tbl):
         seq_len = sl[s]
         q_len = qsl[s + 1] - qsl[s]
-        kv_hi = jnp.minimum(seq_len, seq_len - q_len + (qb + 1) * block_q)
+        kv_hi = jnp.minimum(
+            jnp.minimum(
+                seq_len, seq_len - q_len + (qb + 1) * block_q
+            ),
+            cap[s],
+        )
         last_pg = jnp.maximum(pl.cdiv(kv_hi, block_size) - 1, 0)
         return tbl[s, jnp.minimum(kb, last_pg)]
 
-    def k_map(s, h, qb, kb, lyr, qsl, sl, tbl):
-        return (lyr[0], _page(s, h, qb, kb, qsl, sl, tbl), 0, h, 0, 0)
+    def k_map(s, h, qb, kb, lyr, qsl, sl, cap, tbl):
+        return (lyr[0], _page(s, h, qb, kb, qsl, sl, cap, tbl), 0, h, 0, 0)
 
-    def v_map(s, h, qb, kb, lyr, qsl, sl, tbl):
-        return (lyr[0], _page(s, h, qb, kb, qsl, sl, tbl), 1, h, 0, 0)
+    def v_map(s, h, qb, kb, lyr, qsl, sl, cap, tbl):
+        return (lyr[0], _page(s, h, qb, kb, qsl, sl, cap, tbl), 1, h, 0, 0)
 
-    def alibi_map(s, h, qb, kb, lyr, qsl, sl, tbl):
-        del s, qb, kb, lyr, qsl, sl, tbl
+    def alibi_map(s, h, qb, kb, lyr, qsl, sl, cap, tbl):
+        del s, qb, kb, lyr, qsl, sl, cap, tbl
         return (h, 0, 0)
 
     kv_block = (1, 1, 1, 1, block_size, head_pad)
@@ -337,11 +372,23 @@ def _prefill_attention_impl(
         inputs.append(slopes)
 
     m_rows = qpk * block_q
+    out_specs = pl.BlockSpec((1, 1, qpk, block_q, head_pad), q_map)
+    out_shape = jax.ShapeDtypeStruct(
+        (num_seqs, num_kv_heads, qpk, q_pad, head_pad),
+        jnp.float32 if return_partials else q.dtype,
+    )
+    if return_partials:
+        ml_spec = pl.BlockSpec((1, 1, qpk, block_q, 128), q_map)
+        ml_shape = jax.ShapeDtypeStruct(
+            (num_seqs, num_kv_heads, qpk, q_pad, 128), jnp.float32
+        )
+        out_specs = [out_specs, ml_spec, ml_spec]
+        out_shape = [out_shape, ml_shape, ml_shape]
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,
+        num_scalar_prefetch=5,
         grid=(num_seqs, num_kv_heads, num_q_blocks, num_kv_pages),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, 1, qpk, block_q, head_pad), q_map),
+        out_specs=out_specs,
         scratch_shapes=[
             pltpu.VMEM((super_size, head_pad), cdt),
             pltpu.VMEM((super_size, head_pad), cdt),
@@ -360,12 +407,10 @@ def _prefill_attention_impl(
         transcendentals=num_seqs * num_q_heads * q_pad * max_seq_len,
     )
 
-    out = pl.pallas_call(
+    result = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct(
-            (num_seqs, num_kv_heads, qpk, q_pad, head_pad), q.dtype
-        ),
+        out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=(
                 "parallel", "parallel", "parallel", "arbitrary"
@@ -377,15 +422,26 @@ def _prefill_attention_impl(
         jnp.asarray(layer_idx, jnp.int32).reshape(1),
         query_start_loc,
         seq_lens,
+        kv_len_cap,
         block_table,
         *inputs,
     )
 
-    # [S, Hkv, qpk, QPAD, hd_pad] -> flat [T, Hq, hd]
-    out = out[..., :head_size].transpose(0, 3, 1, 2, 4).reshape(
-        num_seqs, q_pad, num_q_heads, head_size
-    )
-    return out[seq_ids, local].astype(q.dtype)
+    def to_flat(x, width):
+        # [S, Hkv, qpk, QPAD, w] -> flat [T, Hq, w]
+        x = x[..., :width].transpose(0, 3, 1, 2, 4).reshape(
+            num_seqs, q_pad, num_q_heads, width
+        )
+        return x[seq_ids, local]
+
+    if return_partials:
+        acc, m, l = result
+        return (
+            to_flat(acc, head_size),
+            to_flat(m, 1)[..., 0],
+            to_flat(l, 1)[..., 0],
+        )
+    return to_flat(result, head_size).astype(q.dtype)
 
 
 # ---------------------------------------------------------------------------
@@ -427,6 +483,7 @@ def _prefill_fallback(key: tuple) -> dict:
     ],
     name="prefill_attention",
     fallback_heuristic=_prefill_fallback,
+    trace_pattern="prefill_attention",
 )
 def _prefill_launch(
     q, kv_cache, layer_idx, query_start_loc, seq_lens, block_table,
@@ -463,13 +520,19 @@ def prefill_attention(
     block_q=None,
     super_size=None,
     local_chunk_size=0,
+    kv_len_cap=None,
+    return_partials=False,
 ):
     """Autotuned varlen prefill/chunked-prefill attention.
 
-    Explicit ``block_q``/``super_size`` bypass the autotuner (bench use);
+    Explicit ``block_q``/``super_size`` bypass the autotuner (bench use),
+    as do the context-parallel hooks (``kv_len_cap``/``return_partials``);
     otherwise the dejavu cache resolves them from the shape-bucket key.
     """
-    if block_q is not None or super_size is not None:
+    if (
+        block_q is not None or super_size is not None
+        or kv_len_cap is not None or return_partials
+    ):
         return _prefill_attention_impl(
             q, kv_cache, layer_idx, query_start_loc, seq_lens, block_table,
             scale=scale, max_query_len=max_query_len,
@@ -478,6 +541,7 @@ def prefill_attention(
             k_scale=k_scale, v_scale=v_scale,
             block_q=block_q or 0, super_size=super_size or 0,
             local_chunk_size=local_chunk_size,
+            kv_len_cap=kv_len_cap, return_partials=return_partials,
         )
     return _prefill_launch(
         q, kv_cache, layer_idx, query_start_loc, seq_lens, block_table,

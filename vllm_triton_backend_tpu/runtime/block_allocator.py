@@ -169,3 +169,90 @@ class BlockAllocator:
 
     def num_cached_tokens(self, seq_id: str) -> int:
         return self._seqs[seq_id].num_cached_tokens
+
+
+class CPBlockAllocator:
+    """Context-parallel page pools: position range ``[c*chunk_len,
+    (c+1)*chunk_len)`` of every sequence lives in chip ``c``'s pool.
+
+    Same duck-typed interface as :class:`BlockAllocator` (the scheduler
+    is oblivious); ``block_table`` returns position-ordered LOCAL page
+    ids — entry ``j`` is a page in pool ``j // (chunk_len/block_size)``,
+    so the sharded forward derives each chip's local table as the
+    contiguous slice ``table[:, c*ppc:(c+1)*ppc]`` and slot ownership
+    from ``position // chunk_len`` (parallel/context.py).  Prefix caching
+    is off (content pages would have to co-reside on one chip).
+    """
+
+    def __init__(
+        self,
+        num_chips: int,
+        local_blocks: int,
+        block_size: int,
+        chunk_len: int,
+    ):
+        assert chunk_len % block_size == 0
+        self.num_chips = num_chips
+        self.block_size = block_size
+        self.chunk_len = chunk_len
+        self.ppc = chunk_len // block_size  # pages per chip per seq
+        self.enable_prefix_caching = False
+        self._free: list[list[int]] = [
+            list(range(local_blocks - 1, -1, -1))
+            for _ in range(num_chips)
+        ]
+        self._seqs: dict[str, list[int]] = {}
+
+    @property
+    def num_free_blocks(self) -> int:
+        # conservative: growth happens chip-by-chip in position order
+        return min(len(f) for f in self._free)
+
+    def _chip_pages_needed(self, n_tokens: int) -> list[int]:
+        out = []
+        for c in range(self.num_chips):
+            local = min(
+                max(n_tokens - c * self.chunk_len, 0), self.chunk_len
+            )
+            out.append(-(-local // self.block_size))
+        return out
+
+    def can_allocate(self, prompt_len: int) -> bool:
+        return all(
+            need <= len(self._free[c])
+            for c, need in enumerate(self._chip_pages_needed(prompt_len))
+        )
+
+    def allocate(self, seq_id: str, prompt: list[int]) -> SeqBlocks:
+        assert seq_id not in self._seqs
+        self._seqs[seq_id] = []
+        self.append_slots(seq_id, len(prompt))
+        sb = SeqBlocks(pages=self._seqs[seq_id])
+        return sb
+
+    def append_slots(self, seq_id: str, seq_len: int) -> None:
+        pages = self._seqs[seq_id]
+        n = -(-seq_len // self.block_size)
+        while len(pages) < n:
+            chip = len(pages) // self.ppc
+            if chip >= self.num_chips:
+                raise MemoryError(
+                    "sequence exceeds context-parallel capacity"
+                )
+            if not self._free[chip]:
+                raise MemoryError("page pool exhausted")
+            pages.append(self._free[chip].pop())
+
+    def publish_full_blocks(self, seq_id: str, tokens: list[int]) -> None:
+        return  # no prefix cache under CP
+
+    def free(self, seq_id: str) -> None:
+        pages = self._seqs.pop(seq_id)
+        for j, page in enumerate(pages):
+            self._free[j // self.ppc].append(page)
+
+    def block_table(self, seq_id: str) -> list[int]:
+        return self._seqs[seq_id]
+
+    def num_cached_tokens(self, seq_id: str) -> int:
+        return 0

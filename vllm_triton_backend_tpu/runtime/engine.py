@@ -109,9 +109,25 @@ class LLMEngine:
                 "pipeline parallel composes with dp/tp in a later phase"
             )
             assert mc.num_layers % self.pp == 0
+        self.cp = config.parallel.context_parallel
+        if self.cp > 1:
+            assert (
+                self.dp == 1 and self.tp == 1 and self.pp == 1
+                and not self.is_hybrid
+            ), "context parallel composes with dp/tp/pp in a later phase"
+            assert cc.num_blocks % self.cp == 0
+            self.cp_chunk_len = sched_config.max_model_len // self.cp
+            assert self.cp_chunk_len * self.cp == sched_config.max_model_len
+            assert self.cp_chunk_len % cc.block_size == 0
+        # dp and cp both shard the blocks axis contiguously: each shard's
+        # chunk = its local page pool + its own trash page
+        block_shards = max(self.dp, self.cp)
         self.kv_cache = make_caches(
             mc, cc.num_blocks, cc.block_size, cache_dtype,
-            **({"data_shards": self.dp} if not self.is_hybrid else {}),
+            **(
+                {"data_shards": block_shards}
+                if not self.is_hybrid else {}
+            ),
         )
         # Tensor parallelism: shard weights/caches over the (dp, tp) mesh
         # and step through the shard_map forward (parallel/sharded.py).
@@ -154,15 +170,42 @@ class LLMEngine:
                 self.kv_cache, NamedSharding(self.mesh, P("stage"))
             )
             self._pp_steps: dict = {}  # (extras, M) -> jitted pp forward
+        elif self.cp > 1:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from vllm_triton_backend_tpu.parallel.context import (
+                make_cp_mesh,
+            )
+
+            self.mesh = make_cp_mesh(self.cp)
+            self.kv_cache = jax.device_put(
+                self.kv_cache,
+                NamedSharding(self.mesh, P(None, "seq")),
+            )
+            self._cp_steps: dict = {}  # extras -> jitted cp forward
         # one scheduler per data replica, each over its local block slice
         local_cc = cc
         if self.dp > 1:
             import dataclasses as _dc
 
             local_cc = _dc.replace(cc, num_blocks=cc.num_blocks // self.dp)
-        self.schedulers = [
-            Scheduler(sched_config, local_cc) for _ in range(self.dp)
-        ]
+        if self.cp > 1:
+            from vllm_triton_backend_tpu.runtime.block_allocator import (
+                CPBlockAllocator,
+            )
+
+            cp_alloc = CPBlockAllocator(
+                self.cp, cc.num_blocks // self.cp, cc.block_size,
+                self.cp_chunk_len,
+            )
+            self.schedulers = [
+                Scheduler(sched_config, cc, allocator=cp_alloc)
+            ]
+        else:
+            self.schedulers = [
+                Scheduler(sched_config, local_cc)
+                for _ in range(self.dp)
+            ]
         self.scheduler = self.schedulers[0]
         self._next_replica = 0
         self.eos_token_id = eos_token_id
@@ -315,6 +358,7 @@ class LLMEngine:
                 step_fn = make_sharded_decode_steps(
                     self.config.model, self.mesh, extras, k, bs,
                     greedy_only=greedy_only,
+                    tp_overlap=self.config.parallel.overlap_collectives,
                 )
                 self._tp_decode_steps[(extras, k, greedy_only)] = step_fn
             sampled, toks, lens, key, kv = step_fn(
@@ -574,6 +618,7 @@ class LLMEngine:
             step_fn = make_sharded_decode_steps(
                 self.config.model, self.mesh, extras, k, bs,
                 greedy_only=greedy_only,
+                tp_overlap=self.config.parallel.overlap_collectives,
             )
             self._tp_decode_steps[step_key] = step_fn
 
@@ -681,7 +726,8 @@ class LLMEngine:
         step_fn = self._tp_steps.get(extras)
         if step_fn is None:
             step_fn = make_sharded_forward(
-                self.config.model, self.mesh, extras
+                self.config.model, self.mesh, extras,
+                tp_overlap=self.config.parallel.overlap_collectives,
             )
             self._tp_steps[extras] = step_fn
         logits, self.kv_cache = step_fn(
@@ -821,6 +867,71 @@ class LLMEngine:
             for r in finished
         ]
 
+    # ---------------- context-parallel stepping ----------------
+
+    def _step_cp(self) -> list[RequestOutput]:
+        """One step with sequence-sharded KV (parallel/context.py): each
+        chip holds positions [c*chunk, (c+1)*chunk) of every sequence,
+        writes the tokens it owns, and attention partials merge over the
+        ``seq`` axis.  No fused decode sessions yet."""
+        from vllm_triton_backend_tpu.parallel.context import make_cp_forward
+        from vllm_triton_backend_tpu.runtime.sampler import sample
+
+        batch = self.scheduler.schedule()
+        if batch.is_empty:
+            return []
+        extras = ForwardExtras(
+            max_query_len=batch.max_query_len,
+            max_seq_len=batch.max_seq_len,
+            k_scale=self.k_scale,
+            v_scale=self.v_scale,
+        )
+        step_fn = self._cp_steps.get(extras)
+        if step_fn is None:
+            step_fn = make_cp_forward(
+                self.config.model, self.mesh, extras, self.cp_chunk_len
+            )
+            self._cp_steps[extras] = step_fn
+        logits, self.kv_cache = step_fn(
+            self.params,
+            jnp.asarray(batch.token_ids),
+            jnp.asarray(batch.positions),
+            self.kv_cache,
+            jnp.asarray(batch.query_start_loc),
+            jnp.asarray(batch.seq_lens),
+            jnp.asarray(batch.block_table),
+            jnp.asarray(batch.slot_mapping),
+        )
+        reqs = [self.scheduler.requests[r] for r in batch.req_ids]
+        temp = np.zeros(batch.logits_indices.shape[0], np.float32)
+        top_p = np.ones_like(temp)
+        top_k = np.zeros(temp.shape, np.int32)
+        for i, r in enumerate(reqs):
+            temp[i] = r.sampling.temperature
+            top_p[i] = r.sampling.top_p
+            top_k[i] = r.sampling.top_k
+        self._key, sub = jax.random.split(self._key)
+        sampled = np.asarray(
+            sample(
+                logits[jnp.asarray(batch.logits_indices)],
+                jnp.asarray(temp), jnp.asarray(top_p),
+                jnp.asarray(top_k), sub,
+                greedy_only=all(
+                    r.sampling.temperature <= 0.0 for r in reqs
+                ),
+            )
+        )
+        finished = self.scheduler.update(batch, sampled, self.eos_token_id)
+        return [
+            RequestOutput(
+                req_id=r.req_id,
+                prompt_token_ids=r.prompt_token_ids,
+                output_token_ids=list(r.output_token_ids),
+                finish_reason=r.status.value.removeprefix("finished_"),
+            )
+            for r in finished
+        ]
+
     def _process_chunk_for(
         self, sched, reqs, sampled: np.ndarray
     ) -> list[Request]:
@@ -841,6 +952,8 @@ class LLMEngine:
             return self._step_dp()
         if self.pp > 1:
             return self._step_pp()
+        if self.cp > 1:
+            return self._step_cp()
         if self._decode_session_applies():
             fast = self._try_multistep()
             if fast is not None:
@@ -870,7 +983,8 @@ class LLMEngine:
             step_fn = self._tp_steps.get(extras)
             if step_fn is None:
                 step_fn = make_sharded_forward(
-                    self.config.model, self.mesh, extras
+                    self.config.model, self.mesh, extras,
+                    tp_overlap=self.config.parallel.overlap_collectives,
                 )
                 self._tp_steps[extras] = step_fn
             logits, self.kv_cache = step_fn(
