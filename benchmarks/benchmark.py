@@ -77,6 +77,12 @@ class BenchSetup:
     atol: float = 2e-2
     allow_incorrect: bool = False
     result_path: str = ""
+    # capture a jax profiler trace per timed impl and derive
+    # util_*_measured from ACTUAL device kernel durations (xplane parse —
+    # the reference's proton-profile columns, benchmark.py:549-564);
+    # silently skipped when tracing/parsing is unavailable (CPU runs)
+    capture_profile: bool = True
+    profile_reps: int = 10
 
     @classmethod
     def load(cls, conf_path: str | None) -> "BenchSetup":
@@ -281,6 +287,31 @@ def run(setup: BenchSetup, out_stream=sys.stdout) -> list[dict]:
                 )
                 flops *= batch / max(batch, 1)
                 util = utilization(flops, bts * batch, qs[0], peaks)
+                measured = None
+                if setup.capture_profile and jax.default_backend() != "cpu":
+                    import shutil
+                    import tempfile
+
+                    from benchmarks.xplane import measured_utilization
+
+                    pattern = (
+                        "paged_decode|prefill_attention|paged_attention"
+                    )
+                    d = tempfile.mkdtemp(prefix="vtb_bench_xplane_")
+                    try:
+                        with jax.profiler.trace(d):
+                            r = None
+                            for _ in range(setup.profile_reps):
+                                r = call()
+                            jax.block_until_ready(r)
+                        measured = measured_utilization(
+                            d, pattern, flops, bts * batch, peaks,
+                            calls=setup.profile_reps,
+                        )
+                    except Exception:
+                        measured = None
+                    finally:
+                        shutil.rmtree(d, ignore_errors=True)
                 row = {
                     "impl": impl_name,
                     "mode": mode,
@@ -300,6 +331,17 @@ def run(setup: BenchSetup, out_stream=sys.stdout) -> list[dict]:
                     "correct": correct,
                     "util_flops": round(util["util_flops"], 4),
                     "util_bytes": round(util["util_bytes"], 4),
+                    # measured (trace-derived) columns; analytic kept as
+                    # the fallback above
+                    "kernel_ms_measured": round(
+                        measured["kernel_ms_measured"], 4
+                    ) if measured else "",
+                    "util_flops_measured": round(
+                        measured["util_flops_measured"], 4
+                    ) if measured else "",
+                    "util_bytes_measured": round(
+                        measured["util_bytes_measured"], 4
+                    ) if measured else "",
                     "chip": peaks.name,
                     # provenance (reference benchmark.py:594-606)
                     "dejavu_storage": os.environ.get(

@@ -96,7 +96,8 @@ def main():
         k = key
         for _ in range(n):
             sampled, _toks, _lens, k, kv = decode_steps(
-                params, cfg, tokens, lens_d, bt_d, live, kv,
+                params, cfg, tokens, lens_d, bt_d, live,
+                jnp.full_like(lens_d, 1 << 30), kv,
                 temp, topp, topk, k, extras, K, block_size,
             )
         return sampled, kv

@@ -394,3 +394,38 @@ def test_stickbreaking_mass_bounded():
     )
     mass = np.asarray(out)[0, :, 0]
     assert np.all(mass <= 1.0 + 1e-5) and np.all(mass > 0.0)
+
+
+@pytest.mark.parametrize("attend_current", [False, True])
+@pytest.mark.parametrize("chunk_pages", [2, 8])
+def test_stickbreaking_pallas_kernel(attend_current, chunk_pages):
+    """Pallas stick-breaking decode (reverse-chunk pipeline carrying the
+    suffix log-mass) vs the numpy oracle (VERDICT r1 item 10)."""
+    from vllm_triton_backend_tpu.ops.pallas.decode_attention import (
+        stickbreaking_decode_attention,
+    )
+    from vllm_triton_backend_tpu.ops.refs import ref_stickbreaking_decode
+
+    hq, hkv = 8, 2
+    rng = np.random.default_rng(5)
+    head_size, block_size, num_blocks = 64, 16, 64
+    context_lens = [1, 17, 33, 130]
+    kv_cache = random_cache(rng, hkv, num_blocks, block_size, head_size)
+    q, block_table, meta = random_batch(
+        rng, [1] * len(context_lens), context_lens, hq, head_size,
+        block_size, num_blocks,
+    )
+    scale = SCALE_BY_HD(head_size)
+    qd = q.reshape(len(context_lens), hq, head_size)
+
+    ref = ref_stickbreaking_decode(
+        qd, kv_cache[0], np.asarray(meta.seq_lens)[: len(context_lens)],
+        block_table, scale, attend_current=attend_current,
+    )
+    out = stickbreaking_decode_attention(
+        jnp.asarray(qd), jnp.asarray(kv_cache), jnp.int32(0),
+        meta.seq_lens[: len(context_lens)], jnp.asarray(block_table),
+        scale=scale, max_seq_len=160,
+        attend_current=attend_current, chunk_pages=chunk_pages,
+    )
+    np.testing.assert_allclose(np.asarray(out), ref, atol=2e-3, rtol=2e-2)

@@ -220,3 +220,52 @@ def test_engine_prefix_cache_reuse(tiny_engine_setup):
             results[out.req_id] = out.output_token_ids
     assert results[r1] == results[r2]
     assert engine.scheduler.requests[r2].num_computed_tokens >= 32
+
+
+def test_session_survives_pool_pressure():
+    """Per-chunk session reservation (VERDICT r1 item 9): with a pool too
+    small for full-horizon preallocation the fused decode session must
+    still engage (partial budget) and produce the same greedy tokens as
+    a roomy pool."""
+    from vllm_triton_backend_tpu.models.llama import init_params
+
+    mc = ModelConfig.tiny(dtype="float32")
+    params = init_params(mc, jax.random.key(0))
+    sched = SchedulerConfig(
+        max_num_seqs=2, max_num_batched_tokens=32,
+        max_model_len=64, token_buckets=(8, 16, 32),
+    )
+    rng = np.random.default_rng(3)
+    prompts = [rng.integers(0, mc.vocab_size, size=8).tolist()
+               for _ in range(2)]
+
+    def run(num_blocks):
+        cfg = EngineConfig(
+            model=mc,
+            cache=CacheConfig(block_size=16, num_blocks=num_blocks),
+            scheduler=sched,
+        )
+        eng = LLMEngine(cfg, params=params, multistep=8)
+        for p in prompts:
+            eng.add_request(p, SamplingParams(max_tokens=40))
+        growth = []
+        out = {}
+        while eng.has_unfinished():
+            before = sum(
+                len(r.output_token_ids)
+                for r in eng.all_requests().values()
+            )
+            for o in eng.step():
+                out[o.req_id] = o.output_token_ids
+            after = sum(
+                len(r.output_token_ids)
+                for r in eng.all_requests().values()
+            )
+            growth.append(after - before)
+        return out, growth
+
+    roomy, _ = run(64)
+    tight, growth = run(5)  # full horizon needs 6 new pages; only 3 free
+    assert roomy == tight
+    # at least one step call advanced by a whole fused chunk (8/seq)
+    assert max(growth) >= 16, growth

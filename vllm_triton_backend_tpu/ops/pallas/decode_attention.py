@@ -101,6 +101,8 @@ def _ragged_decode_kernel(
     return_partials: bool,
     local_chunk_size: int,
     has_alibi: bool,
+    stickbreaking: bool = False,
+    attend_current: bool = False,
 ):
     rest = list(rest)
     alibi_ref = rest.pop(0) if has_alibi else None
@@ -117,12 +119,28 @@ def _ragged_decode_kernel(
     lyr = layer_ref[0]
     chunk_tokens = chunk_pages * block_size
 
+    def eff_len(sl):
+        # stick-breaking excludes the current (query) token by default:
+        # weight p_j = sigmoid(z_j) * prod_{k>j} (1 - sigmoid(z_k)) over
+        # the first n_keys keys (reference sb_jit_func.py:119-175)
+        if stickbreaking and not attend_current:
+            return sl - 1
+        return sl
+
+    def ck_of(grid_c):
+        # stick-breaking consumes chunks HIGH->LOW positions so the
+        # running log(1-beta) suffix accumulates across chunks — the
+        # reverse-order analog of the flash (m, l) carry
+        if stickbreaking:
+            return num_chunks - 1 - grid_c
+        return grid_c
+
     def foreach_page(sq, ck, fn, dead_fn=None):
         """Run fn(i, page_id) for each page of chunk ck of sequence sq that
         intersects the visible kv range [lo, seq_len), and dead_fn(i) for
         the rest.  The same predicate gates DMA start and wait, keeping
         them paired."""
-        sl = seq_lens_ref[sq]
+        sl = eff_len(seq_lens_ref[sq])
         lo = _visible_lo(sl, sliding_window, local_chunk_size)
         for i in range(chunk_pages):  # static unroll
             pg = ck * chunk_pages + i
@@ -177,7 +195,7 @@ def _ragged_decode_kernel(
 
     @pl.when(step == 0)
     def _warmup():
-        start_chunk(0, 0, 0)
+        start_chunk(0, ck_of(0), 0)
 
     # issue the NEXT grid step's chunk while this one computes
     nxt = step + 1
@@ -185,20 +203,75 @@ def _ragged_decode_kernel(
 
     @pl.when(nxt < num_seqs * num_chunks)
     def _prefetch():
-        start_chunk(ns, nc, jax.lax.rem(nxt, 2))
+        start_chunk(ns, ck_of(nc), jax.lax.rem(nxt, 2))
 
     @pl.when(c == 0)
     def _init():
-        m_scr[...] = jnp.full_like(m_scr, MASK_VALUE)
+        m_scr[...] = (
+            jnp.zeros_like(m_scr) if stickbreaking
+            else jnp.full_like(m_scr, MASK_VALUE)
+        )
         l_scr[...] = jnp.zeros_like(l_scr)
         acc_scr[...] = jnp.zeros_like(acc_scr)
 
-    seq_len = seq_lens_ref[s]
+    seq_len = eff_len(seq_lens_ref[s])
     lo = _visible_lo(seq_len, sliding_window, local_chunk_size)
-    chunk_lo = c * chunk_tokens
+    chunk_lo = ck_of(c) * chunk_tokens
     live = jnp.logical_and(
         chunk_lo < seq_len, chunk_lo + chunk_tokens > lo
     )
+
+    if stickbreaking:
+        @pl.when(live)
+        def _compute_sb():
+            # m_scr doubles as the running suffix log-mass
+            # S = sum of log(1 - sigmoid(z)) over all HIGHER keys
+            wait_chunk(s, ck_of(c), slot)
+            q = q_ref[0]
+            cdt = q.dtype
+            k = _dequant(kv_buf[slot, 0], k_scale, cdt)
+            v = _dequant(kv_buf[slot, 1], v_scale, cdt)
+            z = jax.lax.dot_general(
+                q, k, (((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            ) * scale  # [H, qpk_pad, chunk_tokens]
+            pos = chunk_lo + jax.lax.broadcasted_iota(
+                jnp.int32, z.shape, 2
+            )
+            mask = pos < seq_len
+            log1mb = jnp.where(mask, -jax.nn.softplus(z), 0.0)
+            # inclusive reverse cumsum within the chunk:
+            # log p_j = z_j + sum_{k >= j in chunk} log1mb_k + S.
+            # Mosaic lowers neither `rev` nor `cumsum`; express it as a
+            # triangular matmul rc[.., j] = sum_k log1mb[.., k] * (k>=j)
+            # (MXU-friendly; HIGHEST keeps f32 accuracy — default MXU
+            # precision costs ~3e-2 abs err over a 128-token chunk)
+            ct = log1mb.shape[2]
+            tri = (
+                jax.lax.broadcasted_iota(jnp.int32, (ct, ct), 0)
+                >= jax.lax.broadcasted_iota(jnp.int32, (ct, ct), 1)
+            ).astype(jnp.float32)
+            rc = jax.lax.dot_general(
+                log1mb, tri, (((2,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            logp = z + rc + m_scr[:, :, :1]
+            p = jnp.where(mask, jnp.exp(logp), 0.0)
+            acc_scr[...] += jax.lax.dot_general(
+                p.astype(cdt), v, (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )
+            m_scr[...] += jnp.broadcast_to(
+                jnp.sum(log1mb, axis=2, keepdims=True), m_scr.shape
+            )
+
+        @pl.when(c == num_chunks - 1)
+        def _finish_sb():
+            # unnormalized by design: stick mass beyond the window drops
+            o_ref[0] = acc_scr[...].astype(o_ref.dtype)
+
+        return
 
     @pl.when(live)
     def _compute():
@@ -278,7 +351,7 @@ def _default_chunk_pages(
     static_argnames=(
         "scale", "max_seq_len", "sliding_window", "logits_soft_cap",
         "k_scale", "v_scale", "return_partials", "chunk_pages",
-        "local_chunk_size",
+        "local_chunk_size", "stickbreaking", "attend_current",
     ),
 )
 def _paged_decode_impl(
@@ -298,6 +371,8 @@ def _paged_decode_impl(
     return_partials: bool = False,
     chunk_pages: int = 0,  # 0 -> heuristic
     local_chunk_size: int = 0,
+    stickbreaking: bool = False,
+    attend_current: bool = False,
 ) -> jax.Array:
     """Single-token-per-sequence paged attention (the decode hot path).
 
@@ -353,6 +428,8 @@ def _paged_decode_impl(
         return_partials=return_partials,
         local_chunk_size=local_chunk_size,
         has_alibi=alibi_slopes is not None,
+        stickbreaking=stickbreaking,
+        attend_current=attend_current,
     )
 
     def q_map(s, c, lyr, sl, tbl):
@@ -449,6 +526,44 @@ def _paged_decode_impl(
         num_seqs, num_q_heads, head_size
     )
     return out.astype(q.dtype)
+
+
+def stickbreaking_decode_attention(
+    q: jax.Array,  # [num_seqs, num_q_heads, head_size]
+    kv_cache: jax.Array,
+    layer_idx: jax.Array,
+    seq_lens: jax.Array,
+    block_table: jax.Array,
+    *,
+    scale: float,
+    max_seq_len: int,
+    attend_current: bool = False,
+    k_scale: float = 1.0,
+    v_scale: float = 1.0,
+    chunk_pages: int = 0,
+) -> jax.Array:
+    """Stick-breaking paged decode attention — Pallas kernel variant.
+
+    Softmax-free weighting ``p_j = sigmoid(z_j) * prod_{k>j}
+    (1 - sigmoid(z_k))`` (reference legacy/fused_gqa_paged/
+    sb_jit_func.py:119-175): the decode kernel runs its chunk pipeline
+    in REVERSE position order carrying the suffix log-mass
+    ``sum log(1 - sigmoid(z))`` across chunks — the stick-breaking
+    analog of the flash (max, expsum) carry.  Unnormalized, like the
+    reference (mass beyond the visible window is dropped).  Oracle:
+    ``ops.refs.ref_stickbreaking_decode`` / ``xla_stickbreaking_decode``.
+    """
+    return _paged_decode_impl(
+        q, kv_cache, layer_idx, seq_lens, block_table,
+        scale=scale, max_seq_len=max_seq_len,
+        k_scale=k_scale, v_scale=v_scale,
+        chunk_pages=chunk_pages
+        or _default_chunk_pages(
+            max_seq_len, kv_cache.shape[4], kv_cache.shape[3],
+            kv_cache.shape[5], kv_cache.dtype.itemsize,
+        ),
+        stickbreaking=True, attend_current=attend_current,
+    )
 
 
 # ---------------------------------------------------------------------------

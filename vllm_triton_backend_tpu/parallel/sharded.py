@@ -192,7 +192,7 @@ def make_sharded_decode_steps(
     shard from replicated logits and the shared RNG key, so the sampled
     tokens are replicated without extra communication.  Returns
     ``step(params, tokens[D,S], seq_lens[D,S], block_table[D,S,B],
-    live[D,S], kv_cache, temp[D,S], top_p, top_k, key)
+    live[D,S], max_lens[D,S], kv_cache, temp[D,S], top_p, top_k, key)
     -> (sampled [D,K,S], next_tokens, final_lens, next_key, kv_cache)``.
     """
     import jax.numpy as jnp
@@ -203,12 +203,12 @@ def make_sharded_decode_steps(
     lcfg = local_model_config(cfg, tp)
 
     def step(
-        params, tokens, seq_lens, block_table, live,
+        params, tokens, seq_lens, block_table, live, max_lens,
         kv_cache, temperature, top_p, top_k, rng_key,
     ):
         toks0, lens0, tbl = tokens[0], seq_lens[0], block_table[0]
-        lv, temp, tp_, tk = (
-            live[0], temperature[0], top_p[0], top_k[0]
+        lv, ml, temp, tp_, tk = (
+            live[0], max_lens[0], temperature[0], top_p[0], top_k[0]
         )
         num_seqs = toks0.shape[0]
         qsl = jnp.arange(num_seqs + 1, dtype=jnp.int32)
@@ -216,12 +216,13 @@ def make_sharded_decode_steps(
         def body(carry, _):
             toks, lens, kv, key = carry
             key, sub = jax.random.split(key)
+            still = jnp.logical_and(lv, lens < ml)
             pos = lens - 1
             page = jnp.take_along_axis(
                 tbl, (pos // block_size)[:, None], axis=1
             )[:, 0]
             slots = jnp.where(
-                lv, page * block_size + pos % block_size, -1
+                still, page * block_size + pos % block_size, -1
             ).astype(jnp.int32)
             meta = AttentionMetadata(
                 query_start_loc=qsl,
@@ -237,8 +238,8 @@ def make_sharded_decode_steps(
             nxt = sample(
                 logits, temp, tp_, tk, sub, greedy_only=greedy_only
             )
-            nxt = jnp.where(lv, nxt, 0)
-            lens = jnp.where(lv, lens + 1, lens)
+            nxt = jnp.where(still, nxt, toks)
+            lens = jnp.where(still, lens + 1, lens)
             return (nxt, lens, kv, key), nxt
 
         (toks0, lens0, kv_cache, rng_key), sampled = jax.lax.scan(
@@ -254,12 +255,12 @@ def make_sharded_decode_steps(
         step,
         mesh=mesh,
         in_specs=(
-            PARAM_SPECS, b, b, b, b, CACHE_SPEC, b, b, b, P(),
+            PARAM_SPECS, b, b, b, b, b, CACHE_SPEC, b, b, b, P(),
         ),
         out_specs=(b, b, b, P(), CACHE_SPEC),
         check_vma=False,
     )
-    return jax.jit(mapped, donate_argnums=(5,))
+    return jax.jit(mapped, donate_argnums=(6,))
 
 
 # ---------------------------------------------------------------------------

@@ -42,6 +42,53 @@ class RequestOutput:
     text: str | None = None
 
 
+def _reserve_session_tokens(sched, reqs, horizon, bs, k) -> int:
+    """Reserve pages for as many future session tokens as the pool
+    allows — in multiples of the chunk size ``k``, capped by each
+    request's own target length — and return the reserved token budget
+    (0 when not even one chunk fits).
+
+    VERDICT r1 item 9: the old policy reserved every request's FULL
+    horizon or fell back to the slow path — exactly under the pool
+    pressure where the fused path matters most.  The device-side
+    ``max_lens`` bound makes a partial budget safe (no request can write
+    past its reserved pages)."""
+
+    def tgt_for(r, m):
+        return min(
+            len(r.prompt_token_ids) + r.sampling.max_tokens + 1,
+            horizon,
+            r.num_tokens + m,
+        )
+
+    def pages_needed(m):
+        need = 0
+        for r in reqs:
+            cur = len(sched.allocator.block_table(r.req_id))
+            need += max(0, -(-tgt_for(r, m) // bs) - cur)
+        return need
+
+    max_extra = max(
+        tgt_for(r, 1 << 30) - r.num_tokens for r in reqs
+    )
+    best = 0
+    m = k
+    while best < max_extra:
+        if m > max_extra:
+            m = max_extra + (k - max_extra % k) % k  # final partial step
+        if pages_needed(m) > sched.allocator.num_free_blocks:
+            break
+        best = m
+        if m >= max_extra:
+            break
+        m += k
+    if best == 0:
+        return 0
+    for r in reqs:
+        sched.allocator.append_slots(r.req_id, tgt_for(r, best))
+    return best
+
+
 class LLMEngine:
     def __init__(
         self,
@@ -50,6 +97,7 @@ class LLMEngine:
         eos_token_id: int | None = None,
         rng_seed: int = 0,
         multistep: int = 32,
+        kv_scales: tuple[float, float] | None = None,
     ):
         self.config = config
         mc, cc = config.model, config.cache
@@ -213,11 +261,14 @@ class LLMEngine:
         self._id_counter = itertools.count()
         # fused multi-step decode chunk size (0/1 disables)
         self.multistep = multistep
-        # kv scales for quantized caches (static; per-tensor calibration is
-        # a TODO — these defaults assume O(1)-magnitude K/V activations).
-        # fp8-e4m3 has enough dynamic range for scale 1.0; int8 needs the
-        # fixed-point range mapped to ~[-8, 8].
-        if cc.cache_dtype == "int8":
+        # kv scales for quantized caches: explicit (calibrated via
+        # runtime.calibration.calibrate_kv_scales — absmax over a
+        # calibration batch, gated by eval_ppl) or heuristic defaults
+        # assuming O(1)-magnitude K/V activations (fp8-e4m3 has the range
+        # for scale 1.0; int8 maps the fixed-point range to ~[-8, 8]).
+        if kv_scales is not None:
+            self.k_scale, self.v_scale = kv_scales
+        elif cc.cache_dtype == "int8":
             self.k_scale = self.v_scale = 1.0 / 16.0
         else:
             self.k_scale = self.v_scale = 1.0
@@ -308,21 +359,32 @@ class LLMEngine:
             k = 1 << (k.bit_length() - 1)
         return k
 
-    def _process_chunk(self, reqs, sampled: np.ndarray) -> list[Request]:
+    def _process_chunk(
+        self, reqs, sampled: np.ndarray, budget=None
+    ) -> list[Request]:
         """Apply one chunk's sampled tokens [K, S] to the request states;
         returns requests finished by this chunk.  Tokens for requests that
-        already finished in an earlier chunk are discarded."""
+        already finished in an earlier chunk are discarded.
+
+        ``budget`` ([S] int, mutated) caps how many tokens each row may
+        consume across the session: the device freezes a row at its
+        reserved ``max_lens`` ceiling, so sampled entries beyond the
+        budget are repeats of the last real token and must NOT advance
+        the request state."""
         sched = self.scheduler
         k = sampled.shape[0]
         finished = []
         for i, r in enumerate(reqs):
             if r.is_finished:
                 continue
+            n_valid = k if budget is None else min(k, int(budget[i]))
+            if budget is not None:
+                budget[i] -= n_valid
             sp = r.sampling
             stop = set(sp.stop_token_ids)
             if self.eos_token_id is not None and not sp.ignore_eos:
                 stop.add(self.eos_token_id)
-            for j in range(k):
+            for j in range(n_valid):
                 r.num_computed_tokens += 1
                 tok = int(sampled[j, i])
                 r.output_token_ids.append(tok)
@@ -344,8 +406,8 @@ class LLMEngine:
         return finished
 
     def _launch_decode_chunk(
-        self, tokens_d, lens_d, tbl_d, live_d, temp_d, topp_d, topk_d,
-        key_d, extras, k, bs, greedy_only,
+        self, tokens_d, lens_d, tbl_d, live_d, maxlen_d,
+        temp_d, topp_d, topk_d, key_d, extras, k, bs, greedy_only,
     ):
         """One fused K-step chunk: single-chip or TP-sharded."""
         if self.tp > 1:
@@ -363,13 +425,13 @@ class LLMEngine:
                 self._tp_decode_steps[(extras, k, greedy_only)] = step_fn
             sampled, toks, lens, key, kv = step_fn(
                 self.params, tokens_d[None], lens_d[None], tbl_d[None],
-                live_d[None], self.kv_cache,
+                live_d[None], maxlen_d[None], self.kv_cache,
                 temp_d[None], topp_d[None], topk_d[None], key_d,
             )
             return sampled[0], toks[0], lens[0], key, kv
         return decode_steps(
             self.params, self.config.model,
-            tokens_d, lens_d, tbl_d, live_d,
+            tokens_d, lens_d, tbl_d, live_d, maxlen_d,
             self.kv_cache,
             temp_d, topp_d, topk_d,
             key_d, extras, k, bs, greedy_only,
@@ -427,28 +489,24 @@ class LLMEngine:
                 jnp.asarray(temp), jnp.asarray(top_p), jnp.asarray(top_k),
             )
 
-        def preallocate_horizon(reqs) -> bool:
-            """Reserve pages for every request's full horizon up front, so
-            the block table is constant for the whole session (built and
-            transferred ONCE — per-chunk H2D costs a round trip each)."""
-            need = 0
-            targets = []
-            for r in reqs:
-                tgt = min(
-                    len(r.prompt_token_ids) + r.sampling.max_tokens + 1,
-                    horizon,
-                )
-                cur = len(sched.allocator.block_table(r.req_id))
-                need += max(0, -(-tgt // bs) - cur)
-                targets.append(tgt)
-            if need > sched.allocator.num_free_blocks:
-                return False
-            for r, tgt in zip(reqs, targets):
-                sched.allocator.append_slots(r.req_id, tgt)
-            return True
-
-        if not preallocate_horizon(reqs):
-            return None  # pool too tight for a session: regular path
+        reserved = _reserve_session_tokens(
+            sched, reqs, horizon, bs, k
+        )
+        if reserved < k:
+            return None  # not even one chunk's pages free: regular path
+        maxlen = np.ones(s_pad, np.int32)
+        for i, r in enumerate(reqs):
+            maxlen[i] = min(
+                len(r.prompt_token_ids) + r.sampling.max_tokens + 1,
+                horizon,
+                r.num_tokens + reserved,
+            )
+        maxlen_d = jnp.asarray(maxlen)
+        # host-side consumable budget per row (tokens the device will
+        # actually produce before freezing at max_lens)
+        consumable = np.zeros(s_pad, np.int64)
+        for i, r in enumerate(reqs):
+            consumable[i] = maxlen[i] - r.num_tokens
 
         tbl = np.zeros((s_pad, sched.max_blocks_per_seq), np.int32)
         for i, r in enumerate(reqs):
@@ -467,6 +525,7 @@ class LLMEngine:
         pending: jax.Array | None = None  # in-flight chunk's sampled [K,S]
         # in-flight tokens per live req not yet applied on host
         inflight = 0
+        launched_total = 0  # monotone: tokens launched this session
         chunks_launched = 0
         while True:
             launch = (
@@ -477,6 +536,7 @@ class LLMEngine:
                     < r.sampling.max_tokens
                     for r in reqs
                 )
+                and launched_total + k <= reserved
                 and max(r.num_tokens for r in reqs) + inflight + k
                 <= horizon
             )
@@ -484,11 +544,12 @@ class LLMEngine:
                 (
                     sampled, tokens_d, lens_d, key_d, self.kv_cache,
                 ) = self._launch_decode_chunk(
-                    tokens_d, lens_d, tbl_d, live_d,
+                    tokens_d, lens_d, tbl_d, live_d, maxlen_d,
                     temp_d, topp_d, topk_d, key_d, extras, k, bs,
                     greedy_only,
                 )
                 inflight += k
+                launched_total += k
                 chunks_launched += 1
                 # start the D2H of this chunk's tokens now so the transfer
                 # overlaps with the next chunk's execution — the host read
@@ -499,7 +560,7 @@ class LLMEngine:
                     pass
             if pending is not None:
                 finished_all += self._process_chunk(
-                    reqs, np.asarray(pending)
+                    reqs, np.asarray(pending), consumable
                 )
                 inflight -= pending.shape[0]
                 pending = None
@@ -574,27 +635,21 @@ class LLMEngine:
             r.sampling.temperature <= 0.0 for r in all_reqs
         )
 
-        # page pre-allocation must succeed on every replica
+        # budgeted page reservation, bounded by the tightest replica
+        reserved = None
         for sched, reqs in zip(scheds, reqs_r):
-            need = 0
-            targets = []
-            for r in reqs:
-                tgt = min(
-                    len(r.prompt_token_ids) + r.sampling.max_tokens + 1,
-                    horizon,
-                )
-                cur = len(sched.allocator.block_table(r.req_id))
-                need += max(0, -(-tgt // bs) - cur)
-                targets.append((r, tgt))
-            if need > sched.allocator.num_free_blocks:
-                return None
-            for r, tgt in targets:
-                sched.allocator.append_slots(r.req_id, tgt)
+            if not reqs:
+                continue
+            got = _reserve_session_tokens(sched, reqs, horizon, bs, k)
+            reserved = got if reserved is None else min(reserved, got)
+        if not reserved or reserved < k:
+            return None
 
         d = self.dp
         tokens = np.zeros((d, s_pad), np.int32)
         lens = np.ones((d, s_pad), np.int32)
         live = np.zeros((d, s_pad), bool)
+        maxlen = np.ones((d, s_pad), np.int32)
         temp = np.zeros((d, s_pad), np.float32)
         top_p = np.ones((d, s_pad), np.float32)
         top_k = np.zeros((d, s_pad), np.int32)
@@ -606,6 +661,11 @@ class LLMEngine:
                 tokens[di, i] = r.output_token_ids[-1]
                 lens[di, i] = r.num_tokens
                 live[di, i] = True
+                maxlen[di, i] = min(
+                    len(r.prompt_token_ids) + r.sampling.max_tokens + 1,
+                    horizon,
+                    r.num_tokens + reserved,
+                )
                 temp[di, i] = r.sampling.temperature
                 top_p[di, i] = r.sampling.top_p
                 top_k[di, i] = r.sampling.top_k
@@ -626,6 +686,11 @@ class LLMEngine:
         lens_d = jnp.asarray(lens)
         tbl_d = jnp.asarray(tbl)
         live_d = jnp.asarray(live)
+        maxlen_d = jnp.asarray(maxlen)
+        consumable = np.zeros((d, s_pad), np.int64)
+        for di, reqs in enumerate(reqs_r):
+            for i, r in enumerate(reqs):
+                consumable[di, i] = maxlen[di, i] - r.num_tokens
         temp_d, topp_d, topk_d = (
             jnp.asarray(temp), jnp.asarray(top_p), jnp.asarray(top_k)
         )
@@ -633,6 +698,7 @@ class LLMEngine:
         finished_all: list[Request] = []
         pending = None
         inflight = 0
+        launched_total = 0
         chunks_launched = 0
         while True:
             launch = (
@@ -643,15 +709,18 @@ class LLMEngine:
                     < r.sampling.max_tokens
                     for r in all_reqs
                 )
+                and launched_total + k <= reserved
                 and max(r.num_tokens for r in all_reqs) + inflight + k
                 <= horizon
             )
             if launch:
                 sampled, tokens_d, lens_d, key_d, self.kv_cache = step_fn(
                     self.params, tokens_d, lens_d, tbl_d, live_d,
-                    self.kv_cache, temp_d, topp_d, topk_d, key_d,
+                    maxlen_d, self.kv_cache,
+                    temp_d, topp_d, topk_d, key_d,
                 )
                 inflight += k
+                launched_total += k
                 chunks_launched += 1
                 try:
                     sampled.copy_to_host_async()
@@ -661,7 +730,7 @@ class LLMEngine:
                 host = np.asarray(pending)  # [D, K, S]
                 for di, reqs in enumerate(reqs_r):
                     finished_all += self._process_chunk_for(
-                        scheds[di], reqs, host[di]
+                        scheds[di], reqs, host[di], consumable[di]
                     )
                 inflight -= pending.shape[1]
                 pending = None
@@ -933,13 +1002,13 @@ class LLMEngine:
         ]
 
     def _process_chunk_for(
-        self, sched, reqs, sampled: np.ndarray
+        self, sched, reqs, sampled: np.ndarray, budget=None
     ) -> list[Request]:
         """_process_chunk against an explicit replica scheduler."""
         saved = self.scheduler
         self.scheduler = sched
         try:
-            return self._process_chunk(reqs, sampled)
+            return self._process_chunk(reqs, sampled, budget)
         finally:
             self.scheduler = saved
 

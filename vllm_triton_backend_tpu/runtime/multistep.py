@@ -97,6 +97,7 @@ def decode_steps(
     seq_lens: jax.Array,  # [S] int32 length INCLUDING current token
     block_table: jax.Array,  # [S, max_blocks] int32
     live: jax.Array,  # [S] bool — padding rows False
+    max_lens: jax.Array,  # [S] int32 per-seq length ceiling (reserved)
     kv_cache: jax.Array,
     temperature: jax.Array,  # [S] f32
     top_p: jax.Array,  # [S] f32
@@ -115,6 +116,13 @@ def decode_steps(
     ``next_tokens``/``final_seq_lens``/``next_key`` are returned so a
     *session* of chained chunks needs ZERO host-side device ops between
     launches — every tiny op (slice, key split) costs a host round trip.
+
+    ``max_lens`` freezes a row once its length reaches the ceiling: no
+    cache write, no length advance.  Without it a sequence that finishes
+    mid-session keeps decoding until the host notices (one chunk late) —
+    positions past its reserved pages index block-table zeros, i.e.
+    OTHER sequences' page 0.  It also lets the host reserve pages
+    per-session-budget instead of full-horizon (VERDICT r1 item 9).
     """
     num_seqs = tokens.shape[0]
     qsl = jnp.arange(num_seqs + 1, dtype=jnp.int32)
@@ -122,12 +130,13 @@ def decode_steps(
     def body(carry, _):
         toks, lens, kv, key = carry
         key, sub = jax.random.split(key)
+        still = jnp.logical_and(live, lens < max_lens)
         pos = lens - 1  # current token's position
         page = jnp.take_along_axis(
             block_table, (pos // block_size)[:, None], axis=1
         )[:, 0]
         slots = jnp.where(
-            live, page * block_size + pos % block_size, -1
+            still, page * block_size + pos % block_size, -1
         ).astype(jnp.int32)
         meta = AttentionMetadata(
             query_start_loc=qsl,
@@ -143,8 +152,8 @@ def decode_steps(
             logits, temperature, top_p, top_k, sub,
             greedy_only=greedy_only,
         )
-        nxt = jnp.where(live, nxt, 0)
-        lens = jnp.where(live, lens + 1, lens)
+        nxt = jnp.where(still, nxt, toks)
+        lens = jnp.where(still, lens + 1, lens)
         return (nxt, lens, kv, key), nxt
 
     (tokens, seq_lens, kv_cache, rng_key), sampled = jax.lax.scan(

@@ -145,11 +145,16 @@ class NativeBlockAllocator:
         if r == -2:
             raise AssertionError(f"{seq_id} already allocated")
 
-        class _SB:  # minimal SeqBlocks view
-            num_cached_tokens = int(r)
-            pages = self.block_table(seq_id)
+        from vllm_triton_backend_tpu.runtime.block_allocator import (
+            SeqBlocks,
+        )
 
-        return _SB
+        # a real value object: a class with class-level attributes would
+        # return STALE .pages on any later read after mutation
+        return SeqBlocks(
+            pages=self.block_table(seq_id),
+            num_cached_tokens=int(r),
+        )
 
     def append_slots(self, seq_id: str, seq_len: int) -> None:
         r = self._lib.pp_append_slots(self._h, self._sid(seq_id), seq_len)
