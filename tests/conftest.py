@@ -20,3 +20,23 @@ if os.environ["VTB_TEST_PLATFORM"] == "cpu":
     import jax
 
     jax.config.update("jax_platforms", "cpu")
+
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_per_module():
+    """Drop compiled executables between test modules.
+
+    Every live CPU-JIT executable holds several memory mappings (code
+    pages, guard pages); a full-suite run accumulates >60k maps and
+    crosses the kernel's vm.max_map_count (65,530 default), at which
+    point mmap fails inside LLVM and the process SEGFAULTS (observed:
+    repeatable crash at test #136, maps polled at 55k+ shortly before).
+    Module-scoped clearing keeps the ceiling far away; the on-disk
+    compilation cache makes the re-compiles cheap."""
+    yield
+    import jax
+
+    jax.clear_caches()

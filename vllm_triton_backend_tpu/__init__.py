@@ -43,8 +43,50 @@ def _enable_compilation_cache() -> None:
         _os.makedirs(path, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", path)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+        _atomic_cache_writes(path)
     except Exception:  # pragma: no cover - cache is best-effort
         pass
+
+
+def _atomic_cache_writes(cache_dir: str) -> None:
+    """Make persistent-cache entry writes atomic (tmp + os.replace).
+
+    jax's LRUCache.put writes entries with a bare ``Path.write_bytes``:
+    a process killed mid-write (SIGTERM'd test run, preempted worker)
+    leaves a truncated entry, and a concurrent reader can observe a
+    partial file.  ``backend.deserialize_executable`` SEGFAULTS on such
+    garbage (observed: repeatable full-suite crash after a timeout-
+    killed predecessor).  Patch ``Path.write_bytes`` once, rerouting
+    only writes that land inside our cache dir through a same-dir temp
+    file + atomic rename — the same discipline as the autotuner DB
+    (autotune/dejavu.py)."""
+    import pathlib
+    import tempfile
+
+    if getattr(pathlib.Path, "_vtb_atomic_cache", None) == cache_dir:
+        return
+    real = _os.path.realpath(cache_dir)
+    orig = pathlib.Path.write_bytes
+
+    def write_bytes(self, data, *a, **kw):
+        p = _os.path.realpath(str(self))
+        if not p.startswith(real + _os.sep):
+            return orig(self, data, *a, **kw)
+        fd, tmp = tempfile.mkstemp(dir=_os.path.dirname(p), suffix=".tmp")
+        try:
+            with _os.fdopen(fd, "wb") as f:
+                f.write(data)
+            _os.replace(tmp, p)
+            return len(data)
+        except BaseException:
+            try:
+                _os.unlink(tmp)
+            except OSError:
+                pass
+            raise
+
+    pathlib.Path.write_bytes = write_bytes
+    pathlib.Path._vtb_atomic_cache = cache_dir
 
 
 _enable_compilation_cache()
