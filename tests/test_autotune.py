@@ -163,3 +163,90 @@ def test_random_search_order(storage):
     assert sorted(orders[0]) == list(range(1, 33))  # full space still swept
     assert orders[0] != list(range(1, 33))  # ...but not declaration order
     assert orders[0] == orders[1]  # same key -> same seed -> reproducible
+
+
+def test_bo_chooser_converges_on_synthetic_landscape():
+    """GP-EI surrogate search (reference use_bo=True/SMAC analog) finds
+    the optimum of a smooth 3-knob landscape well before exhausting the
+    64-point space."""
+    from vllm_triton_backend_tpu.autotune.dejavu import BOChooser
+
+    space = ConfigSpace(
+        space={
+            "a": [1, 2, 4, 8],
+            "b": [16, 32, 64, 128],
+            "c": [1, 2, 3, 4],
+        }
+    )
+    configs = space.configs()
+
+    def runtime(cfg):  # smooth bowl, optimum at a=4, b=64, c=2
+        import math
+
+        return (
+            1.0
+            + (math.log2(cfg["a"]) - 2) ** 2
+            + (math.log2(cfg["b"]) - 6) ** 2
+            + (cfg["c"] - 2) ** 2 * 0.5
+        )
+
+    best = min(configs, key=runtime)
+    chooser = BOChooser(space, configs, seed=7)
+    evals = 0
+    found = None
+    while not chooser.done:
+        i = chooser.next()
+        t = runtime(configs[i])
+        chooser.observe(i, t)
+        evals += 1
+        if found is None or t < found[1]:
+            found = (configs[i], t)
+    assert found[0] == best, (found, best)
+    assert evals < len(configs), evals  # early convergence, not a sweep
+
+
+def test_bo_autotuner_end_to_end(storage):
+    """use_bo=True drives tune() through the surrogate: winner matches
+    the true-fastest config, DB persists, and fewer configs run than an
+    exhaustive sweep."""
+    import time as _time
+
+    space = ConfigSpace(
+        space={"block": [8, 16, 32, 64], "stages": [1, 2, 3, 4]}
+    )
+    calls = []
+
+    @autotune(
+        config_space=space,
+        key=["n"],
+        name="bo_toy",
+        warmup=1,  # absorb first-call overhead: a poisoned first
+        # observation steers the GP away from the optimum's region
+        rep=1,
+        use_bo=True,
+    )
+    def launcher(x, *, n, block, stages):
+        calls.append((block, stages))
+        # simulated runtime: bowl with optimum at block=32, stages=2
+        import math
+
+        t = 2e-3 * (
+            1
+            + (math.log2(block) - 5) ** 2
+            + (stages - 2) ** 2
+        )
+        _time.sleep(t)
+        return x
+
+    x = jnp.ones(4)
+    launcher(x, n=128)
+    uniq = set(calls)
+    assert (32, 2) in uniq
+    n_tuned = len(calls)
+    launcher(x, n=128)  # cached now
+    assert len(calls) == n_tuned + 1
+    db = json.load(open(next(storage.rglob("cache.json"))))
+    assert json.loads(list(db["cache"].keys())[0]) == [128]
+    assert db["cache"][list(db["cache"].keys())[0]] == {
+        "block": 32, "stages": 2,
+    }

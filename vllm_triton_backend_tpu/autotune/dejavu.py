@@ -119,6 +119,130 @@ def _debug(*a):
         print("[dejavu]", *a)
 
 
+class BOChooser:
+    """Model-based config selection: GP surrogate + expected improvement.
+
+    The reference tunes with SMAC when ``use_bo=True``
+    (triton_flash_attention.py:735-821, Dockerfile:135-150); this is the
+    dependency-free analog.  Knob values are ordinal-encoded (index in
+    the declared value list, normalized to [0,1]) — block sizes and DMA
+    depths are monotone-ish in that encoding, which is all an RBF
+    surrogate needs.  Picks: seeded random inits, then argmax-EI over
+    the unevaluated candidates from a GP on log-times.  ``done`` turns
+    True after ``patience`` consecutive non-improving picks, so a BO
+    run usually stops well before exhausting a wide space."""
+
+    def __init__(
+        self,
+        space: "ConfigSpace",
+        configs: list[dict],
+        seed: int,
+        n_init: int = 3,
+        patience: int = 5,
+        length_scale: float = 0.35,
+    ):
+        import numpy as np
+
+        self._np = np
+        self.names = sorted(space.space)
+        self.levels = {
+            n: {repr(v): i for i, v in enumerate(space.space[n])}
+            for n in self.names
+        }
+        self.configs = list(configs)
+        self.X = np.array([self._encode(c) for c in self.configs])
+        self.rng = random.Random(seed)
+        order = list(range(len(self.configs)))
+        self.rng.shuffle(order)
+        self._init_queue = order[: min(n_init, len(order))]
+        self.evaluated: dict[int, float] = {}  # idx -> log time
+        self.failed: set[int] = set()
+        self.patience = patience
+        self._since_best = 0
+        self._best = None
+        self.ls = length_scale
+
+    def _encode(self, cfg: dict):
+        row = []
+        for n in self.names:
+            lv = self.levels[n]
+            denom = max(len(lv) - 1, 1)
+            row.append(lv.get(repr(cfg[n]), 0) / denom)
+        return row
+
+    @property
+    def done(self) -> bool:
+        remaining = (
+            len(self.configs) - len(self.evaluated) - len(self.failed)
+        )
+        return remaining == 0 or self._since_best >= self.patience
+
+    def next(self) -> int:
+        """Index of the next config to evaluate."""
+        np = self._np
+        while self._init_queue:
+            i = self._init_queue.pop(0)
+            if i not in self.evaluated and i not in self.failed:
+                return i
+        cand = [
+            i for i in range(len(self.configs))
+            if i not in self.evaluated and i not in self.failed
+        ]
+        tried = sorted(self.evaluated)
+        if len(tried) < 2:
+            return self.rng.choice(cand)
+        Xt = self.X[tried]
+        y = np.array([self.evaluated[i] for i in tried])
+        ymu, ysd = y.mean(), max(y.std(), 1e-9)
+        yn = (y - ymu) / ysd
+        d2 = ((Xt[:, None, :] - Xt[None, :, :]) ** 2).sum(-1)
+        K = np.exp(-d2 / (2 * self.ls**2)) + 1e-4 * np.eye(len(tried))
+        try:
+            alpha = np.linalg.solve(K, yn)
+            Kinv = np.linalg.inv(K)
+        except np.linalg.LinAlgError:
+            return self.rng.choice(cand)
+        Xc = self.X[cand]
+        d2c = ((Xc[:, None, :] - Xt[None, :, :]) ** 2).sum(-1)
+        Ks = np.exp(-d2c / (2 * self.ls**2))
+        mu = Ks @ alpha
+        var = np.maximum(1.0 - np.einsum("ij,jk,ik->i", Ks, Kinv, Ks), 1e-12)
+        s = np.sqrt(var)
+        ybest = yn.min()
+        z = (ybest - mu) / s
+        # EI = s * (z * Phi(z) + phi(z)) without scipy
+        phi = np.exp(-0.5 * z**2) / np.sqrt(2 * np.pi)
+        Phi = 0.5 * (1 + _erf_vec(np, z / np.sqrt(2)))
+        ei = s * (z * Phi + phi)
+        return cand[int(np.argmax(ei))]
+
+    def observe(self, idx: int, t: float | None) -> None:
+        import math
+
+        if t is None:  # invalid config (compile/VMEM failure)
+            self.failed.add(idx)
+            return
+        self.evaluated[idx] = math.log(max(t, 1e-12))
+        if self._best is None or t < self._best:
+            self._best = t
+            self._since_best = 0
+        else:
+            self._since_best += 1
+
+
+def _erf_vec(np, x):
+    """Vectorized erf (Abramowitz & Stegun 7.1.26, |err| < 1.5e-7)."""
+    sign = np.sign(x)
+    x = np.abs(x)
+    t = 1.0 / (1.0 + 0.3275911 * x)
+    poly = t * (
+        0.254829592
+        + t * (-0.284496736 + t * (1.421413741
+                                   + t * (-1.453152027 + t * 1.061405429)))
+    )
+    return sign * (1.0 - poly * np.exp(-x * x))
+
+
 class Autotuner:
     def __init__(
         self,
@@ -132,6 +256,7 @@ class Autotuner:
         warmup: int = 2,
         rep: int = 10,
         use_random_search: bool | None = None,
+        use_bo: bool | None = None,
         trace_pattern: str | None = None,
     ):
         self.fn = fn
@@ -148,6 +273,12 @@ class Autotuner:
                 os.environ.get("VTB_USE_RANDOM_SEARCH")
             )
         self.use_random_search = use_random_search
+        # model-based search (reference use_bo=True + SMAC,
+        # triton_flash_attention.py:735-821): GP-EI over the space.
+        # None -> auto: on for spaces too big to sweep exhaustively.
+        if use_bo is None and os.environ.get("VTB_USE_BO"):
+            use_bo = os.environ["VTB_USE_BO"] != "0"
+        self.use_bo = use_bo
         self.fallback_heuristic = fallback_heuristic
         self.warmup = warmup
         self.rep = rep
@@ -333,25 +464,52 @@ class Autotuner:
         timings = {}
         best_cfg, best_t = None, None
         configs = self.space.configs()
-        if self.use_random_search:
-            seed = int(
-                hashlib.sha256(repr(key).encode()).hexdigest()[:8], 16
-            )
-            random.Random(seed).shuffle(configs)
-        for cfg in configs:
-            if time.perf_counter() - t_start > self.search_max_t and best_cfg:
-                _debug("search time cap hit")
-                break
+        seed = int(hashlib.sha256(repr(key).encode()).hexdigest()[:8], 16)
+        use_bo = self.use_bo
+        if use_bo is None:
+            # auto: surrogate search once an exhaustive sweep is unlikely
+            # to fit the time cap (>=32 points is past what kernels with
+            # ~1s/eval cover comfortably); explicit random-search wins
+            use_bo = len(configs) >= 32 and not self.use_random_search
+
+        def bench_one(cfg) -> float | None:
             try:
                 t = self._bench_config(cfg, args, kwargs)
             except Exception as e:  # invalid config (e.g. VMEM overflow)
                 _debug(f"config {cfg} failed: {type(e).__name__}")
-                continue
+                return None
             timings[json.dumps(cfg)] = t
             if os.environ.get("VTB_PRINT_AUTOTUNING"):
                 print(f"[autotune {self.name}] {cfg} -> {t*1e3:.3f} ms")
-            if best_t is None or t < best_t:
-                best_cfg, best_t = cfg, t
+            return t
+
+        if use_bo and len(configs) > 3:
+            chooser = BOChooser(self.space, configs, seed)
+            while not chooser.done:
+                if (
+                    time.perf_counter() - t_start > self.search_max_t
+                    and best_cfg
+                ):
+                    _debug("search time cap hit")
+                    break
+                i = chooser.next()
+                t = bench_one(configs[i])
+                chooser.observe(i, t)
+                if t is not None and (best_t is None or t < best_t):
+                    best_cfg, best_t = configs[i], t
+        else:
+            if self.use_random_search:
+                random.Random(seed).shuffle(configs)
+            for cfg in configs:
+                if (
+                    time.perf_counter() - t_start > self.search_max_t
+                    and best_cfg
+                ):
+                    _debug("search time cap hit")
+                    break
+                t = bench_one(cfg)
+                if t is not None and (best_t is None or t < best_t):
+                    best_cfg, best_t = cfg, t
         if best_cfg is None:
             raise RuntimeError(f"no valid config for {self.name} key={key}")
         with self._mu:
