@@ -47,6 +47,27 @@ def test_run_produces_correct_gated_rows(tmp_path):
     assert any(f.endswith("results.tsv") for f in files)
 
 
+def test_splash_baseline_slot(tmp_path):
+    """jaxlib splash attention runs as a cross-check IUT on full-prefill
+    batches (reference flash_attn/flashinfer baseline-caller slots,
+    scripts/callers/) and is SKIPped — not mis-timed — on batches with
+    prior context, which a dense kernel cannot express."""
+    out = io.StringIO()
+    setup = _micro_setup(
+        impls=["pallas_prefill", "splash_prefill"],
+        modes=["prefill", "prefix"],
+        result_path=str(tmp_path),
+    )
+    rows = run(setup, out_stream=out)
+    by = {(r["impl"], r["mode"]) for r in rows}
+    assert ("splash_prefill", "prefill") in by
+    assert ("pallas_prefill", "prefill") in by
+    # prefix mode: splash must refuse (context needs paging)
+    assert ("splash_prefill", "prefix") not in by
+    assert "SKIP splash_prefill prefix" in out.getvalue()
+    assert all(r["correct"] for r in rows)
+
+
 def test_conf_layering(tmp_path, monkeypatch):
     conf = tmp_path / "x.conf"
     conf.write_text('MODES=["decode"]\nWARMUP=0\nREP=2\n')
