@@ -75,3 +75,51 @@ def test_quantized_model_close_to_dense():
     assert agree >= 0.9, f"top-1 agreement {agree}"
     rel = np.abs(dense - quant).max() / np.abs(dense).max()
     assert rel < 0.1, f"relative logits error {rel}"
+
+
+def test_snap_and_fit_blocks():
+    from vllm_triton_backend_tpu.ops.pallas.quant_linear import (
+        _fit_blocks,
+        _snap_block,
+    )
+
+    # divisor snapping: granite shapes
+    assert _snap_block(12800, 2048, 128) == 1280
+    assert _snap_block(12800, 4096, 256) == 2560
+    assert _snap_block(4096, 2048, 256) == 2048
+    assert _snap_block(50176, 2048, 128) == 1792  # padded lm_head 49*1024
+    # unaligned dims fall back to min(want, dim) (runtime-pad path)
+    assert _snap_block(130, 512, 128) == 130
+    assert _snap_block(300, 256, 256) == 256
+    # VMEM fit shrinks a tile pair that cannot fit (huge T)
+    bn, bk = _fit_blocks(8192, 12800, 12800, 2048, 4096, 1, 4)
+    assert bn * bk < 2048 * 4096
+    assert 12800 % bn == 0 and 12800 % bk == 0
+
+
+@pytest.mark.parametrize("t,k,n", [(5, 300, 130), (16, 512, 640)])
+def test_autotuned_linear_matches_dense(t, k, n, monkeypatch):
+    """The model-path entry (autotuned launcher) on unaligned shapes."""
+    monkeypatch.setenv("VTB_DEJAVU_FORCE_FALLBACK", "1")
+    from vllm_triton_backend_tpu.ops.pallas.quant_linear import linear
+
+    rng = np.random.default_rng(2)
+    x = rng.standard_normal((t, k)).astype(np.float32) * 0.5
+    w = rng.standard_normal((k, n)).astype(np.float32) * 0.1
+    qw = quantize_weights(jnp.asarray(w), "int8")
+    out = np.asarray(linear(jnp.asarray(x), qw))
+    wq = np.asarray(qw.w_q, np.float32) * np.asarray(qw.scales)[None, :]
+    expect = x.astype(np.float64) @ wq.astype(np.float64)
+    np.testing.assert_allclose(out, expect, atol=5e-3, rtol=1e-3)
+
+
+def test_quantize_pad_to_zero_columns():
+    rng = np.random.default_rng(3)
+    w = rng.standard_normal((64, 130)).astype(np.float32)
+    qw = quantize_weights(jnp.asarray(w), "int8", pad_to=128)
+    assert qw.w_q.shape == (64, 256)
+    assert qw.scales.shape == (256,)
+    x = jnp.asarray(rng.standard_normal((4, 64)), jnp.float32)
+    out = np.asarray(quant_matmul(x, qw))
+    # pad columns produce exact zeros
+    np.testing.assert_array_equal(out[:, 130:], 0.0)

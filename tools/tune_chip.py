@@ -34,7 +34,7 @@ os.environ.setdefault("VTB_PRINT_AUTOTUNING", "1")
 import numpy as np  # noqa: E402
 
 
-def main(quick: bool = False) -> None:
+def main(quick: bool = False, qmm_only: bool = False) -> None:
     import jax
     import jax.numpy as jnp
 
@@ -92,7 +92,7 @@ def main(quick: bool = False) -> None:
         finally:
             shutil.rmtree(d, ignore_errors=True)
 
-    for (hq, hkv, hd) in head_cfgs:
+    for (hq, hkv, hd) in head_cfgs if not qmm_only else []:
         for dtype in dtypes:
             for max_seq in seq_lens:
                 pages = max_seq // bs
@@ -165,7 +165,7 @@ def main(quick: bool = False) -> None:
 
     # ---- prefill ----
     prefill_seqs = [512] if quick else [512, 2048]
-    for (hq, hkv, hd) in head_cfgs:
+    for (hq, hkv, hd) in head_cfgs if not qmm_only else []:
         for dtype in dtypes[:2]:  # bf16 + int8
             for max_seq in prefill_seqs:
                 pages = max_seq // bs
@@ -239,15 +239,86 @@ def main(quick: bool = False) -> None:
                 )
                 del kv
 
+    # ---- quantized matmuls (the decode step's dominant HBM stream) ----
+    import functools
+
+    ql = importlib.import_module(
+        "vllm_triton_backend_tpu.ops.pallas.quant_linear"
+    )
+    # granite-3.1-8B int8 projection shapes (K, N, stacked?): gate/up,
+    # down, q/o, k/v, padded lm_head (49155 -> 49*1024)
+    qmm_shapes = [
+        (4096, 12800, True),
+        (12800, 4096, True),
+        (4096, 4096, True),
+        (4096, 1024, True),
+        (4096, 50176, False),
+    ]
+    qmm_ts = [16] if quick else [16, 512, 2048]
+    quantize = jax.jit(
+        jax.vmap(functools.partial(ql.quantize_weights, dtype="int8"))
+    )
+    for (kd, nd, stacked) in qmm_shapes:
+        qw = quantize(
+            jnp.asarray(
+                rng.standard_normal((2, kd, nd)) * 0.02, jnp.bfloat16
+            )
+        )
+        if not stacked:
+            qw = ql.QuantizedLinear(qw.w_q[0], qw.scales[0])
+        for t in qmm_ts:
+            if not stacked and t != 16:
+                continue  # lm_head runs on sampled rows only (t<=batch)
+            x = jnp.asarray(
+                rng.standard_normal((t, kd)) * 0.3, jnp.bfloat16
+            )
+            launcher = (
+                ql._qmm_stacked_launch if stacked else ql._qmm_launch
+            )
+            args = (x, qw, jnp.int32(1)) if stacked else (x, qw)
+            kw = dict(
+                t_p2=next_power_of_2(t), k_dim=kd, n=nd,
+                w_dtype="int8", x_dtype="bfloat16",
+            )
+            launcher._load_db()
+            key = launcher._make_key(kw)
+            tuned_already = key in launcher._mem
+            fb_cfg = launcher.fallback_heuristic(key)
+            t_fb = measure(
+                lambda: launcher.fn(*args, **kw, **fb_cfg), "qmm"
+            )
+            won = (
+                dict(launcher._mem[key]) if tuned_already
+                else launcher.tune(*args, **kw)
+            )
+            t_tuned = measure(
+                lambda: launcher.fn(*args, **kw, **won), "qmm"
+            )
+            name = "qmm_stacked" if stacked else "qmm"
+            rows.append(
+                (name, f"{kd}x{nd}", "int8", t,
+                 fb_cfg, t_fb, won, t_tuned)
+            )
+            print(
+                f"{name} {kd}x{nd} t={t}: fallback {fb_cfg} "
+                f"{(t_fb or 0)*1e6:.1f}us -> tuned {won} "
+                f"{(t_tuned or 0)*1e6:.1f}us",
+                flush=True,
+            )
+        del qw
+
     tsv = os.path.join(
         os.environ["VTB_DEJAVU_STORAGE"], "tuned_vs_fallback.tsv"
     )
     os.makedirs(os.path.dirname(tsv), exist_ok=True)
-    with open(tsv, "w") as f:
-        f.write(
-            "kernel\theads\tkv_dtype\tmax_seq\tfallback_cfg\t"
-            "fallback_us\ttuned_cfg\ttuned_us\n"
-        )
+    # --qmm-only appends to the attention rows already on disk
+    mode = "a" if (qmm_only and os.path.exists(tsv)) else "w"
+    with open(tsv, mode) as f:
+        if mode == "w":
+            f.write(
+                "kernel\theads\tkv_dtype\tmax_seq\tfallback_cfg\t"
+                "fallback_us\ttuned_cfg\ttuned_us\n"
+            )
         for r in rows:
             f.write(
                 f"{r[0]}\t{r[1]}\t{r[2]}\t{r[3]}\t{r[4]}\t"
@@ -257,4 +328,7 @@ def main(quick: bool = False) -> None:
 
 
 if __name__ == "__main__":
-    main(quick="--quick" in sys.argv)
+    main(
+        quick="--quick" in sys.argv,
+        qmm_only="--qmm-only" in sys.argv,
+    )

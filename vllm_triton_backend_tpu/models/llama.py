@@ -39,6 +39,11 @@ from vllm_triton_backend_tpu.ops.pallas.quant_linear import (
     quantize_weights,
 )
 
+# Vocab-axis pad multiple for quantized lm_heads: divisor-rich (any TP
+# degree <= 1024 shards it evenly) and wide enough that the matmul's tile
+# snapping finds big N blocks (granite's 49155 -> 50176 = 49 * 1024).
+LM_HEAD_PAD = 1024
+
 
 class LayerParams(NamedTuple):
     """One decoder layer's weights; in the model pytree these are stacked
@@ -356,6 +361,11 @@ def forward_fn(
         logits = jax.lax.all_gather(
             logits, tp_axis, axis=1, tiled=True
         )
+    if logits.shape[-1] != cfg.vocab_size:
+        # quantized lm_head pads the vocab axis to a tile multiple
+        # (quantize_weights pad_to); the pad columns are exact zeros —
+        # slice them off before they compete in sampling
+        logits = logits[:, : cfg.vocab_size]
     if cfg.logits_scaling != 1.0:
         logits = logits / cfg.logits_scaling
     return logits, kv_cache
@@ -423,12 +433,24 @@ def init_quantized_params(
         up_proj=init_q(keys[6], (nl, h, inter), h),
         down_proj=init_q(keys[7], (nl, inter, h), inter),
     )
+    # lm_head: pad the vocab axis to a tile multiple AT QUANTIZE TIME —
+    # padding inside the matmul would make XLA re-materialize the whole
+    # padded int8 weight in HBM every step (measured 612 us/step for
+    # granite's 4096x49155 head); forward slices the zero logits back off
     if cfg.tie_word_embeddings:
         lm_head = jax.jit(functools.partial(
-            quantize_weights, dtype=weight_dtype
+            quantize_weights, dtype=weight_dtype, pad_to=LM_HEAD_PAD
         ))(embed.T)
     else:
-        lm_head = init_q(keys[8], (h, cfg.vocab_size), h)
+        dense_head = (
+            jax.random.normal(
+                keys[8], (h, cfg.vocab_size), jnp.float32
+            ) * (h**-0.5)
+        ).astype(dtype)
+        lm_head = jax.jit(functools.partial(
+            quantize_weights, dtype=weight_dtype, pad_to=LM_HEAD_PAD
+        ))(dense_head)
+        dense_head.delete()
     return LlamaParams(
         embed=embed,
         layers=layers,
@@ -451,7 +473,12 @@ def quantize_params(params: LlamaParams, dtype: str = "int8") -> LlamaParams:
         up_proj=stacked(params.layers.up_proj),
         down_proj=stacked(params.layers.down_proj),
     )
-    return params._replace(layers=layers, lm_head=qw(params.lm_head))
+    return params._replace(
+        layers=layers,
+        lm_head=quantize_weights(
+            params.lm_head, dtype=dtype, pad_to=LM_HEAD_PAD
+        ),
+    )
 
 
 def make_kv_caches(

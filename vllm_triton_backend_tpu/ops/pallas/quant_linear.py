@@ -37,8 +37,21 @@ class QuantizedLinear(NamedTuple):
     scales: jax.Array  # [N] f32 per-output-channel
 
 
-def quantize_weights(w: jax.Array, dtype: str = "int8") -> QuantizedLinear:
-    """Per-output-channel symmetric quantization of a dense [K, N] weight."""
+def quantize_weights(
+    w: jax.Array, dtype: str = "int8", pad_to: int | None = None
+) -> QuantizedLinear:
+    """Per-output-channel symmetric quantization of a dense [K, N] weight.
+
+    ``pad_to`` rounds N up to a multiple (zero columns, zero scales ->
+    exactly-zero outputs in the pad).  Padding at QUANTIZE time matters
+    for big non-multiple N (the lm_head's vocab): padding inside the
+    matmul would re-materialize the whole padded int8 weight in HBM on
+    every call (measured 612 us/step for granite's 4096x49155 lm_head).
+    """
+    if pad_to is not None and w.shape[-1] % pad_to:
+        w = jnp.pad(
+            w, ((0, 0), (0, pad_to - w.shape[-1] % pad_to))
+        )
     wf = w.astype(jnp.float32)
     absmax = jnp.max(jnp.abs(wf), axis=0)  # [N]
     if dtype == "int8":
@@ -237,18 +250,131 @@ def quant_matmul_stacked(
     return out[:t]
 
 
+# ---------------------------------------------------------------------------
+# Autotuned tile sizes.  The analog of the reference's tuned BLOCK_M/N/K for
+# its quantized GEMMs (SURVEY.md §2.3): decode is weight-bandwidth-bound and
+# the tile shape sets how much of that bandwidth the grid actually sustains —
+# measured on a v5e (xplane device durations, granite-8B gate/up 4096x12800
+# int8): (block_k=2048, block_n=1280) runs 73.7 us vs 114.4 us at the old
+# fixed (512, 512) — 87% vs 56% of the HBM weight-streaming ideal.  Tuned
+# values are snapped to stored-dim divisors and shrunk to a VMEM budget, so
+# every point in the space is launchable for every shape.
+# ---------------------------------------------------------------------------
+
+from vllm_triton_backend_tpu.autotune import ConfigSpace, autotune  # noqa: E402
+from vllm_triton_backend_tpu.utils import next_power_of_2  # noqa: E402
+
+QMM_CONFIG_SPACE = ConfigSpace(
+    space={
+        "block_n": [256, 512, 1024, 1280, 2048],
+        "block_k": [512, 1024, 2048, 4096],
+    },
+)
+
+_VMEM_BUDGET = 64 * 1024 * 1024  # half a v5e's 128 MiB VMEM
+
+
+def _snap_block(dim: int, want: int, quantum: int) -> int:
+    """Largest multiple of ``quantum`` <= ``want`` that divides ``dim``.
+
+    Falls back to ``min(want, dim)`` when ``dim`` has no such divisor
+    (unaligned test shapes — those take :func:`quant_matmul`'s runtime-pad
+    path, where any block size is legal)."""
+    if dim <= quantum or dim % quantum:
+        return min(want, dim)
+    want = min(want, dim)
+    for b in range(want - want % quantum, 0, -quantum):
+        if dim % b == 0:
+            return b
+    return dim
+
+
+def _fit_blocks(
+    t_pad: int, k_dim: int, n: int, block_n: int, block_k: int,
+    w_item: int, x_item: int,
+) -> tuple[int, int]:
+    """Snap tuned blocks to stored-dim divisors, shrink to the VMEM budget."""
+    bn = _snap_block(n, block_n, 128)
+    bk = _snap_block(k_dim, block_k, 256)
+
+    def vmem(bn, bk):
+        return (
+            2 * bk * bn * w_item  # double-buffered weight tiles
+            + 2 * t_pad * bk * x_item  # double-buffered activation tiles
+            + t_pad * bn * (4 + x_item)  # f32 accumulator + out tile
+        )
+
+    while vmem(bn, bk) > _VMEM_BUDGET:
+        if bk >= bn and bk > 256:
+            nxt = _snap_block(k_dim, bk // 2, 256)
+            bk = nxt if nxt < bk else max(256, bk // 2)
+        elif bn > 128:
+            nxt = _snap_block(n, bn // 2, 128)
+            bn = nxt if nxt < bn else max(128, bn // 2)
+        else:
+            break
+    return bn, bk
+
+
+def _qmm_fallback(key: tuple) -> dict:
+    # device truth (v5e, granite-8B int8): near-full-K tiles with a wide N
+    # block keep the weight stream at ~87% of HBM ideal; snapping at launch
+    # makes the choice legal for every shape
+    return {"block_n": 1280, "block_k": 2048}
+
+
+_QMM_KEY = ["t_p2", "k_dim", "n", "w_dtype", "x_dtype"]
+
+
+@autotune(
+    config_space=QMM_CONFIG_SPACE,
+    key=_QMM_KEY,
+    name="quant_matmul",
+    fallback_heuristic=_qmm_fallback,
+    trace_pattern="qmm",
+    # Mosaic compiles dominate a tuning sweep through the tunneled
+    # runtime (~20 s/config); the default 120 s cap would cover a
+    # quarter of the space
+    search_max_t=600.0,
+)
+def _qmm_launch(
+    x, qw, *, t_p2, k_dim, n, w_dtype, x_dtype, block_n, block_k
+):
+    bn, bk = _fit_blocks(
+        round_up(x.shape[0], 8), k_dim, n, block_n, block_k,
+        jnp.dtype(w_dtype).itemsize, jnp.dtype(x_dtype).itemsize,
+    )
+    return quant_matmul(x, qw, block_n=bn, block_k=bk)
+
+
+@autotune(
+    config_space=QMM_CONFIG_SPACE,
+    key=_QMM_KEY,
+    name="quant_matmul_stacked",
+    fallback_heuristic=_qmm_fallback,
+    trace_pattern="qmm",
+    search_max_t=600.0,
+)
+def _qmm_stacked_launch(
+    x, qw, layer_idx, *, t_p2, k_dim, n, w_dtype, x_dtype, block_n, block_k
+):
+    bn, bk = _fit_blocks(
+        round_up(x.shape[0], 8), k_dim, n, block_n, block_k,
+        jnp.dtype(w_dtype).itemsize, jnp.dtype(x_dtype).itemsize,
+    )
+    return quant_matmul_stacked(x, qw, layer_idx, block_n=bn, block_k=bk)
+
+
 def linear_at(x: jax.Array, w_stacked, layer_idx: jax.Array) -> jax.Array:
     """Layer-indexed matmul against STACKED weights [L, K, N] (used
     inside the decoder's layer scan)."""
     if isinstance(w_stacked, QuantizedLinear):
         k_dim, n = w_stacked.w_q.shape[1:]
         if n % 128 == 0 and k_dim % 256 == 0:
-            bn = next(
-                b for b in (512, 256, 128) if n % b == 0
-            )
-            bk = next(b for b in (512, 256) if k_dim % b == 0)
-            return quant_matmul_stacked(
-                x, w_stacked, layer_idx, block_n=bn, block_k=bk
+            return _qmm_stacked_launch(
+                x, w_stacked, layer_idx,
+                t_p2=next_power_of_2(x.shape[0]), k_dim=k_dim, n=n,
+                w_dtype=str(w_stacked.w_q.dtype), x_dtype=str(x.dtype),
             )
         sliced = QuantizedLinear(
             w_q=jax.lax.dynamic_index_in_dim(
@@ -258,7 +384,7 @@ def linear_at(x: jax.Array, w_stacked, layer_idx: jax.Array) -> jax.Array:
                 w_stacked.scales, layer_idx, keepdims=False
             ),
         )
-        return quant_matmul(x, sliced)
+        return linear(x, sliced)
     return x @ jax.lax.dynamic_index_in_dim(
         w_stacked, layer_idx, keepdims=False
     )
@@ -267,5 +393,10 @@ def linear_at(x: jax.Array, w_stacked, layer_idx: jax.Array) -> jax.Array:
 def linear(x: jax.Array, w) -> jax.Array:
     """Dense-or-quantized dispatch: the model's single matmul entry."""
     if isinstance(w, QuantizedLinear):
-        return quant_matmul(x, w)
+        k_dim, n = w.w_q.shape
+        return _qmm_launch(
+            x, w,
+            t_p2=next_power_of_2(x.shape[0]), k_dim=k_dim, n=n,
+            w_dtype=str(w.w_q.dtype), x_dtype=str(x.dtype),
+        )
     return x @ w
