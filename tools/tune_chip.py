@@ -285,14 +285,14 @@ def main(quick: bool = False, qmm_only: bool = False) -> None:
             tuned_already = key in launcher._mem
             fb_cfg = launcher.fallback_heuristic(key)
             t_fb = measure(
-                lambda: launcher.fn(*args, **kw, **fb_cfg), "qmm"
+                lambda: launcher.fn(*args, **kw, **fb_cfg), "quant_matmul"
             )
             won = (
                 dict(launcher._mem[key]) if tuned_already
                 else launcher.tune(*args, **kw)
             )
             t_tuned = measure(
-                lambda: launcher.fn(*args, **kw, **won), "qmm"
+                lambda: launcher.fn(*args, **kw, **won), "quant_matmul"
             )
             name = "qmm_stacked" if stacked else "qmm"
             rows.append(

@@ -331,7 +331,7 @@ _QMM_KEY = ["t_p2", "k_dim", "n", "w_dtype", "x_dtype"]
     key=_QMM_KEY,
     name="quant_matmul",
     fallback_heuristic=_qmm_fallback,
-    trace_pattern="qmm",
+    trace_pattern="quant_matmul",
     # Mosaic compiles dominate a tuning sweep through the tunneled
     # runtime (~20 s/config); the default 120 s cap would cover a
     # quarter of the space
@@ -352,7 +352,7 @@ def _qmm_launch(
     key=_QMM_KEY,
     name="quant_matmul_stacked",
     fallback_heuristic=_qmm_fallback,
-    trace_pattern="qmm",
+    trace_pattern="quant_matmul",
     search_max_t=600.0,
 )
 def _qmm_stacked_launch(
