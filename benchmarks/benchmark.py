@@ -83,6 +83,15 @@ class BenchSetup:
     # silently skipped when tracing/parsing is unavailable (CPU runs)
     capture_profile: bool = True
     profile_reps: int = 10
+    # Stream a 256 MB dummy buffer through the chip between timed reps —
+    # the reference's L2-flush discipline (torch_utils.py:35-73).  On TPU
+    # this is protocol parity, not a correctness need: Pallas kernels
+    # stream operands from HBM every launch (VMEM is software-managed and
+    # re-filled per launch; there is no persistent data cache a hot rep
+    # could hit), so timings are "cold" by construction.  The knob exists
+    # to prove that claim on demand: enable it and the quantiles should
+    # not move.
+    flush_between_reps: bool = False
 
     @classmethod
     def load(cls, conf_path: str | None) -> "BenchSetup":
@@ -273,8 +282,21 @@ def run(setup: BenchSetup, out_stream=sys.stdout) -> list[dict]:
                 for _ in range(setup.warmup):
                     call()
                 jax.block_until_ready(call())
+                flush = None
+                if setup.flush_between_reps:
+                    import jax.numpy as jnp
+
+                    flush_buf = jnp.zeros(
+                        (256, 1024, 1024 // 4), jnp.float32
+                    )  # 256 MB
+                    flush = jax.jit(
+                        lambda b: jnp.sum(b, dtype=jnp.float32)
+                    )
+                    flush(flush_buf).block_until_ready()
                 times = []
                 for _ in range(setup.rep):
+                    if flush is not None:
+                        flush(flush_buf).block_until_ready()
                     t0 = time.perf_counter()
                     call().block_until_ready()
                     times.append(time.perf_counter() - t0)

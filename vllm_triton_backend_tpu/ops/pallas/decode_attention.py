@@ -188,7 +188,18 @@ def _ragged_decode_kernel(
                 )
             )
 
-        foreach_page(sq, ck, wait, dead_fn=zero_dead)
+        # Integer caches cannot hold a NaN bit pattern: dequant of any
+        # garbage byte is finite, the K side is masked to MASK_VALUE
+        # before the row max, and p is an exact 0 on masked columns, so
+        # 0 * v_garbage == 0.  Skipping the per-step zero fill removes up
+        # to chunk_pages-1 VMEM page stores per grid step on the tail
+        # chunk (seqs shorter than the tuned chunk pay it every step).
+        # Float caches (bf16/fp8-e4m3) CAN hold NaNs in uninitialized
+        # VMEM, so they keep the zero fill.
+        needs_zero = kv_buf.dtype not in (jnp.int8, jnp.uint8)
+        foreach_page(
+            sq, ck, wait, dead_fn=zero_dead if needs_zero else None
+        )
 
     step = s * num_chunks + c
     slot = jax.lax.rem(step, 2)

@@ -271,7 +271,11 @@ QMM_CONFIG_SPACE = ConfigSpace(
     },
 )
 
-_VMEM_BUDGET = 64 * 1024 * 1024  # half a v5e's 128 MiB VMEM
+# XLA's scoped-vmem limit for custom calls is 16 MiB by default (the
+# hard error is "Scoped allocation ... exceeded scoped vmem limit", seen
+# at t=2048 with 2048x1024 tiles); stay under it with headroom for the
+# kernel's own temporaries.
+_VMEM_BUDGET = 12 * 1024 * 1024
 
 
 def _snap_block(dim: int, want: int, quantum: int) -> int:
@@ -301,7 +305,8 @@ def _fit_blocks(
         return (
             2 * bk * bn * w_item  # double-buffered weight tiles
             + 2 * t_pad * bk * x_item  # double-buffered activation tiles
-            + t_pad * bn * (4 + x_item)  # f32 accumulator + out tile
+            # f32 accumulator + double-buffered out tiles
+            + t_pad * bn * (4 + 2 * x_item)
         )
 
     while vmem(bn, bk) > _VMEM_BUDGET:

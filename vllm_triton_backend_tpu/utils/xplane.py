@@ -49,6 +49,15 @@ def _load_xspaces(log_dir: str):
     return spaces
 
 
+# Container events that WRAP child ops on the same timeline — summing
+# them alongside their children double-counts (a `while` spans its whole
+# body; measured: 46k-event granite chunk summed to 762 ms on a 269 ms
+# executable before this filter).
+_CONTAINER_RE = re.compile(
+    r"^%?(while|conditional|call)[.\d]*\s*=|^jit_"
+)
+
+
 def device_kernel_times(
     log_dir: str, include: str | None = None
 ) -> dict[str, KernelTime]:
@@ -57,6 +66,12 @@ def device_kernel_times(
     Returns {event_name: KernelTime} over all device (TPU) planes —
     host/python planes are skipped.  ``include`` filters names by regex
     (the proton viewer's include-regex knob, proton_viewer.py:327-350).
+
+    Only op-level timeline lines are read ("XLA Ops" when present):
+    the "XLA Modules" line holds one umbrella event per executable, and
+    "Async XLA Ops" holds copies whose durations span their overlap
+    window — both would double-count against the op line.  Container
+    ops (while/conditional/call) are skipped for the same reason.
     """
     pat = re.compile(include) if include else None
     out: dict[str, KernelTime] = {}
@@ -68,12 +83,24 @@ def device_kernel_times(
             if "host" in name:
                 continue
             meta = plane.event_metadata
-            for line in plane.lines:
+            lines = list(plane.lines)
+            op_lines = [
+                ln for ln in lines if ln.name.strip() == "XLA Ops"
+            ]
+            for line in op_lines or lines:
+                if (
+                    not op_lines
+                    and line.name.strip() in ("XLA Modules",
+                                              "Async XLA Ops")
+                ):
+                    continue
                 for ev in line.events:
                     md = meta.get(ev.metadata_id)
                     ev_name = md.name if md is not None else str(
                         ev.metadata_id
                     )
+                    if _CONTAINER_RE.match(ev_name):
+                        continue
                     if pat and not pat.search(ev_name):
                         continue
                     kt = out.get(ev_name)
