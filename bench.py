@@ -246,19 +246,24 @@ def main() -> None:
     # ---------------- granite-3.1-8B INT8-weights + FP8-KV ----------------
     mc = ModelConfig.granite_3_1_8b()
     params = llama.init_quantized_params(mc, jax.random.key(0), "int8")
+    # batch 32: decode is weight-streaming-bound (the 8.2 GB int8 weight
+    # read dominates the step), so tokens/s scales near-linearly with
+    # batch until KV reads catch up; 32 x 1024-token KV fits in 2.7 GB
+    # beside the 8.6 GB weights (reference protocol sweeps concurrency
+    # 1->128, bench_vllm_user_range.py:44)
     cfg = EngineConfig(
         model=mc,
         cache=CacheConfig(
-            block_size=64, num_blocks=256, cache_dtype="int8"
+            block_size=64, num_blocks=520, cache_dtype="int8"
         ),
         scheduler=SchedulerConfig(
-            max_num_seqs=16,
+            max_num_seqs=32,
             max_num_batched_tokens=2048,
             max_model_len=1024,
-            token_buckets=(16, 512, 1024, 2048),
+            token_buckets=(32, 512, 1024, 2048),
         ),
     )
-    n_seqs, prompt_len, n_new = 16, 512, 96
+    n_seqs, prompt_len, n_new = 32, 512, 96
     # warmup pass compiles every (bucket, extras) executable — MUST use
     # identical shapes (same n_new => same session horizon bucket / K)
     run_e2e(cfg, params, n_seqs, prompt_len, n_new, mc.vocab_size)

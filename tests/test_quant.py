@@ -50,10 +50,12 @@ def test_quant_error_bounded(qdtype):
     assert rel < (0.02 if qdtype == "int8" else 0.05)
 
 
-def test_quantized_model_close_to_dense():
+@pytest.mark.parametrize("fused", [False, True])
+def test_quantized_model_close_to_dense(fused):
     cfg = ModelConfig.tiny(dtype="float32")
     params = init_params(cfg, jax.random.key(0))
-    qparams = quantize_params(params, "int8")
+    # fused=True packs q/k/v and gate/up into the launch-saving layouts
+    qparams = quantize_params(params, "int8", cfg=cfg if fused else None)
 
     prompt = np.random.default_rng(0).integers(0, cfg.vocab_size, 12)
     bt = np.arange(2, dtype=np.int32).reshape(1, 2)

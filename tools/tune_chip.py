@@ -245,13 +245,14 @@ def main(quick: bool = False, qmm_only: bool = False) -> None:
     ql = importlib.import_module(
         "vllm_triton_backend_tpu.ops.pallas.quant_linear"
     )
-    # granite-3.1-8B int8 projection shapes (K, N, stacked?): gate/up,
-    # down, q/o, k/v, padded lm_head (49155 -> 49*1024)
+    # granite-3.1-8B int8 projection shapes (K, N, stacked?): fused qkv
+    # (48 heads x 128), fused gate|up, down, o, padded lm_head
+    # (49155 -> 49*1024)
     qmm_shapes = [
-        (4096, 12800, True),
+        (4096, 6144, True),
+        (4096, 25600, True),
         (12800, 4096, True),
         (4096, 4096, True),
-        (4096, 1024, True),
         (4096, 50176, False),
     ]
     qmm_ts = [16] if quick else [16, 512, 2048]

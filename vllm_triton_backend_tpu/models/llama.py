@@ -47,7 +47,23 @@ LM_HEAD_PAD = 1024
 
 class LayerParams(NamedTuple):
     """One decoder layer's weights; in the model pytree these are stacked
-    with a leading ``[num_layers]`` axis for ``lax.scan``."""
+    with a leading ``[num_layers]`` axis for ``lax.scan``.
+
+    The quantized path fuses projections to cut kernel launches (decode
+    pays ~6 us of fixed cost per launch x 7 matmuls x num_layers):
+
+    * ``qkv_proj`` ``[hidden, G*(qpk+2)*head]`` — grouped layout
+      ``[G, qpk q-heads | k | v, head]`` per kv-head group ``G``.  The
+      standard GQA head order (q heads ``g*qpk..`` serve kv head ``g``)
+      IS the grouped order, so q slices out with a plain reshape and a
+      contiguous split over ``G`` stays TP-shardable.
+    * ``gate_up_proj`` ``[hidden, intermediate*2]`` — gate/up columns
+      interleaved ``[inter, 2]`` so a contiguous column shard keeps
+      gate_j next to up_j (the Megatron fused-weight trick).
+
+    When fused fields are set the legacy per-projection fields are None
+    (and vice versa); the dense path keeps the unfused fields so the
+    TP/PP spec trees stay unchanged."""
 
     input_norm: jax.Array  # [hidden]
     q_proj: jax.Array  # [hidden, num_heads * head]
@@ -58,6 +74,8 @@ class LayerParams(NamedTuple):
     gate_proj: jax.Array  # [hidden, intermediate]
     up_proj: jax.Array  # [hidden, intermediate]
     down_proj: jax.Array  # [intermediate, hidden]
+    qkv_proj: Any = None  # fused quantized [hidden, G*(qpk+2)*head]
+    gate_up_proj: Any = None  # fused quantized [hidden, inter*2]
 
 
 class LlamaParams(NamedTuple):
@@ -238,7 +256,10 @@ def forward_fn(
     # weights ride the scan xs as before — XLA fuses those slices into
     # its own matmul fusions at no cost.
     layers = params.layers
-    quantized = isinstance(layers.q_proj, QuantizedLinear)
+    quantized = isinstance(
+        layers.qkv_proj if layers.qkv_proj is not None else layers.q_proj,
+        QuantizedLinear,
+    )
 
     def layer_body(carry, xs):
         h_in, kv = carry
@@ -255,9 +276,17 @@ def forward_fn(
             lin = linear
 
         normed = rms_norm(h_in, lp.input_norm, cfg.rms_norm_eps)
-        q = lin(normed, lp.q_proj).reshape(t, cfg.num_heads, hd)
-        k = lin(normed, lp.k_proj).reshape(t, cfg.num_kv_heads, hd)
-        v = lin(normed, lp.v_proj).reshape(t, cfg.num_kv_heads, hd)
+        if lp.qkv_proj is not None:
+            grp = cfg.num_kv_heads
+            qpk = cfg.num_heads // grp
+            qkv = lin(normed, lp.qkv_proj).reshape(t, grp, qpk + 2, hd)
+            q = qkv[:, :, :qpk].reshape(t, cfg.num_heads, hd)
+            k = qkv[:, :, qpk]
+            v = qkv[:, :, qpk + 1]
+        else:
+            q = lin(normed, lp.q_proj).reshape(t, cfg.num_heads, hd)
+            k = lin(normed, lp.k_proj).reshape(t, cfg.num_kv_heads, hd)
+            v = lin(normed, lp.v_proj).reshape(t, cfg.num_kv_heads, hd)
         q = apply_rope(q, positions, inv_freq)
         k = apply_rope(k, positions, inv_freq)
 
@@ -323,12 +352,18 @@ def forward_fn(
         h_mid = h_in + attn_out * cfg.residual_multiplier
 
         normed2 = rms_norm(h_mid, lp.post_attn_norm, cfg.rms_norm_eps)
-        gate = jax.nn.silu(lin(normed2, lp.gate_proj).astype(jnp.float32))
-        mlp = reduce_proj(
-            lin,
-            gate.astype(dtype) * lin(normed2, lp.up_proj),
-            lp.down_proj,
-        )
+        if lp.gate_up_proj is not None:
+            gu = lin(normed2, lp.gate_up_proj).reshape(
+                t, cfg.intermediate_size, 2
+            )
+            gate = jax.nn.silu(gu[..., 0].astype(jnp.float32))
+            up = gu[..., 1]
+        else:
+            gate = jax.nn.silu(
+                lin(normed2, lp.gate_proj).astype(jnp.float32)
+            )
+            up = lin(normed2, lp.up_proj)
+        mlp = reduce_proj(lin, gate.astype(dtype) * up, lp.down_proj)
         h_out = h_mid + mlp * cfg.residual_multiplier
         return (h_out, kv), None
 
@@ -420,18 +455,24 @@ def init_quantized_params(
         jax.random.normal(keys[0], (cfg.vocab_size, h), jnp.float32)
         * (h**-0.5)
     ).astype(dtype)
+    # fused qkv / gate+up (see LayerParams docstring); a random draw of
+    # the fused matrix is distributionally identical to drawing the
+    # parts separately
+    n_qkv = (cfg.num_heads + 2 * cfg.num_kv_heads) * hd
     layers = LayerParams(
         input_norm=jnp.ones((nl, h), dtype),
-        q_proj=init_q(keys[1], (nl, h, cfg.num_heads * hd), h),
-        k_proj=init_q(keys[2], (nl, h, cfg.num_kv_heads * hd), h),
-        v_proj=init_q(keys[3], (nl, h, cfg.num_kv_heads * hd), h),
+        q_proj=None,
+        k_proj=None,
+        v_proj=None,
         o_proj=init_q(
             keys[4], (nl, cfg.num_heads * hd, h), cfg.num_heads * hd
         ),
         post_attn_norm=jnp.ones((nl, h), dtype),
-        gate_proj=init_q(keys[5], (nl, h, inter), h),
-        up_proj=init_q(keys[6], (nl, h, inter), h),
+        gate_proj=None,
+        up_proj=None,
         down_proj=init_q(keys[7], (nl, inter, h), inter),
+        qkv_proj=init_q(keys[1], (nl, h, n_qkv), h),
+        gate_up_proj=init_q(keys[5], (nl, h, 2 * inter), h),
     )
     # lm_head: pad the vocab axis to a tile multiple AT QUANTIZE TIME —
     # padding inside the matmul would make XLA re-materialize the whole
@@ -459,20 +500,76 @@ def init_quantized_params(
     )
 
 
-def quantize_params(params: LlamaParams, dtype: str = "int8") -> LlamaParams:
+def fuse_qkv(
+    wq: jax.Array,  # [..., h, num_heads * hd]
+    wk: jax.Array,  # [..., h, num_kv_heads * hd]
+    wv: jax.Array,  # [..., h, num_kv_heads * hd]
+    num_kv_heads: int,
+    head_size: int,
+) -> jax.Array:
+    """Pack q/k/v into the grouped fused layout (LayerParams docstring):
+    per kv-head group g: [qpk q-heads of g | k_g | v_g], each head_size
+    wide.  Standard GQA order (q heads g*qpk.. serve kv g) makes the q
+    slice a plain reshape on the way back out."""
+    *lead, h, nq = wq.shape
+    grp, hd = num_kv_heads, head_size
+    qpk = nq // hd // grp
+    q = wq.reshape(*lead, h, grp, qpk, hd)
+    k = wk.reshape(*lead, h, grp, 1, hd)
+    v = wv.reshape(*lead, h, grp, 1, hd)
+    return jnp.concatenate((q, k, v), axis=-2).reshape(*lead, h, -1)
+
+
+def fuse_gate_up(wg: jax.Array, wu: jax.Array) -> jax.Array:
+    """Interleave gate/up columns ([..., inter, 2] flattened) so a
+    contiguous column shard keeps gate_j next to up_j."""
+    return jnp.stack((wg, wu), axis=-1).reshape(*wg.shape[:-1], -1)
+
+
+def quantize_params(
+    params: LlamaParams,
+    dtype: str = "int8",
+    cfg: ModelConfig | None = None,
+) -> LlamaParams:
     """Weight-only quantization of all projection matrices (embed and norms
-    stay dense).  Works on the stacked [L, K, N] layer weights via vmap."""
+    stay dense).  Works on the stacked [L, K, N] layer weights via vmap.
+
+    With ``cfg`` given, q/k/v and gate/up are packed into the fused
+    launch-saving layouts (see LayerParams docstring); without it the
+    legacy one-kernel-per-projection layout is kept (the grouped packing
+    needs num_kv_heads/head_size, which shapes alone don't determine)."""
     qw = functools.partial(quantize_weights, dtype=dtype)
     stacked = jax.vmap(qw)
-    layers = params.layers._replace(
-        q_proj=stacked(params.layers.q_proj),
-        k_proj=stacked(params.layers.k_proj),
-        v_proj=stacked(params.layers.v_proj),
-        o_proj=stacked(params.layers.o_proj),
-        gate_proj=stacked(params.layers.gate_proj),
-        up_proj=stacked(params.layers.up_proj),
-        down_proj=stacked(params.layers.down_proj),
-    )
+    lyr = params.layers
+    if cfg is not None:
+        layers = lyr._replace(
+            q_proj=None,
+            k_proj=None,
+            v_proj=None,
+            o_proj=stacked(lyr.o_proj),
+            gate_proj=None,
+            up_proj=None,
+            down_proj=stacked(lyr.down_proj),
+            qkv_proj=stacked(
+                fuse_qkv(
+                    lyr.q_proj, lyr.k_proj, lyr.v_proj,
+                    cfg.num_kv_heads, cfg.head_size,
+                )
+            ),
+            gate_up_proj=stacked(
+                fuse_gate_up(lyr.gate_proj, lyr.up_proj)
+            ),
+        )
+    else:
+        layers = lyr._replace(
+            q_proj=stacked(lyr.q_proj),
+            k_proj=stacked(lyr.k_proj),
+            v_proj=stacked(lyr.v_proj),
+            o_proj=stacked(lyr.o_proj),
+            gate_proj=stacked(lyr.gate_proj),
+            up_proj=stacked(lyr.up_proj),
+            down_proj=stacked(lyr.down_proj),
+        )
     return params._replace(
         layers=layers,
         lm_head=quantize_weights(
