@@ -34,7 +34,9 @@ os.environ.setdefault("VTB_PRINT_AUTOTUNING", "1")
 import numpy as np  # noqa: E402
 
 
-def main(quick: bool = False, qmm_only: bool = False) -> None:
+def main(
+    quick: bool = False, qmm_only: bool = False, b32: bool = False
+) -> None:
     import jax
     import jax.numpy as jnp
 
@@ -69,6 +71,11 @@ def main(quick: bool = False, qmm_only: bool = False) -> None:
         jnp.bfloat16, jnp.int8, jnp.float8_e4m3fn
     ]
     batch, bs = 16, 64
+    if b32:  # fill the batch-32 decode keys (bench batch grew 16 -> 32)
+        batch = 32
+        head_cfgs = [(32, 8, 128)]
+        seq_lens = [512, 1024, 2048]
+        dtypes = [jnp.bfloat16, jnp.int8]
 
     def measure(fn, pattern, reps=10):
         """Measured device kernel time per call via an xplane trace."""
@@ -165,7 +172,7 @@ def main(quick: bool = False, qmm_only: bool = False) -> None:
 
     # ---- prefill ----
     prefill_seqs = [512] if quick else [512, 2048]
-    for (hq, hkv, hd) in head_cfgs if not qmm_only else []:
+    for (hq, hkv, hd) in head_cfgs if not (qmm_only or b32) else []:
         for dtype in dtypes[:2]:  # bf16 + int8
             for max_seq in prefill_seqs:
                 pages = max_seq // bs
@@ -255,7 +262,9 @@ def main(quick: bool = False, qmm_only: bool = False) -> None:
         (4096, 4096, True),
         (4096, 50176, False),
     ]
-    qmm_ts = [16] if quick else [16, 512, 2048]
+    qmm_ts = [16] if quick else [16, 32, 512, 2048]
+    if b32:
+        qmm_ts = [32]
     quantize = jax.jit(
         jax.vmap(functools.partial(ql.quantize_weights, dtype="int8"))
     )
@@ -268,7 +277,7 @@ def main(quick: bool = False, qmm_only: bool = False) -> None:
         if not stacked:
             qw = ql.QuantizedLinear(qw.w_q[0], qw.scales[0])
         for t in qmm_ts:
-            if not stacked and t != 16:
+            if not stacked and t not in (16, 32):
                 continue  # lm_head runs on sampled rows only (t<=batch)
             x = jnp.asarray(
                 rng.standard_normal((t, kd)) * 0.3, jnp.bfloat16
@@ -332,4 +341,5 @@ if __name__ == "__main__":
     main(
         quick="--quick" in sys.argv,
         qmm_only="--qmm-only" in sys.argv,
+        b32="--b32" in sys.argv,
     )
