@@ -44,6 +44,9 @@ from vllm_triton_backend_tpu.models.llama import (
 from vllm_triton_backend_tpu.ops.attention import unified_attention
 from vllm_triton_backend_tpu.ops.metadata import AttentionMetadata
 from vllm_triton_backend_tpu.ops.pallas.cache_ops import reshape_and_cache
+from vllm_triton_backend_tpu.ops.pallas.decode_attention import (
+    paged_decode_append_attention,
+)
 from vllm_triton_backend_tpu.ops.pallas.mamba import (
     selective_scan,
     selective_state_update,
@@ -401,21 +404,48 @@ def forward_fn(
             v = linear(normed, lp.v_proj).reshape(t, cfg.num_kv_heads, hd)
             q = apply_rope(q, positions, inv_freq)
             k = apply_rope(k, positions, inv_freq)
-            kv_cache = reshape_and_cache(
-                kv_cache, jnp.int32(attn_i), k, v,
-                metadata.slot_mapping, extras.k_scale, extras.v_scale,
-            )
-            attn = unified_attention(
-                q, kv_cache, jnp.int32(attn_i), metadata,
-                scale=cfg.attn_scale,
-                max_query_len=extras.max_query_len,
-                max_seq_len=extras.max_seq_len,
-                sliding_window=cfg.sliding_window or 0,
-                logits_soft_cap=cfg.logits_soft_cap,
-                k_scale=extras.k_scale,
-                v_scale=extras.v_scale,
-                local_chunk_size=cfg.attention_chunk_size or 0,
-            )
+            if extras.max_query_len == 1:
+                # fused append-attend (see models/llama.py decode path)
+                attn_s, kv_cache = paged_decode_append_attention(
+                    q[:num_seqs], k[:num_seqs], v[:num_seqs],
+                    kv_cache, jnp.int32(attn_i), jnp.int32(1),
+                    metadata.seq_lens, metadata.block_table,
+                    metadata.slot_mapping[:num_seqs],
+                    scale=cfg.attn_scale,
+                    max_seq_len=extras.max_seq_len,
+                    sliding_window=cfg.sliding_window or 0,
+                    logits_soft_cap=cfg.logits_soft_cap,
+                    k_scale=extras.k_scale,
+                    v_scale=extras.v_scale,
+                    local_chunk_size=cfg.attention_chunk_size or 0,
+                )
+                attn = (
+                    attn_s if t == num_seqs else jnp.concatenate(
+                        [
+                            attn_s,
+                            jnp.zeros(
+                                (t - num_seqs,) + attn_s.shape[1:],
+                                attn_s.dtype,
+                            ),
+                        ]
+                    )
+                )
+            else:
+                kv_cache = reshape_and_cache(
+                    kv_cache, jnp.int32(attn_i), k, v,
+                    metadata.slot_mapping, extras.k_scale, extras.v_scale,
+                )
+                attn = unified_attention(
+                    q, kv_cache, jnp.int32(attn_i), metadata,
+                    scale=cfg.attn_scale,
+                    max_query_len=extras.max_query_len,
+                    max_seq_len=extras.max_seq_len,
+                    sliding_window=cfg.sliding_window or 0,
+                    logits_soft_cap=cfg.logits_soft_cap,
+                    k_scale=extras.k_scale,
+                    v_scale=extras.v_scale,
+                    local_chunk_size=cfg.attention_chunk_size or 0,
+                )
             attn_out = maybe_psum(
                 linear(attn.reshape(t, cfg.num_heads * hd), lp.o_proj)
             )

@@ -32,6 +32,9 @@ from vllm_triton_backend_tpu.config import ModelConfig
 from vllm_triton_backend_tpu.ops.attention import unified_attention
 from vllm_triton_backend_tpu.ops.metadata import AttentionMetadata
 from vllm_triton_backend_tpu.ops.pallas.cache_ops import reshape_and_cache
+from vllm_triton_backend_tpu.ops.pallas.decode_attention import (
+    paged_decode_append_attention,
+)
 from vllm_triton_backend_tpu.ops.pallas.quant_linear import (
     QuantizedLinear,
     linear,
@@ -330,6 +333,36 @@ def forward_fn(
                     max_query_len=extras.max_query_len,
                     k_scale=extras.k_scale, v_scale=extras.v_scale,
                 )
+        elif extras.max_query_len == 1:
+            # fused append-attend: the decode hot path folds the S
+            # per-token cache writes (launch-bound DUS chains) into the
+            # attention kernel — the current token's K/V is attended
+            # in-register and DMA'd to its slot by the kernel itself
+            # (write-then-attend parity: reference triton_attn.py:393-405)
+            num_seqs = metadata.seq_lens.shape[0]
+            attn_s, kv = paged_decode_append_attention(
+                q[:num_seqs], k[:num_seqs], v[:num_seqs], kv, slot,
+                owns_kv, metadata.seq_lens, metadata.block_table,
+                write_slots[:num_seqs],
+                scale=cfg.attn_scale,
+                max_seq_len=extras.max_seq_len,
+                sliding_window=cfg.sliding_window or 0,
+                logits_soft_cap=cfg.logits_soft_cap,
+                k_scale=extras.k_scale,
+                v_scale=extras.v_scale,
+                local_chunk_size=cfg.attention_chunk_size or 0,
+            )
+            attn = (
+                attn_s if t == num_seqs else jnp.concatenate(
+                    [
+                        attn_s,
+                        jnp.zeros(
+                            (t - num_seqs,) + attn_s.shape[1:],
+                            attn_s.dtype,
+                        ),
+                    ]
+                )
+            )
         else:
             kv = reshape_and_cache(
                 kv, slot, k, v, write_slots,

@@ -83,13 +83,14 @@ def _visible_lo(seq_len, sliding_window: int, local_chunk_size: int):
 
 def _ragged_decode_kernel(
     # scalar prefetch
-    layer_ref,  # [1] int32
+    layer_ref,  # [1] int32 (append mode: [2] = [layer, owns])
     seq_lens_ref,  # [S] int32 (SMEM)
     tbl_ref,  # [S, max_pages] int32 (SMEM)
-    # inputs
-    q_ref,  # [1, Hkv, qpk_pad, hd] f32 (VMEM, per-seq block)
-    kv_hbm,  # [L, num_blocks, 2, Hkv, bs, hd] cache dtype (stays in HBM)
-    # then optionally alibi [Hkv, qpk_pad, 128], outputs, scratch
+    # then (append mode) slots [S] int32; inputs
+    # q_ref [1, Hkv, qpk_pad, hd] (VMEM, per-seq block);
+    # (append) kvnew [1, 2, Hkv, 1, hd] cache dtype;
+    # kv_hbm [L, num_blocks, 2, Hkv, bs, hd] cache dtype (stays in HBM);
+    # optionally alibi [Hkv, qpk_pad, 128]; outputs; scratch
     *rest,
     scale: float,
     block_size: int,
@@ -103,14 +104,21 @@ def _ragged_decode_kernel(
     has_alibi: bool,
     stickbreaking: bool = False,
     attend_current: bool = False,
+    append_kv: bool = False,
 ):
     rest = list(rest)
+    slots_ref = rest.pop(0) if append_kv else None
+    q_ref = rest.pop(0)  # [1, Hkv, qpk_pad, hd]
+    kvnew_ref = rest.pop(0) if append_kv else None
+    kv_hbm = rest.pop(0)
     alibi_ref = rest.pop(0) if has_alibi else None
     o_ref = rest.pop(0)  # [1, Hkv, qpk_pad, hd]
+    cache_out = rest.pop(0) if append_kv else None
     if return_partials:
-        m_out, l_out, kv_buf, sems, m_scr, l_scr, acc_scr = rest
-    else:
-        kv_buf, sems, m_scr, l_scr, acc_scr = rest
+        m_out, l_out = rest.pop(0), rest.pop(0)
+    kv_buf, sems = rest.pop(0), rest.pop(0)
+    wsem = rest.pop(0) if append_kv else None
+    m_scr, l_scr, acc_scr = rest
 
     s = pl.program_id(0)
     c = pl.program_id(1)
@@ -125,6 +133,12 @@ def _ragged_decode_kernel(
         # the first n_keys keys (reference sb_jit_func.py:119-175)
         if stickbreaking and not attend_current:
             return sl - 1
+        if append_kv:
+            # the cache holds [0, sl - owns): when this layer owns its KV
+            # slot the current token is NOT yet in the cache — it is
+            # attended in-register and DMA'd to its slot by this kernel
+            # (owns==0: KV-sharing layer, the owner already wrote it)
+            return sl - layer_ref[1]
         return sl
 
     def ck_of(grid_c):
@@ -141,7 +155,12 @@ def _ragged_decode_kernel(
         the rest.  The same predicate gates DMA start and wait, keeping
         them paired."""
         sl = eff_len(seq_lens_ref[sq])
-        lo = _visible_lo(sl, sliding_window, local_chunk_size)
+        # the visibility window is anchored at the FULL length (incl. the
+        # current token) — eff_len only shortens what is paged
+        lo = _visible_lo(
+            seq_lens_ref[sq] if append_kv else sl,
+            sliding_window, local_chunk_size,
+        )
         for i in range(chunk_pages):  # static unroll
             pg = ck * chunk_pages + i
             live = jnp.logical_and(
@@ -226,7 +245,10 @@ def _ragged_decode_kernel(
         acc_scr[...] = jnp.zeros_like(acc_scr)
 
     seq_len = eff_len(seq_lens_ref[s])
-    lo = _visible_lo(seq_len, sliding_window, local_chunk_size)
+    lo = _visible_lo(
+        seq_lens_ref[s] if append_kv else seq_len,
+        sliding_window, local_chunk_size,
+    )
     chunk_lo = ck_of(c) * chunk_tokens
     live = jnp.logical_and(
         chunk_lo < seq_len, chunk_lo + chunk_tokens > lo
@@ -303,11 +325,14 @@ def _ragged_decode_kernel(
         )
         if has_alibi:
             # bias = slope * (kv_pos - q_pos); the decode token sits at
-            # q_pos = seq_len - 1 (reference unified kernel :481-482)
-            slope = alibi_ref[:, :, :1]  # [H, qpk_pad, 1]
-            s_blk = s_blk + slope * (pos - (seq_len - 1)).astype(
-                jnp.float32
+            # q_pos = FULL seq_len - 1 (reference unified kernel :481-482;
+            # in append mode eff_len excludes the current token, so the
+            # full length comes from the prefetch array directly)
+            q_pos = (
+                seq_lens_ref[s] - 1 if append_kv else seq_len - 1
             )
+            slope = alibi_ref[:, :, :1]  # [H, qpk_pad, 1]
+            s_blk = s_blk + slope * (pos - q_pos).astype(jnp.float32)
         mask = jnp.logical_and(pos < seq_len, pos >= lo)
         s_blk = jnp.where(mask, s_blk, MASK_VALUE)
 
@@ -326,6 +351,56 @@ def _ragged_decode_kernel(
 
     @pl.when(c == num_chunks - 1)
     def _finish():
+        if append_kv:
+            # ---- fused append: attend the current token in-register and
+            # DMA its K/V row to the cache slot.  All of this sequence's
+            # page reads completed at their compute steps, so the write
+            # cannot race a read of the same page within this sequence;
+            # cross-sequence pages are disjoint (the write page is a tail
+            # page, never a shared full prefix page).
+            owns = layer_ref[1]
+            trash = kv_hbm.shape[1] - 1
+            slot = slots_ref[s]
+            w_valid = slot >= 0
+            w_page = jnp.where(w_valid, slot // block_size, trash)
+            w_off = jnp.where(w_valid, jax.lax.rem(slot, block_size), 0)
+            wcopy = pltpu.make_async_copy(
+                kvnew_ref.at[0],
+                cache_out.at[lyr, w_page, :, :, pl.ds(w_off, 1), :],
+                wsem,
+            )
+
+            @pl.when(s > 0)
+            def _wait_prev_write():
+                # all writes are the same byte count: waiting with this
+                # step's descriptor drains the previous sequence's write
+                wcopy.wait()
+
+            wcopy.start()
+
+            @pl.when(s == num_seqs - 1)
+            def _wait_last_write():
+                wcopy.wait()
+
+            # current-token score column (bias-free: ALiBi distance is 0,
+            # sliding window/local chunk always include the last position)
+            q = q_ref[0]
+            kn = _dequant(kvnew_ref[0, 0, :, 0, :], k_scale, jnp.float32)
+            vn = _dequant(kvnew_ref[0, 1, :, 0, :], v_scale, jnp.float32)
+            s_cur = jnp.sum(
+                q.astype(jnp.float32) * kn[:, None, :], axis=2,
+                keepdims=True,
+            ) * scale  # [Hkv, qpk_pad, 1]
+            if logits_soft_cap > 0.0:
+                s_cur = logits_soft_cap * jnp.tanh(s_cur / logits_soft_cap)
+            s_cur = jnp.where(owns == 1, s_cur, MASK_VALUE)
+            m_prev = m_scr[:, :, :1]
+            m_new = jnp.maximum(m_prev, s_cur)
+            alpha = jnp.exp(m_prev - m_new)
+            p_cur = jnp.where(owns == 1, jnp.exp(s_cur - m_new), 0.0)
+            l_scr[...] = l_scr[...] * alpha + p_cur
+            acc_scr[...] = acc_scr[...] * alpha + p_cur * vn[:, None, :]
+
         l = l_scr[:, :, :1]
         if return_partials:
             # unnormalized accumulator + running (max, expsum) — the
@@ -371,6 +446,9 @@ def _paged_decode_impl(
     layer_idx: jax.Array,  # scalar int32
     seq_lens: jax.Array,  # [num_seqs] int32
     block_table: jax.Array,  # [num_seqs, max_blocks] int32
+    kv_new: jax.Array | None = None,  # [S, 2, Hkv, head] cache dtype
+    slot_mapping: jax.Array | None = None,  # [S] int32 (-1 = trash)
+    owns: jax.Array | None = None,  # scalar int32 1/0 (KV-sharing skip)
     *,
     scale: float,
     max_seq_len: int,
@@ -427,6 +505,13 @@ def _paged_decode_impl(
         ),
     )
 
+    append_kv = kv_new is not None
+    if append_kv:
+        assert not return_partials and not stickbreaking, (
+            "fused append not supported with partials/stickbreaking"
+        )
+        assert slot_mapping is not None and owns is not None
+
     kernel = functools.partial(
         _ragged_decode_kernel,
         scale=scale,
@@ -441,35 +526,63 @@ def _paged_decode_impl(
         has_alibi=alibi_slopes is not None,
         stickbreaking=stickbreaking,
         attend_current=attend_current,
+        append_kv=append_kv,
     )
 
-    def q_map(s, c, lyr, sl, tbl):
-        del c, lyr, sl, tbl
+    def q_map(s, c, *prefetch):
+        del c, prefetch
         return (s, 0, 0, 0)
 
-    out_specs = pl.BlockSpec((1, num_kv_heads, qpk_pad, head_pad), q_map)
-    out_shape = jax.ShapeDtypeStruct(
+    o_spec = pl.BlockSpec((1, num_kv_heads, qpk_pad, head_pad), q_map)
+    o_shape = jax.ShapeDtypeStruct(
         (num_seqs, num_kv_heads, qpk_pad, head_pad),
         jnp.float32 if return_partials else q.dtype,
     )
-    if return_partials:
+    out_specs: object = o_spec
+    out_shape: object = o_shape
+    if append_kv:
+        out_specs = [o_spec, pl.BlockSpec(memory_space=pl.ANY)]
+        out_shape = [
+            o_shape, jax.ShapeDtypeStruct(kv_cache.shape, kv_cache.dtype)
+        ]
+    elif return_partials:
         ml_spec = pl.BlockSpec((1, num_kv_heads, qpk_pad, 128), q_map)
         ml_shape = jax.ShapeDtypeStruct(
             (num_seqs, num_kv_heads, qpk_pad, 128), jnp.float32
         )
-        out_specs = [out_specs, ml_spec, ml_spec]
-        out_shape = [out_shape, ml_shape, ml_shape]
+        out_specs = [o_spec, ml_spec, ml_spec]
+        out_shape = [o_shape, ml_shape, ml_shape]
+
+    kvnew_in = ()
+    kvnew_specs = []
+    if append_kv:
+        # [S, 2, Hkv, 1, head_pad] in the cache dtype — the DMA source
+        # block for each sequence's slot write
+        kvn = kv_new.astype(kv_cache.dtype)
+        if kvn.shape[-1] != head_pad:
+            kvn = jnp.pad(
+                kvn,
+                ((0, 0), (0, 0), (0, 0), (0, head_pad - kvn.shape[-1])),
+            )
+        kvnew_in = (kvn[:, :, :, None, :],)
+        kvnew_specs = [
+            pl.BlockSpec(
+                (1, 2, num_kv_heads, 1, head_pad),
+                lambda s, c, *prefetch: (s, 0, 0, 0, 0),
+            )
+        ]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=4 if append_kv else 3,
         grid=(num_seqs, num_chunks),
         in_specs=[
             pl.BlockSpec((1, num_kv_heads, qpk_pad, head_pad), q_map),
+        ] + kvnew_specs + [
             pl.BlockSpec(memory_space=pl.ANY),  # cache stays in HBM
         ] + ([
             pl.BlockSpec(
                 (num_kv_heads, qpk_pad, 128),
-                lambda s, c, lyr, sl, tbl: (0, 0, 0),
+                lambda s, c, *prefetch: (0, 0, 0),
             )
         ] if alibi_slopes is not None else []),
         out_specs=out_specs,
@@ -479,6 +592,9 @@ def _paged_decode_impl(
                 kv_cache.dtype,
             ),
             pltpu.SemaphoreType.DMA((2, chunk_pages)),
+        ] + (
+            [pltpu.SemaphoreType.DMA] if append_kv else []
+        ) + [
             pltpu.VMEM((num_kv_heads, qpk_pad, 128), jnp.float32),
             pltpu.VMEM((num_kv_heads, qpk_pad, 128), jnp.float32),
             pltpu.VMEM((num_kv_heads, qpk_pad, head_pad), jnp.float32),
@@ -494,6 +610,27 @@ def _paged_decode_impl(
         transcendentals=num_seqs * num_q_heads * max_seq_len,
     )
 
+    if append_kv:
+        lyr2 = jnp.stack(
+            [
+                jnp.asarray(layer_idx, jnp.int32).reshape(()),
+                jnp.asarray(owns, jnp.int32).reshape(()),
+            ]
+        )
+        scalars = (
+            lyr2, seq_lens, block_table,
+            slot_mapping.astype(jnp.int32),
+        )
+        # flat arg index of kv_cache: 4 scalars + q + kvnew = 6; output 1
+        # is the cache (donated in place)
+        io_alias = {6: 1}
+    else:
+        scalars = (
+            jnp.asarray(layer_idx, jnp.int32).reshape(1),
+            seq_lens, block_table,
+        )
+        io_alias = {}
+
     result = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -502,12 +639,12 @@ def _paged_decode_impl(
             dimension_semantics=("arbitrary", "arbitrary"),
         ),
         cost_estimate=cost,
+        input_output_aliases=io_alias,
         interpret=use_interpret(),
     )(
-        jnp.asarray(layer_idx, jnp.int32).reshape(1),
-        seq_lens,
-        block_table,
+        *scalars,
         qr,
+        *kvnew_in,
         kv_cache,
         *(
             () if alibi_slopes is None else (
@@ -523,6 +660,13 @@ def _paged_decode_impl(
             )
         ),
     )
+
+    if append_kv:
+        out, new_cache = result
+        out = out[:, :, :qpk, :head_size].reshape(
+            num_seqs, num_q_heads, head_size
+        )
+        return out.astype(q.dtype), new_cache
 
     if return_partials:
         acc, m, l = result
@@ -634,6 +778,86 @@ def _decode_launch(
         alibi_slopes=alibi_slopes, k_scale=k_scale, v_scale=v_scale,
         return_partials=return_partials, chunk_pages=chunk_pages,
         local_chunk_size=local_chunk_size,
+    )
+
+
+def paged_decode_append_attention(
+    q: jax.Array,  # [S, num_q_heads, head_size]
+    key: jax.Array,  # [S, Hkv, head_size] current token K (unquantized)
+    value: jax.Array,  # [S, Hkv, head_size]
+    kv_cache: jax.Array,
+    layer_idx: jax.Array,
+    owns: jax.Array,  # scalar bool/int: layer owns its KV slot
+    seq_lens: jax.Array,  # [S] int32, INCLUDING the current token
+    block_table: jax.Array,
+    slot_mapping: jax.Array,  # [S] int32, -1 = dead (trash page)
+    *,
+    scale: float,
+    max_seq_len: int,
+    sliding_window: int = 0,
+    logits_soft_cap: float = 0.0,
+    alibi_slopes: jax.Array | None = None,
+    k_scale: float = 1.0,
+    v_scale: float = 1.0,
+    local_chunk_size: int = 0,
+    chunk_pages: int = 0,
+) -> tuple[jax.Array, jax.Array]:
+    """Fused append-attend: one kernel replaces reshape_and_cache +
+    paged_decode_attention on the decode hot path.
+
+    The per-token cache write (S tiny in-place dynamic-update-slices per
+    layer, launch-bound — measured ~0.5 ms/step at batch 16 on v5e) moves
+    INTO the attention kernel: the current token's K/V row rides a VMEM
+    block, is attended in-register as one extra softmax column (the
+    reference writes first and attends through the cache,
+    backend/triton_attn.py:393-405 — same math), and is DMA'd to its page
+    slot after that sequence's page reads complete.  Quantize-on-write
+    (cache_ops.quantize_kv) happens on the XLA side where it fuses into
+    the projection epilogue; the in-register column dequantizes the SAME
+    quantized row, so results are bit-identical to write-then-attend.
+
+    ``owns`` is 0 for KV-sharing layers (reference triton_attn.py:393-395):
+    the owner layer already wrote the current token this step, so it is
+    read from the cache (mask extends one position) and this layer's
+    write is redirected to the trash page.
+
+    Returns ``(attn_out, kv_cache)`` — the cache buffer is aliased and
+    updated in place.
+    """
+    from vllm_triton_backend_tpu.ops.pallas.cache_ops import quantize_kv
+
+    _, _, _, num_kv_heads, block_size, head_pad = kv_cache.shape
+    kv_new = jnp.stack(
+        (
+            quantize_kv(key, k_scale, kv_cache.dtype),
+            quantize_kv(value, v_scale, kv_cache.dtype),
+        ),
+        axis=1,
+    )  # [S, 2, Hkv, head]
+    if not chunk_pages:
+        cfg = _decode_launch.lookup(
+            max_seq_len_p2=next_power_of_2(max_seq_len),
+            num_seqs_p2=next_power_of_2(q.shape[0]),
+            num_q_heads=q.shape[1],
+            num_kv_heads=num_kv_heads,
+            head_size=head_pad,
+            block_size=block_size,
+            kv_dtype=str(kv_cache.dtype),
+        )
+        cap = _default_chunk_pages(
+            max_seq_len, block_size, num_kv_heads, head_pad,
+            kv_cache.dtype.itemsize,
+        )
+        chunk_pages = max(
+            1, min(cfg["chunk_tokens"] // block_size, cap)
+        )
+    return _paged_decode_impl(
+        q, kv_cache, layer_idx, seq_lens, block_table,
+        kv_new, slot_mapping, jnp.asarray(owns, jnp.int32),
+        scale=scale, max_seq_len=max_seq_len,
+        sliding_window=sliding_window, logits_soft_cap=logits_soft_cap,
+        alibi_slopes=alibi_slopes, k_scale=k_scale, v_scale=v_scale,
+        chunk_pages=chunk_pages, local_chunk_size=local_chunk_size,
     )
 
 
