@@ -194,6 +194,21 @@ class ModelConfig:
         return cls(**base)
 
     @classmethod
+    def llama3_70b(cls, **kw) -> "ModelConfig":
+        """Llama-3-70B (north-star staged config 5: multi-host serving,
+        BASELINE.md; weights must be tensor-sharded — 140 GB bf16 is ~9
+        v5e chips at minimum, served TP=8 per host with DP across hosts).
+        """
+        base = dict(
+            vocab_size=128256, hidden_size=8192, intermediate_size=28672,
+            num_layers=80, num_heads=64, num_kv_heads=8,
+            max_position_embeddings=8192, rope_theta=500000.0,
+            rms_norm_eps=1e-5,
+        )
+        base.update(kw)
+        return cls(**base)
+
+    @classmethod
     def granite_3_1_8b(cls, **kw) -> "ModelConfig":
         """granite-3.1-8B (the reference README's serving example model)."""
         base = dict(
