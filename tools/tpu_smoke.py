@@ -166,6 +166,63 @@ def run_quant():
         assert err < ref.std() * 0.2, f"{dt} err {err}"
 
 
+def run_append_decode():
+    """Fused append-attend on hardware: (a) output matches the two-op
+    write-then-attend path; (b) the kernel's slot-write DMA landed at the
+    right address — proven by re-reading the cache through a plain decode
+    at the same lengths."""
+    from vllm_triton_backend_tpu.ops.pallas.decode_attention import (
+        paged_decode_append_attention,
+        paged_decode_attention,
+    )
+
+    nb, bs, hkv, hq, hd, S = 64, 32, 2, 8, 128, 4
+    # seq_lens INCLUDE the current token; mix page-boundary (64+1 -> new
+    # page has off 0? 64 % 32 == 0 -> fresh page) and mid-page slots
+    lens = np.asarray([41, 8, 101, 65], np.int32)
+    tbl = rng.permutation(nb)[: S * 4].reshape(S, 4).astype(np.int32)
+    kvh = random_cache(rng, hkv, nb, bs, hd, num_layers=1)
+    q = rng.standard_normal((S, hq, hd)).astype(np.float32) * 0.5
+    kn = rng.standard_normal((S, hkv, hd)).astype(np.float32) * 0.5
+    vn = rng.standard_normal((S, hkv, hd)).astype(np.float32) * 0.5
+    pos = lens - 1
+    page = np.take_along_axis(tbl, (pos // bs)[:, None], 1)[:, 0]
+    slots = (page * bs + pos % bs).astype(np.int32)
+
+    kv0 = jnp.asarray(kvh, jnp.bfloat16)
+    args = (
+        jnp.asarray(q, jnp.bfloat16), jnp.asarray(kn, jnp.bfloat16),
+        jnp.asarray(vn, jnp.bfloat16),
+    )
+    common = dict(scale=hd ** -0.5, max_seq_len=128)
+    # two-op reference path
+    kv_ref = reshape_and_cache(
+        kv0, jnp.int32(0), args[1], args[2], jnp.asarray(slots)
+    )
+    out_ref = paged_decode_attention(
+        args[0], kv_ref, jnp.int32(0), jnp.asarray(lens),
+        jnp.asarray(tbl), **common,
+    )
+    # fused path
+    out, kv1 = paged_decode_append_attention(
+        args[0], args[1], args[2], kv0, jnp.int32(0), jnp.int32(1),
+        jnp.asarray(lens), jnp.asarray(tbl), jnp.asarray(slots), **common,
+    )
+    err = np.max(np.abs(
+        np.asarray(out, np.float32) - np.asarray(out_ref, np.float32)
+    ))
+    assert err < 1e-2, f"fused vs two-op max err {err}"
+    # read-back: plain decode over the kernel-written cache must agree
+    out_rb = paged_decode_attention(
+        args[0], kv1, jnp.int32(0), jnp.asarray(lens),
+        jnp.asarray(tbl), **common,
+    )
+    err = np.max(np.abs(
+        np.asarray(out_rb, np.float32) - np.asarray(out_ref, np.float32)
+    ))
+    assert err < 1e-2, f"cache read-back max err {err}"
+
+
 def main():
     print("devices:", jax.devices(), flush=True)
     check("decode hd128 bs32",
@@ -199,6 +256,7 @@ def main():
         k_scale=0.05, atol=6e-2))
     check("prefill long", lambda: run_attn([512], [1024]))
     check("cache write->read", run_cache_write_read)
+    check("append decode fused", run_append_decode)
     check("mamba selective_state_update", run_mamba)
     check("quant linear int8/fp8", run_quant)
     print(f"\n{len(failures)} failures: {failures}", flush=True)
