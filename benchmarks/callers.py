@@ -28,6 +28,7 @@ class Implementation(enum.Enum):
     PALLAS_UNIFIED = "pallas_unified"  # dispatcher (decode/prefill select)
     PALLAS_PREFILL = "pallas_prefill"  # force 2D prefill kernel
     PALLAS_DECODE = "pallas_decode"  # decode kernel directly
+    PALLAS_APPEND = "pallas_append"  # fused append-attend decode (write+attn)
     XLA_BASELINE = "xla_baseline"  # pure-XLA gather baseline (slow slot)
     SPLASH_PREFILL = "splash_prefill"  # jaxlib splash-attention cross-check
 
@@ -127,6 +128,42 @@ def make_call_func(
                 q, kv_cache, layer, meta.seq_lens, meta.block_table,
                 scale=scale, max_seq_len=max_seq_len, **kw,
             )
+
+        return call
+    if impl == Implementation.PALLAS_APPEND:
+        # fused append-attend: one launch does the cache write AND the
+        # attention (vs PALLAS_DECODE which assumes the write already
+        # happened).  To keep the shared oracle valid, the appended row
+        # is the batch's OWN last token, re-gathered from the cache: the
+        # kernel rewrites the slot with identical bytes (quantize/dequant
+        # roundtrip is exact) and the output equals plain decode.
+        assert max_query_len == 1, "append caller needs decode-only batch"
+        import numpy as np
+
+        from vllm_triton_backend_tpu.ops.pallas.decode_attention import (
+            paged_decode_append_attention,
+        )
+
+        bs = kv_cache.shape[4]
+        hd = q.shape[-1]
+        pos = np.asarray(meta.seq_lens) - 1
+        page = np.take_along_axis(
+            np.asarray(meta.block_table), (pos // bs)[:, None], 1
+        )[:, 0]
+        slots = jnp.asarray((page * bs + pos % bs).astype(np.int32))
+        row = kv_cache[layer, jnp.asarray(page), :, :, jnp.asarray(pos % bs)]
+        kn, vn = row[:, 0, :, :hd], row[:, 1, :, :hd]
+        if kv_cache.dtype not in (jnp.float32, jnp.bfloat16, jnp.float16):
+            kn = kn.astype(jnp.float32) * kw.get("k_scale", 1.0)
+            vn = vn.astype(jnp.float32) * kw.get("v_scale", 1.0)
+
+        def call():
+            out, _ = paged_decode_append_attention(
+                q, kn, vn, kv_cache, layer, jnp.int32(1),
+                meta.seq_lens, meta.block_table, slots,
+                scale=scale, max_seq_len=max_seq_len, **kw,
+            )
+            return out
 
         return call
     if impl == Implementation.XLA_BASELINE:
