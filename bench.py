@@ -251,19 +251,25 @@ def main() -> None:
     # batch until KV reads catch up; 32 x 1024-token KV fits in 2.7 GB
     # beside the 8.6 GB weights (reference protocol sweeps concurrency
     # 1->128, bench_vllm_user_range.py:44)
+    import os
+
+    n_seqs = int(os.environ.get("VTB_BENCH_BATCH", "32"))
+    max_len = int(os.environ.get("VTB_BENCH_MAX_LEN", "1024"))
     cfg = EngineConfig(
         model=mc,
         cache=CacheConfig(
-            block_size=64, num_blocks=520, cache_dtype="int8"
+            block_size=64,
+            num_blocks=n_seqs * (max_len // 64) + 8,
+            cache_dtype="int8",
         ),
         scheduler=SchedulerConfig(
-            max_num_seqs=32,
+            max_num_seqs=n_seqs,
             max_num_batched_tokens=2048,
-            max_model_len=1024,
-            token_buckets=(32, 512, 1024, 2048),
+            max_model_len=max_len,
+            token_buckets=(n_seqs, 512, 1024, 2048),
         ),
     )
-    n_seqs, prompt_len, n_new = 32, 512, 96
+    prompt_len, n_new = 512, 96
     # warmup pass compiles every (bucket, extras) executable — MUST use
     # identical shapes (same n_new => same session horizon bucket / K)
     run_e2e(cfg, params, n_seqs, prompt_len, n_new, mc.vocab_size)
