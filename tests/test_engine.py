@@ -269,3 +269,29 @@ def test_session_survives_pool_pressure():
     assert roomy == tight
     # at least one step call advanced by a whole fused chunk (8/seq)
     assert max(growth) >= 16, growth
+
+
+def test_auto_num_blocks():
+    """num_blocks=0 auto-sizes the page pool (gpu_memory_utilization
+    analog); on the CPU test mesh (no memory stats) it falls back to the
+    deterministic small pool and the engine serves normally."""
+    mc = ModelConfig.tiny(dtype="float32")
+    cfg = EngineConfig(
+        model=mc,
+        cache=CacheConfig(block_size=16, num_blocks=0),
+        scheduler=SchedulerConfig(
+            max_num_seqs=4,
+            max_num_batched_tokens=64,
+            max_model_len=128,
+            token_buckets=(8, 16, 32, 64),
+        ),
+    )
+    eng = LLMEngine(cfg, params=init_params(mc, jax.random.key(0)))
+    assert eng.config.cache.num_blocks > 0
+    eng.add_request([1, 2, 3, 4], SamplingParams(max_tokens=5))
+    out = {}
+    while eng.has_unfinished():
+        for o in eng.step():
+            out[o.req_id] = o.output_token_ids
+    (ids,) = out.values()
+    assert len(ids) == 5

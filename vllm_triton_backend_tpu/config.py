@@ -241,7 +241,13 @@ class CacheConfig:
     """
 
     block_size: int = 32
+    # 0 = auto-size from free device memory at engine init (the vLLM
+    # ``gpu_memory_utilization`` analog; see runtime/engine.py
+    # _auto_num_blocks).
     num_blocks: int = 1024
+    # Fraction of TOTAL device memory the engine may occupy including
+    # weights; only consulted when num_blocks == 0.
+    memory_utilization: float = 0.85
     # KV-cache dtype: "auto" (model dtype) | "fp8" (e4m3) | "int8".
     cache_dtype: str = "auto"
     # Slot id marking padded entries that must not be written

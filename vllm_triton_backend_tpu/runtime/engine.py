@@ -42,6 +42,37 @@ class RequestOutput:
     text: str | None = None
 
 
+def _auto_num_blocks(mc, cc, cache_dtype, utilization, shards) -> int:
+    """Auto-size the KV page pool from free device memory — the vLLM
+    ``gpu_memory_utilization`` analog (the reference inherits this from
+    vLLM at L5).  ``utilization`` caps the fraction of total device
+    memory the engine may hold AFTER weights (``bytes_in_use`` at call
+    time — params must be materialized first); the remainder is left for
+    activations/logits.  Falls back to a safe small pool when the
+    platform exposes no memory stats (the CPU test mesh)."""
+    from vllm_triton_backend_tpu.utils import round_up
+
+    _, n_layers = mc.kv_cache_slots()
+    head_pad = max(128, round_up(mc.head_size, 128))
+    page_bytes = (
+        n_layers * 2 * mc.num_kv_heads * cc.block_size * head_pad
+        * jnp.dtype(cache_dtype).itemsize
+    )
+    stats = {}
+    try:
+        stats = jax.local_devices()[0].memory_stats() or {}
+    except Exception:
+        pass
+    limit = stats.get("bytes_limit")
+    in_use = stats.get("bytes_in_use", 0)
+    if not limit:
+        n = 256  # no memory introspection: deterministic small pool
+    else:
+        free = int(limit * utilization) - in_use
+        n = max(0, free // page_bytes - shards)
+    return max(shards, n - n % shards)
+
+
 def _reserve_session_tokens(sched, reqs, horizon, bs, k) -> int:
     """Reserve pages for as many future session tokens as the pool
     allows — in multiples of the chunk size ``k``, capped by each
@@ -138,6 +169,23 @@ class LLMEngine:
             if cc.cache_dtype == "auto"
             else get_dtype(cc.cache_dtype)
         )
+        if cc.num_blocks == 0:
+            # auto-size the page pool from free device memory — the
+            # vLLM ``gpu_memory_utilization`` knob (the reference gets
+            # this from vLLM at L5; first-class here)
+            import dataclasses as _dc
+
+            n = _auto_num_blocks(
+                mc, cc, cache_dtype,
+                utilization=cc.memory_utilization,
+                shards=max(
+                    config.parallel.data_parallel,
+                    config.parallel.context_parallel,
+                ),
+            )
+            cc = _dc.replace(cc, num_blocks=n)
+            config = _dc.replace(config, cache=cc)
+            self.config = config
         make_caches = (
             self._hybrid.make_kv_caches if self.is_hybrid
             else llama.make_kv_caches
