@@ -17,9 +17,13 @@ under ``shard_map`` over a ``stage`` mesh axis:
   are recovered with a ``psum`` mask trick and logits are computed
   replicated.
 
-Composable with TP: use a 2-D mesh ("stage", "model") and the TP
-``forward_fn(tp_axis="model")`` inside the stage body (not wired by
-default here — the stage body uses the single-shard layer math).
+Composable with TP: pass ``tp > 1`` to :func:`make_pp_mesh` for a 2-D
+mesh ("stage", "model") — layer stacks shard over "stage", head/ffn dims
+over "model" (Megatron TP inside each stage: psum after o-proj and
+down-proj, vocab-sharded lm_head all-gathered), the KV-cache shards over
+both (layer axis x kv-head axis).  The engine serves
+``ParallelConfig(pipeline_parallel=S, tensor_parallel=T)`` through this
+path — the 70B-class config (TP within a host, PP across).
 """
 
 from __future__ import annotations
@@ -45,57 +49,79 @@ from vllm_triton_backend_tpu.ops.metadata import AttentionMetadata
 from vllm_triton_backend_tpu.ops.pallas.cache_ops import reshape_and_cache
 from vllm_triton_backend_tpu.ops.pallas.quant_linear import linear
 
-PARAM_SPECS_PP = LlamaParams(
-    embed=P(),
-    layers=LayerParams(
-        input_norm=P("stage"),
-        q_proj=P("stage"),
-        k_proj=P("stage"),
-        v_proj=P("stage"),
-        o_proj=P("stage"),
-        post_attn_norm=P("stage"),
-        gate_proj=P("stage"),
-        up_proj=P("stage"),
-        down_proj=P("stage"),
-    ),
-    final_norm=P(),
-    lm_head=P(),
-)
+def pp_param_specs(tp: bool = False) -> LlamaParams:
+    """Layer stacks shard over "stage"; with ``tp`` the projections also
+    shard over "model" (column for qkv/gate/up, row for o/down — the
+    sharded.py Megatron layout with a leading stacked-layer axis)."""
+    col = P("stage", None, "model") if tp else P("stage")
+    row = P("stage", "model", None) if tp else P("stage")
+    return LlamaParams(
+        embed=P(),
+        layers=LayerParams(
+            input_norm=P("stage"),
+            q_proj=col,
+            k_proj=col,
+            v_proj=col,
+            o_proj=row,
+            post_attn_norm=P("stage"),
+            gate_proj=col,
+            up_proj=col,
+            down_proj=row,
+        ),
+        final_norm=P(),
+        lm_head=P(None, "model") if tp else P(),
+    )
+
+
+PARAM_SPECS_PP = pp_param_specs()
 
 CACHE_SPEC_PP = P("stage")
+CACHE_SPEC_PP_TP = P("stage", None, None, "model")
 
 
-def make_pp_mesh(num_stages: int, devices=None) -> Mesh:
+def make_pp_mesh(num_stages: int, tp: int = 1, devices=None) -> Mesh:
     import numpy as np
 
     devices = devices if devices is not None else jax.devices()
+    if tp > 1:
+        return Mesh(
+            np.asarray(devices[: num_stages * tp]).reshape(
+                num_stages, tp
+            ),
+            axis_names=("stage", "model"),
+        )
     return Mesh(
         np.asarray(devices[:num_stages]), axis_names=("stage",)
     )
 
 
 def shard_params_pp(params: LlamaParams, mesh: Mesh) -> LlamaParams:
+    specs = pp_param_specs(tp="model" in mesh.axis_names)
     return jax.tree.map(
         lambda x, spec: jax.device_put(x, NamedSharding(mesh, spec)),
         params,
-        PARAM_SPECS_PP,
+        specs,
     )
 
 
 def _stage_forward(
     layers: LayerParams,  # stacked [L/S, ...] local slice
-    cfg: ModelConfig,
+    cfg: ModelConfig,  # per-shard head counts when tp_axis is set
     x: jax.Array,  # [Tm, h]
     positions: jax.Array,  # [Tm]
     kv_cache: jax.Array,  # [L/S, blocks, 2, Hkv, bs, hd] local slice
     meta: AttentionMetadata,
     extras: ForwardExtras,
+    tp_axis: str | None = None,
 ):
     dtype = jnp.dtype(cfg.dtype)
     hd = cfg.head_size
     inv_freq = _rope_inv_freq(cfg)
     t = x.shape[0]
     n_local = kv_cache.shape[0]
+
+    def reduce(y):
+        return jax.lax.psum(y, tp_axis) if tp_axis else y
 
     def layer_body(carry, xs):
         h_in, kv = carry
@@ -121,12 +147,12 @@ def _stage_forward(
             v_scale=extras.v_scale,
             local_chunk_size=cfg.attention_chunk_size or 0,
         )
-        h_mid = h_in + linear(attn.reshape(t, -1), lp.o_proj)
+        h_mid = h_in + reduce(linear(attn.reshape(t, -1), lp.o_proj))
         normed2 = rms_norm(h_mid, lp.post_attn_norm, cfg.rms_norm_eps)
         gate = jax.nn.silu(linear(normed2, lp.gate_proj).astype(jnp.float32))
-        mlp = linear(
+        mlp = reduce(linear(
             gate.astype(dtype) * linear(normed2, lp.up_proj), lp.down_proj
-        )
+        ))
         return (h_mid + mlp, kv), None
 
     (x, kv_cache), _ = jax.lax.scan(
@@ -153,6 +179,14 @@ def make_pp_forward(
     num_stages = mesh.shape["stage"]
     assert cfg.num_layers % num_stages == 0
     m = num_microbatches
+    tp = mesh.shape.get("model", 1)
+    tp_axis = "model" if tp > 1 else None
+    if tp > 1:
+        from vllm_triton_backend_tpu.parallel.sharded import (
+            local_model_config,
+        )
+
+        cfg = local_model_config(cfg, tp)
 
     def step(
         params, token_ids, positions, kv_cache,
@@ -193,7 +227,8 @@ def make_pp_forward(
                 num_seqs=jnp.int32(seq_lens.shape[1]),
             )
             y, kv2 = _stage_forward(
-                layers, cfg, x_in, positions[mb_c], kv, meta, extras
+                layers, cfg, x_in, positions[mb_c], kv, meta, extras,
+                tp_axis=tp_axis,
             )
             # inactive stages must not mutate their cache
             kv = jnp.where(active, kv2, kv)
@@ -221,19 +256,25 @@ def make_pp_forward(
         logits = linear(
             hid.reshape(m * tm, h), params.lm_head
         ).astype(jnp.float32)
+        if tp_axis:
+            # vocab-sharded lm_head: gather the full vocab axis
+            logits = jax.lax.all_gather(
+                logits, tp_axis, axis=1, tiled=True
+            )
         if cfg.logits_scaling != 1.0:
             logits = logits / cfg.logits_scaling
         return logits.reshape(m, tm, -1), kv
 
     batch_spec = P()
+    cache_spec = CACHE_SPEC_PP_TP if tp_axis else CACHE_SPEC_PP
     mapped = jax.shard_map(
         step,
         mesh=mesh,
         in_specs=(
-            PARAM_SPECS_PP, batch_spec, batch_spec, CACHE_SPEC_PP,
+            pp_param_specs(tp=tp > 1), batch_spec, batch_spec, cache_spec,
             batch_spec, batch_spec, batch_spec, batch_spec,
         ),
-        out_specs=(P(), CACHE_SPEC_PP),
+        out_specs=(P(), cache_spec),
         check_vma=False,
     )
     return jax.jit(mapped, donate_argnums=(3,))

@@ -201,8 +201,8 @@ class LLMEngine:
             assert not self.is_hybrid, "DP hybrid engine not supported yet"
             assert cc.num_blocks % self.dp == 0
         if self.pp > 1:
-            assert self.dp == 1 and self.tp == 1 and not self.is_hybrid, (
-                "pipeline parallel composes with dp/tp in a later phase"
+            assert self.dp == 1 and not self.is_hybrid, (
+                "pipeline parallel composes with dp in a later phase"
             )
             assert mc.num_layers % self.pp == 0
         self.cp = config.parallel.context_parallel
@@ -227,7 +227,7 @@ class LLMEngine:
         )
         # Tensor parallelism: shard weights/caches over the (dp, tp) mesh
         # and step through the shard_map forward (parallel/sharded.py).
-        if self.tp > 1 or self.dp > 1:
+        if (self.tp > 1 or self.dp > 1) and self.pp == 1:
             from vllm_triton_backend_tpu.parallel import (
                 make_mesh,
                 shard_caches,
@@ -260,10 +260,14 @@ class LLMEngine:
                 shard_params_pp,
             )
 
-            self.mesh = make_pp_mesh(self.pp)
+            self.mesh = make_pp_mesh(self.pp, tp=self.tp)
             self.params = params = shard_params_pp(params, self.mesh)
+            cache_spec = (
+                P("stage", None, None, "model") if self.tp > 1
+                else P("stage")
+            )
             self.kv_cache = jax.device_put(
-                self.kv_cache, NamedSharding(self.mesh, P("stage"))
+                self.kv_cache, NamedSharding(self.mesh, cache_spec)
             )
             self._pp_steps: dict = {}  # (extras, M) -> jitted pp forward
         elif self.cp > 1:
