@@ -70,17 +70,23 @@ def test_hybrid_engine_matches_naive():
     ]
     n_new = 6
 
-    engine = LLMEngine(cfg, params=params)
-    assert engine.is_hybrid and engine.multistep == 0
-    for p in prompts:
-        engine.add_request(p, SamplingParams(max_tokens=n_new))
-    results = {}
-    while engine.has_unfinished():
-        for out in engine.step():
-            results[out.req_id] = out.output_token_ids
-    # slots recycled
-    assert not engine._slot_of
+    def run(multistep):
+        engine = LLMEngine(cfg, params=params, multistep=multistep)
+        assert engine.is_hybrid and engine.multistep == multistep
+        for p in prompts:
+            engine.add_request(p, SamplingParams(max_tokens=n_new))
+        results = {}
+        while engine.has_unfinished():
+            for out in engine.step():
+                results[out.req_id] = out.output_token_ids
+        # slots recycled
+        assert not engine._slot_of
+        return results
 
-    for i, p in enumerate(prompts):
-        expect = naive_greedy(cfg.model, params, p, n_new)
-        assert results[f"req-{i}"] == expect, f"prompt {i} diverged"
+    for multistep in (0, 4):  # per-step loop AND fused decode sessions
+        results = run(multistep)
+        for i, p in enumerate(prompts):
+            expect = naive_greedy(cfg.model, params, p, n_new)
+            assert results[f"req-{i}"] == expect, (
+                f"prompt {i} diverged (multistep={multistep})"
+            )

@@ -133,7 +133,7 @@ class LLMEngine:
         self.config = config
         mc, cc = config.model, config.cache
         # Hybrid/SSM models: per-layer state pools + no prefix caching
-        # (SSM state is not content-addressable) + no fused multistep yet.
+        # (SSM state is not content-addressable).
         self.is_hybrid = (
             mc.architecture in ("mamba", "hybrid")
             or mc.layers_block_type is not None
@@ -145,7 +145,6 @@ class LLMEngine:
             self._hybrid = hybrid
             if params is None:
                 params = hybrid.init_params(mc, jax.random.key(config.seed))
-            multistep = 0
             import dataclasses as _dc
 
             sched_config = _dc.replace(
@@ -384,6 +383,8 @@ class LLMEngine:
         sched = self.scheduler
         if self.multistep <= 1 or sched.waiting or not sched.running:
             return False
+        if self.is_hybrid and self.tp > 1:
+            return False  # TP hybrid sessions: later phase
         if len(sched.running) > sched.config.max_num_seqs:
             return False
         for r in sched.running:
@@ -455,13 +456,35 @@ class LLMEngine:
                 finished.append(r)
                 sched.running.remove(r)
                 sched.allocator.free(r.req_id)
+                if self.is_hybrid:
+                    slot = self._slot_of.pop(r.req_id, None)
+                    if slot is not None:
+                        self._free_slots.append(slot)
         return finished
 
     def _launch_decode_chunk(
         self, tokens_d, lens_d, tbl_d, live_d, maxlen_d,
         temp_d, topp_d, topk_d, key_d, extras, k, bs, greedy_only,
+        sidx_d=None,
     ):
-        """One fused K-step chunk: single-chip or TP-sharded."""
+        """One fused K-step chunk: single-chip, TP-sharded, or hybrid
+        (SSM state pools in the scan carry)."""
+        if self.is_hybrid:
+            from vllm_triton_backend_tpu.runtime.multistep import (
+                hybrid_decode_steps,
+            )
+
+            (
+                sampled, toks, lens, key, kv,
+                self.conv_state, self.ssm_state,
+            ) = hybrid_decode_steps(
+                self.params, self.config.model,
+                tokens_d, lens_d, tbl_d, live_d, maxlen_d,
+                self.kv_cache, self.conv_state, self.ssm_state, sidx_d,
+                temp_d, topp_d, topk_d,
+                key_d, extras, k, bs, greedy_only,
+            )
+            return sampled, toks, lens, key, kv
         if self.tp > 1:
             from vllm_triton_backend_tpu.parallel import (
                 make_sharded_decode_steps,
@@ -565,6 +588,14 @@ class LLMEngine:
             pages = sched.allocator.block_table(r.req_id)
             tbl[i, : len(pages)] = pages
         tbl_d = jnp.asarray(tbl)
+        sidx_d = None
+        if self.is_hybrid:
+            # per-seq SSM state slots (assigned at prefill; a running
+            # request always has one)
+            sidx = np.full(s_pad, -1, np.int32)
+            for i, r in enumerate(reqs):
+                sidx[i] = self._slot_of[r.req_id]
+            sidx_d = jnp.asarray(sidx)
 
         finished_all: list[Request] = []
         tokens_d, lens_d, live_d, temp_d, topp_d, topk_d = (
@@ -598,7 +629,7 @@ class LLMEngine:
                 ) = self._launch_decode_chunk(
                     tokens_d, lens_d, tbl_d, live_d, maxlen_d,
                     temp_d, topp_d, topk_d, key_d, extras, k, bs,
-                    greedy_only,
+                    greedy_only, sidx_d,
                 )
                 inflight += k
                 launched_total += k

@@ -161,3 +161,90 @@ def decode_steps(
         length=num_steps,
     )
     return sampled, tokens, seq_lens, rng_key, kv_cache
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "cfg", "extras", "num_steps", "block_size", "greedy_only",
+    ),
+    donate_argnames=("kv_cache", "conv_state", "ssm_state"),
+)
+def hybrid_decode_steps(
+    params,
+    cfg: ModelConfig,
+    tokens: jax.Array,  # [S] int32 current last token per seq
+    seq_lens: jax.Array,  # [S] int32 length INCLUDING current token
+    block_table: jax.Array,  # [S, max_blocks] int32
+    live: jax.Array,  # [S] bool
+    max_lens: jax.Array,  # [S] int32
+    kv_cache: jax.Array,
+    conv_state: jax.Array,  # [Lm, slots, di, k-1]
+    ssm_state: jax.Array,  # [Lm, slots, di, ds]
+    state_indices: jax.Array,  # [S] int32 per-seq SSM slot (-1 = dead)
+    temperature: jax.Array,
+    top_p: jax.Array,
+    top_k: jax.Array,
+    rng_key: jax.Array,
+    extras: ForwardExtras,
+    num_steps: int,
+    block_size: int,
+    greedy_only: bool = False,
+):
+    """Fused K-step decode for hybrid (attention + Mamba) models —
+    :func:`decode_steps` with the SSM state pools in the scan carry.
+
+    Frozen rows (length at ``max_lens``) redirect BOTH their KV slot
+    (``-1`` -> trash page) and their SSM state slot (``-1`` -> reserved
+    dead slot 0) so neither pool advances.  Returns
+    (sampled [K, S], next_tokens, final_seq_lens, next_key, kv_cache,
+    conv_state, ssm_state).
+    """
+    from vllm_triton_backend_tpu.models import hybrid
+
+    num_seqs = tokens.shape[0]
+    qsl = jnp.arange(num_seqs + 1, dtype=jnp.int32)
+
+    def body(carry, _):
+        toks, lens, kv, conv, ssm, key = carry
+        key, sub = jax.random.split(key)
+        still = jnp.logical_and(live, lens < max_lens)
+        pos = lens - 1
+        page = jnp.take_along_axis(
+            block_table, (pos // block_size)[:, None], axis=1
+        )[:, 0]
+        slots = jnp.where(
+            still, page * block_size + pos % block_size, -1
+        ).astype(jnp.int32)
+        sidx = jnp.where(still, state_indices, -1).astype(jnp.int32)
+        meta = AttentionMetadata(
+            query_start_loc=qsl,
+            seq_lens=lens,
+            block_table=block_table,
+            slot_mapping=slots,
+            num_seqs=jnp.int32(num_seqs),
+        )
+        logits, kv, conv, ssm = hybrid.forward_fn(
+            params, cfg, toks, pos, kv, conv, ssm, sidx, meta, extras
+        )
+        nxt = sample(
+            logits, temperature, top_p, top_k, sub,
+            greedy_only=greedy_only,
+        )
+        nxt = jnp.where(still, nxt, toks)
+        lens = jnp.where(still, lens + 1, lens)
+        return (nxt, lens, kv, conv, ssm, key), nxt
+
+    (
+        (tokens, seq_lens, kv_cache, conv_state, ssm_state, rng_key),
+        sampled,
+    ) = jax.lax.scan(
+        body,
+        (tokens, seq_lens, kv_cache, conv_state, ssm_state, rng_key),
+        None,
+        length=num_steps,
+    )
+    return (
+        sampled, tokens, seq_lens, rng_key,
+        kv_cache, conv_state, ssm_state,
+    )
