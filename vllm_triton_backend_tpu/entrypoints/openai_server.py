@@ -21,6 +21,7 @@ import argparse
 import asyncio
 import itertools
 import json
+import logging
 import queue
 import threading
 import time
@@ -48,6 +49,7 @@ class EngineWorker:
             "requests_total": 0,
             "tokens_generated_total": 0,
             "steps_total": 0,
+            "recoveries_total": 0,
         }
         self._stop = threading.Event()
         self._thread = threading.Thread(target=self._loop, daemon=True)
@@ -85,7 +87,21 @@ class EngineWorker:
                 if not admitted:
                     time.sleep(0.005)
                 continue
-            finished = self.engine.step()
+            try:
+                finished = self.engine.step()
+            except Exception:  # noqa: BLE001 — device faults surface as
+                # runtime errors of many types; recovery requeues all
+                # in-flight work for recompute (SURVEY §5.3)
+                logging.getLogger(__name__).exception(
+                    "engine step failed; recovering"
+                )
+                requeued = self.engine.recover()
+                self.metrics["recoveries_total"] += 1
+                logging.getLogger(__name__).warning(
+                    "recovered: %d request(s) requeued for recompute",
+                    requeued,
+                )
+                continue
             self.metrics["steps_total"] += 1
             # incremental deltas for streaming consumers
             for req_id, q in list(self.streams.items()):

@@ -154,12 +154,9 @@ class LLMEngine:
             # state_indices == -1 to slot 0, and padded batch rows scatter
             # (stale) values there — a real request in slot 0 would race
             # with those duplicate-index writes.
-            n_slots = 2 * sched_config.max_num_seqs + 3
-            self.conv_state, self.ssm_state = hybrid.make_state_pools(
-                mc, n_slots
-            )
+            self._n_state_slots = 2 * sched_config.max_num_seqs + 3
             self._slot_of: dict[str, int] = {}
-            self._free_slots = list(range(1, n_slots))
+            self._free_slots = list(range(1, self._n_state_slots))
         elif params is None:
             params = llama.init_params(mc, jax.random.key(config.seed))
         self.params = params
@@ -185,10 +182,7 @@ class LLMEngine:
             cc = _dc.replace(cc, num_blocks=n)
             config = _dc.replace(config, cache=cc)
             self.config = config
-        make_caches = (
-            self._hybrid.make_kv_caches if self.is_hybrid
-            else llama.make_kv_caches
-        )
+        self._cache_dtype = cache_dtype
         # Data parallelism: dp replica schedulers, each owning its own
         # page pool over a contiguous slice of the cache's blocks axis
         # (VERDICT r1 item 5: DP is a replica scheduler over the data
@@ -214,22 +208,11 @@ class LLMEngine:
             self.cp_chunk_len = sched_config.max_model_len // self.cp
             assert self.cp_chunk_len * self.cp == sched_config.max_model_len
             assert self.cp_chunk_len % cc.block_size == 0
-        # dp and cp both shard the blocks axis contiguously: each shard's
-        # chunk = its local page pool + its own trash page
-        block_shards = max(self.dp, self.cp)
-        self.kv_cache = make_caches(
-            mc, cc.num_blocks, cc.block_size, cache_dtype,
-            **(
-                {"data_shards": block_shards}
-                if not self.is_hybrid else {}
-            ),
-        )
         # Tensor parallelism: shard weights/caches over the (dp, tp) mesh
         # and step through the shard_map forward (parallel/sharded.py).
         if (self.tp > 1 or self.dp > 1) and self.pp == 1:
             from vllm_triton_backend_tpu.parallel import (
                 make_mesh,
-                shard_caches,
                 shard_params,
             )
 
@@ -237,23 +220,16 @@ class LLMEngine:
             if self.is_hybrid:
                 from vllm_triton_backend_tpu.parallel.sharded import (
                     shard_hybrid_params,
-                    shard_state_pools,
                 )
 
                 self.params = params = shard_hybrid_params(
                     params, self.mesh, mc
                 )
-                self.conv_state, self.ssm_state = shard_state_pools(
-                    self.conv_state, self.ssm_state, self.mesh
-                )
             else:
                 self.params = params = shard_params(params, self.mesh)
-            self.kv_cache = shard_caches(self.kv_cache, self.mesh)
             self._tp_steps: dict = {}  # extras -> jitted sharded step
             self._tp_decode_steps: dict = {}  # (extras, k) -> jitted
         elif self.pp > 1:
-            from jax.sharding import NamedSharding, PartitionSpec as P
-
             from vllm_triton_backend_tpu.parallel.pipeline import (
                 make_pp_mesh,
                 shard_params_pp,
@@ -261,27 +237,15 @@ class LLMEngine:
 
             self.mesh = make_pp_mesh(self.pp, tp=self.tp)
             self.params = params = shard_params_pp(params, self.mesh)
-            cache_spec = (
-                P("stage", None, None, "model") if self.tp > 1
-                else P("stage")
-            )
-            self.kv_cache = jax.device_put(
-                self.kv_cache, NamedSharding(self.mesh, cache_spec)
-            )
             self._pp_steps: dict = {}  # (extras, M) -> jitted pp forward
         elif self.cp > 1:
-            from jax.sharding import NamedSharding, PartitionSpec as P
-
             from vllm_triton_backend_tpu.parallel.context import (
                 make_cp_mesh,
             )
 
             self.mesh = make_cp_mesh(self.cp)
-            self.kv_cache = jax.device_put(
-                self.kv_cache,
-                NamedSharding(self.mesh, P(None, "seq")),
-            )
             self._cp_steps: dict = {}  # extras -> jitted cp forward
+        self._build_caches()
         # one scheduler per data replica, each over its local block slice
         local_cc = cc
         if self.dp > 1:
@@ -323,6 +287,97 @@ class LLMEngine:
             self.k_scale = self.v_scale = 1.0 / 16.0
         else:
             self.k_scale = self.v_scale = 1.0
+
+    # ---------------- device state / failure recovery ----------------
+
+    def _build_caches(self) -> None:
+        """(Re)create the device-side KV cache — and, for hybrid models,
+        the conv/SSM state pools — and apply the engine's sharding mode.
+
+        Called once from ``__init__`` and again by :meth:`recover`: after
+        a device fault the old buffers may be corrupt, donated-away, or
+        gone entirely (runtime restart), so recovery rebuilds them from
+        scratch rather than trying to salvage contents.
+        """
+        mc, cc = self.config.model, self.config.cache
+        make_caches = (
+            self._hybrid.make_kv_caches if self.is_hybrid
+            else llama.make_kv_caches
+        )
+        # dp and cp both shard the blocks axis contiguously: each shard's
+        # chunk = its local page pool + its own trash page
+        block_shards = max(self.dp, self.cp)
+        kv = make_caches(
+            mc, cc.num_blocks, cc.block_size, self._cache_dtype,
+            **(
+                {"data_shards": block_shards}
+                if not self.is_hybrid else {}
+            ),
+        )
+        if self.is_hybrid:
+            conv, ssm = self._hybrid.make_state_pools(
+                mc, self._n_state_slots
+            )
+            if self.tp > 1 or self.dp > 1:
+                from vllm_triton_backend_tpu.parallel.sharded import (
+                    shard_state_pools,
+                )
+
+                conv, ssm = shard_state_pools(conv, ssm, self.mesh)
+            self.conv_state, self.ssm_state = conv, ssm
+        if (self.tp > 1 or self.dp > 1) and self.pp == 1:
+            from vllm_triton_backend_tpu.parallel import shard_caches
+
+            kv = shard_caches(kv, self.mesh)
+        elif self.pp > 1:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            cache_spec = (
+                P("stage", None, None, "model") if self.tp > 1
+                else P("stage")
+            )
+            kv = jax.device_put(kv, NamedSharding(self.mesh, cache_spec))
+        elif self.cp > 1:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            kv = jax.device_put(
+                kv, NamedSharding(self.mesh, P(None, "seq"))
+            )
+        self.kv_cache = kv
+
+    def recover(self) -> int:
+        """Failure recovery (SURVEY §5.3 — the reference leaves this to
+        vLLM; native here): call after :meth:`step` raises.
+
+        Drops ALL device-side sequence state (KV pages, prefix cache,
+        hybrid SSM slots) and requeues every in-flight request for full
+        recompute — requests keep their already-generated tokens and
+        re-prefill prompt+generated on re-admission, so callers observe
+        a latency blip, not lost output.  Returns the number of requests
+        requeued.  The serving layer (`entrypoints.openai_server`) calls
+        this automatically and counts it in ``/metrics``.
+        """
+        n = 0
+        if self.cp > 1:
+            from vllm_triton_backend_tpu.runtime.block_allocator import (
+                CPBlockAllocator,
+            )
+
+            cc = self.config.cache
+            n += self.schedulers[0].reset_for_recovery(
+                CPBlockAllocator(
+                    self.cp, cc.num_blocks // self.cp, cc.block_size,
+                    self.cp_chunk_len,
+                )
+            )
+        else:
+            for sched in self.schedulers:
+                n += sched.reset_for_recovery()
+        if self.is_hybrid:
+            self._slot_of.clear()
+            self._free_slots = list(range(1, self._n_state_slots))
+        self._build_caches()
+        return n
 
     # ---------------- request API ----------------
 

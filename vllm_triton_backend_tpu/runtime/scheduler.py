@@ -129,6 +129,37 @@ class Scheduler:
     def has_unfinished(self) -> bool:
         return bool(self.waiting or self.running)
 
+    def reset_for_recovery(self, allocator: BlockAllocator | None = None):
+        """Failure recovery (SURVEY §5.3): requeue every running request
+        for full recompute and replace the page pool with a fresh one.
+
+        After a device fault the page contents (and the prefix-cache
+        hashes pointing at them) are suspect, so the whole allocator is
+        rebuilt rather than freed page-by-page.  Requeued requests keep
+        their generated tokens — re-admission re-prefills prompt +
+        generated via ``all_token_ids`` (the recompute-preemption path).
+        Returns the number of requests requeued.
+        """
+        n = 0
+        for req in reversed(self.running):
+            req.num_computed_tokens = 0
+            req.status = RequestStatus.WAITING
+            self.waiting.insert(0, req)
+            n += 1
+        self.running.clear()
+        if allocator is None:
+            from vllm_triton_backend_tpu.runtime.native_pool import (
+                make_block_allocator,
+            )
+
+            allocator = make_block_allocator(
+                self.cache_config.num_blocks,
+                self.block_size,
+                self.config.enable_prefix_caching,
+            )
+        self.allocator = allocator
+        return n
+
     # ---------------- scheduling ----------------
 
     def _bucket_tokens(self, n: int) -> int:
