@@ -51,8 +51,8 @@ def test_hybrid_tp_engine_matches_single_chip():
     ]
     n_new = 6
 
-    def run(cfg):
-        engine = LLMEngine(cfg, params=params)
+    def run(cfg, multistep):
+        engine = LLMEngine(cfg, params=params, multistep=multistep)
         for p in prompts:
             engine.add_request(p, SamplingParams(max_tokens=n_new))
         out = {}
@@ -61,9 +61,11 @@ def test_hybrid_tp_engine_matches_single_chip():
                 out[o.req_id] = o.output_token_ids
         return out
 
-    single = run(base)
-    tp = run(base.replace(parallel=ParallelConfig(tensor_parallel=2)))
-    assert single == tp
+    single = run(base, multistep=0)
+    tp_cfg = base.replace(parallel=ParallelConfig(tensor_parallel=2))
+    # per-step TP AND fused TP decode sessions (sharded hybrid scan)
+    assert run(tp_cfg, multistep=0) == single
+    assert run(tp_cfg, multistep=4) == single
 
 
 def test_hybrid_tp4_pure_mamba():

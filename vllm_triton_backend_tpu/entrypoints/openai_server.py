@@ -103,9 +103,11 @@ class EngineWorker:
                 )
                 continue
             self.metrics["steps_total"] += 1
-            # incremental deltas for streaming consumers
+            # incremental deltas for streaming consumers (all_requests:
+            # requests may live on any data-parallel replica scheduler)
+            all_reqs = self.engine.all_requests()
             for req_id, q in list(self.streams.items()):
-                req = self.engine.scheduler.requests.get(req_id)
+                req = all_reqs.get(req_id)
                 if req is None:
                     continue
                 prev = self._prev_lens.get(req_id, 0)

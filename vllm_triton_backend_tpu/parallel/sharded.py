@@ -426,3 +426,106 @@ def make_sharded_hybrid_forward(
         check_vma=False,
     )
     return jax.jit(mapped, donate_argnums=(3, 4, 5))
+
+
+def make_sharded_hybrid_decode_steps(
+    cfg: ModelConfig,
+    mesh: Mesh,
+    extras: ForwardExtras,
+    num_steps: int,
+    block_size: int,
+    greedy_only: bool = False,
+):
+    """TP-sharded fused multi-step decode for hybrid models — the
+    :func:`make_sharded_decode_steps` analog with the conv/SSM state
+    pools riding the scan carry (runtime/multistep.hybrid_decode_steps
+    is the single-chip twin).
+
+    Returns ``step(params, tokens[D,S], seq_lens[D,S], block_table
+    [D,S,B], live[D,S], max_lens[D,S], kv_cache, conv_state, ssm_state,
+    state_indices[D,S], temp[D,S], top_p, top_k, key) -> (sampled
+    [D,K,S], next_tokens, final_lens, next_key, kv_cache, conv_state,
+    ssm_state)``.
+    """
+    import jax.numpy as jnp
+
+    from vllm_triton_backend_tpu.models import hybrid
+    from vllm_triton_backend_tpu.runtime.sampler import sample
+
+    tp = mesh.shape["model"]
+    lcfg = local_hybrid_config(cfg, tp)
+    specs = hybrid_param_specs(cfg)
+
+    def step(
+        params, tokens, seq_lens, block_table, live, max_lens,
+        kv_cache, conv_state, ssm_state, state_indices,
+        temperature, top_p, top_k, rng_key,
+    ):
+        toks0, lens0, tbl = tokens[0], seq_lens[0], block_table[0]
+        lv, ml, temp, tp_, tk, sidx0 = (
+            live[0], max_lens[0], temperature[0], top_p[0], top_k[0],
+            state_indices[0],
+        )
+        num_seqs = toks0.shape[0]
+        qsl = jnp.arange(num_seqs + 1, dtype=jnp.int32)
+
+        def body(carry, _):
+            toks, lens, kv, conv, ssm, key = carry
+            key, sub = jax.random.split(key)
+            still = jnp.logical_and(lv, lens < ml)
+            pos = lens - 1
+            page = jnp.take_along_axis(
+                tbl, (pos // block_size)[:, None], axis=1
+            )[:, 0]
+            slots = jnp.where(
+                still, page * block_size + pos % block_size, -1
+            ).astype(jnp.int32)
+            sidx = jnp.where(still, sidx0, -1).astype(jnp.int32)
+            meta = AttentionMetadata(
+                query_start_loc=qsl,
+                seq_lens=lens,
+                block_table=tbl,
+                slot_mapping=slots,
+                num_seqs=jnp.int32(num_seqs),
+            )
+            logits, kv, conv, ssm = hybrid.forward_fn(
+                params, lcfg, toks, pos, kv, conv, ssm, sidx, meta,
+                extras, tp_axis="model",
+            )
+            nxt = sample(
+                logits, temp, tp_, tk, sub, greedy_only=greedy_only
+            )
+            nxt = jnp.where(still, nxt, toks)
+            lens = jnp.where(still, lens + 1, lens)
+            return (nxt, lens, kv, conv, ssm, key), nxt
+
+        (
+            (toks0, lens0, kv_cache, conv_state, ssm_state, rng_key),
+            sampled,
+        ) = jax.lax.scan(
+            body,
+            (toks0, lens0, kv_cache, conv_state, ssm_state, rng_key),
+            None,
+            length=num_steps,
+        )
+        return (
+            sampled[None], toks0[None], lens0[None], rng_key,
+            kv_cache, conv_state, ssm_state,
+        )
+
+    b = P("data")
+    mapped = jax.shard_map(
+        step,
+        mesh=mesh,
+        in_specs=(
+            specs, b, b, b, b, b,
+            CACHE_SPEC, STATE_POOL_SPEC, STATE_POOL_SPEC,
+            b, b, b, b, P(),
+        ),
+        out_specs=(
+            b, b, b, P(),
+            CACHE_SPEC, STATE_POOL_SPEC, STATE_POOL_SPEC,
+        ),
+        check_vma=False,
+    )
+    return jax.jit(mapped, donate_argnums=(6, 7, 8))

@@ -438,8 +438,6 @@ class LLMEngine:
         sched = self.scheduler
         if self.multistep <= 1 or sched.waiting or not sched.running:
             return False
-        if self.is_hybrid and self.tp > 1:
-            return False  # TP hybrid sessions: later phase
         if len(sched.running) > sched.config.max_num_seqs:
             return False
         for r in sched.running:
@@ -524,6 +522,29 @@ class LLMEngine:
     ):
         """One fused K-step chunk: single-chip, TP-sharded, or hybrid
         (SSM state pools in the scan carry)."""
+        if self.is_hybrid and self.tp > 1:
+            from vllm_triton_backend_tpu.parallel.sharded import (
+                make_sharded_hybrid_decode_steps,
+            )
+
+            step_fn = self._tp_decode_steps.get((extras, k, greedy_only))
+            if step_fn is None:
+                step_fn = make_sharded_hybrid_decode_steps(
+                    self.config.model, self.mesh, extras, k, bs,
+                    greedy_only=greedy_only,
+                )
+                self._tp_decode_steps[(extras, k, greedy_only)] = step_fn
+            (
+                sampled, toks, lens, key, kv,
+                self.conv_state, self.ssm_state,
+            ) = step_fn(
+                self.params, tokens_d[None], lens_d[None], tbl_d[None],
+                live_d[None], maxlen_d[None],
+                self.kv_cache, self.conv_state, self.ssm_state,
+                sidx_d[None], temp_d[None], topp_d[None], topk_d[None],
+                key_d,
+            )
+            return sampled[0], toks[0], lens[0], key, kv
         if self.is_hybrid:
             from vllm_triton_backend_tpu.runtime.multistep import (
                 hybrid_decode_steps,
