@@ -82,9 +82,12 @@ def main():
     lens_d = jnp.asarray(lens)
     bt_d = jnp.asarray(bt)
     live = jnp.ones(S, bool)
-    temp = jnp.zeros(S, jnp.float32)
-    topp = jnp.ones(S, jnp.float32)
-    topk = jnp.zeros(S, jnp.int32)
+    from vllm_triton_backend_tpu.runtime.sampler import SamplingTensors
+
+    st = SamplingTensors(
+        jnp.zeros(S, jnp.float32), jnp.ones(S, jnp.float32),
+        jnp.zeros(S, jnp.int32), jnp.zeros(S, jnp.float32),
+    )
     key = jax.random.key(0)
 
     # ---- full fused chunk (K=32) ---------------------------------------
@@ -95,10 +98,10 @@ def main():
     def run_chunks(kv, n):
         k = key
         for _ in range(n):
-            sampled, _toks, _lens, k, kv = decode_steps(
+            sampled, _lp, _toks, _lens, k, kv = decode_steps(
                 params, cfg, tokens, lens_d, bt_d, live,
                 jnp.full_like(lens_d, 1 << 30), kv,
-                temp, topp, topk, k, extras, K, block_size,
+                st, k, extras, K, block_size,
             )
         return sampled, kv
 

@@ -109,16 +109,19 @@ def main() -> None:
     lens_d = jnp.asarray(np.full(S, args.ctx, np.int32))
     bt_d = jnp.asarray(bt)
     live = jnp.ones(S, bool)
-    temp = jnp.zeros(S, jnp.float32)
-    topp = jnp.ones(S, jnp.float32)
-    topk = jnp.zeros(S, jnp.int32)
+    from vllm_triton_backend_tpu.runtime.sampler import SamplingTensors
+
+    st = SamplingTensors(
+        jnp.zeros(S, jnp.float32), jnp.ones(S, jnp.float32),
+        jnp.zeros(S, jnp.int32), jnp.zeros(S, jnp.float32),
+    )
     key = jax.random.key(0)
 
     def chunk(kv):
-        sampled, _t, _l, _k, kv = decode_steps(
+        sampled, _lp, _t, _l, _k, kv = decode_steps(
             params, cfg, tokens, lens_d, bt_d, live,
             jnp.full_like(lens_d, 1 << 30), kv,
-            temp, topp, topk, key, extras, K, bs)
+            st, key, extras, K, bs)
         return sampled, kv
 
     out, kv_cache = chunk(kv_cache)  # compile

@@ -54,6 +54,7 @@ class EngineWorker:
         self._stop = threading.Event()
         self._thread = threading.Thread(target=self._loop, daemon=True)
         self._prev_lens: dict[str, int] = {}
+        self._sampling: dict[str, SamplingParams] = {}
 
     def start(self):
         self._thread.start()
@@ -68,6 +69,7 @@ class EngineWorker:
         req_id = f"cmpl-{uuid.uuid4().hex[:24]}"
         out_q: queue.Queue = queue.Queue()
         self.streams[req_id] = out_q
+        self._sampling[req_id] = sampling
         self.new_requests.put((req_id, prompt_ids, sampling))
         self.metrics["requests_total"] += 1
         return req_id, out_q
@@ -116,11 +118,51 @@ class EngineWorker:
                     q.put(("delta", req.output_token_ids[prev:cur]))
                     self.metrics["tokens_generated_total"] += cur - prev
                     self._prev_lens[req_id] = cur
+                out = self._check_stop_strings(req)
+                if out is not None:
+                    finished = [
+                        f for f in finished if f.req_id != req_id
+                    ]
+                    finished.append(out)
             for out in finished:
                 q = self.streams.pop(out.req_id, None)
                 self._prev_lens.pop(out.req_id, None)
+                self._sampling.pop(out.req_id, None)
                 if q is not None:
                     q.put(("done", out))
+
+    def _check_stop_strings(self, req):
+        """Detokenized stop-sequence scan (vLLM's ``stop`` parameter).
+        Needs a tokenizer; on a hit the request is aborted and the final
+        text is truncated at the stop string.  Streaming consumers may
+        have already received a few characters past the stop — the final
+        non-streamed ``text`` is exact."""
+        sp = self._sampling.get(req.req_id)
+        if (
+            sp is None or not sp.stop or self.tokenizer is None
+            or not req.output_token_ids
+        ):
+            return None
+        text = _decode(self.tokenizer, req.output_token_ids)
+        cut = min(
+            (i for i in (text.find(s) for s in sp.stop) if i >= 0),
+            default=-1,
+        )
+        if cut < 0:
+            return None
+        from vllm_triton_backend_tpu.runtime.engine import RequestOutput
+
+        self.engine.abort_request(req.req_id)
+        return RequestOutput(
+            req_id=req.req_id,
+            prompt_token_ids=req.prompt_token_ids,
+            output_token_ids=list(req.output_token_ids),
+            finish_reason="stop",
+            text=text[:cut],
+            logprobs=(
+                list(req.output_logprobs) if sp.logprobs else None
+            ),
+        )
 
 
 def _decode(tokenizer, ids: list[int]) -> str:
@@ -151,11 +193,23 @@ def build_app(worker: EngineWorker, model_name: str = "vtb-model"):
     app = web.Application()
 
     def sampling_from(body: dict) -> SamplingParams:
+        stop = body.get("stop") or ()
+        if isinstance(stop, str):
+            stop = (stop,)
         return SamplingParams(
             temperature=float(body.get("temperature", 0.0)),
             top_p=float(body.get("top_p", 1.0)),
             top_k=int(body.get("top_k", 0)),
+            min_p=float(body.get("min_p", 0.0)),
+            repetition_penalty=float(
+                body.get("repetition_penalty", 1.0)
+            ),
+            presence_penalty=float(body.get("presence_penalty", 0.0)),
+            frequency_penalty=float(body.get("frequency_penalty", 0.0)),
             max_tokens=int(body.get("max_tokens", 128)),
+            stop=tuple(str(s) for s in stop),
+            stop_token_ids=tuple(body.get("stop_token_ids", ())),
+            logprobs=bool(body.get("logprobs", False)),
         )
 
     async def wait_result(out_q: queue.Queue, stream_cb=None):
@@ -219,21 +273,29 @@ def build_app(worker: EngineWorker, model_name: str = "vtb-model"):
             return resp
 
         out = await wait_result(out_q)
+        choice = {
+            "index": 0,
+            "text": (
+                out.text if out.text is not None
+                else _decode(worker.tokenizer, out.output_token_ids)
+            ),
+            "finish_reason": out.finish_reason,
+        }
+        if sp.logprobs and out.logprobs is not None:
+            choice["logprobs"] = {
+                "token_logprobs": out.logprobs,
+                "tokens": [
+                    _decode(worker.tokenizer, [t])
+                    for t in out.output_token_ids
+                ],
+            }
         return web.json_response(
             {
                 "id": req_id,
                 "object": "text_completion",
                 "created": created,
                 "model": model_name,
-                "choices": [
-                    {
-                        "index": 0,
-                        "text": _decode(
-                            worker.tokenizer, out.output_token_ids
-                        ),
-                        "finish_reason": out.finish_reason,
-                    }
-                ],
+                "choices": [choice],
                 "usage": {
                     "prompt_tokens": len(ids),
                     "completion_tokens": len(out.output_token_ids),

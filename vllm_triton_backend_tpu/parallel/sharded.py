@@ -184,6 +184,7 @@ def make_sharded_decode_steps(
     block_size: int,
     greedy_only: bool = False,
     tp_overlap: bool = False,
+    with_logprob: bool = False,
 ):
     """TP/DP-sharded fused multi-step decode (runtime/multistep.py analog).
 
@@ -192,8 +193,9 @@ def make_sharded_decode_steps(
     shard from replicated logits and the shared RNG key, so the sampled
     tokens are replicated without extra communication.  Returns
     ``step(params, tokens[D,S], seq_lens[D,S], block_table[D,S,B],
-    live[D,S], max_lens[D,S], kv_cache, temp[D,S], top_p, top_k, key)
-    -> (sampled [D,K,S], next_tokens, final_lens, next_key, kv_cache)``.
+    live[D,S], max_lens[D,S], kv_cache, st (SamplingTensors [D,S]), key)
+    -> (sampled [D,K,S], logprobs [D,K,S] | None, next_tokens,
+    final_lens, next_key, kv_cache)``.
     """
     import jax.numpy as jnp
 
@@ -202,14 +204,15 @@ def make_sharded_decode_steps(
     tp = mesh.shape["model"]
     lcfg = local_model_config(cfg, tp)
 
+    from vllm_triton_backend_tpu.runtime.sampler import SamplingTensors
+
     def step(
         params, tokens, seq_lens, block_table, live, max_lens,
-        kv_cache, temperature, top_p, top_k, rng_key,
+        kv_cache, st, rng_key,
     ):
         toks0, lens0, tbl = tokens[0], seq_lens[0], block_table[0]
-        lv, ml, temp, tp_, tk = (
-            live[0], max_lens[0], temperature[0], top_p[0], top_k[0]
-        )
+        lv, ml = live[0], max_lens[0]
+        st0 = SamplingTensors(*(a[0] for a in st))
         num_seqs = toks0.shape[0]
         qsl = jnp.arange(num_seqs + 1, dtype=jnp.int32)
 
@@ -235,19 +238,23 @@ def make_sharded_decode_steps(
                 params, lcfg, toks, pos, kv, meta, extras,
                 tp_axis="model", tp_overlap=tp_overlap,
             )
-            nxt = sample(
-                logits, temp, tp_, tk, sub, greedy_only=greedy_only
+            res = sample(
+                logits, st0, sub,
+                greedy_only=greedy_only, with_logprob=with_logprob,
             )
+            nxt, lp = res if with_logprob else (res, jnp.float32(0))
             nxt = jnp.where(still, nxt, toks)
             lens = jnp.where(still, lens + 1, lens)
-            return (nxt, lens, kv, key), nxt
+            return (nxt, lens, kv, key), (nxt, lp)
 
-        (toks0, lens0, kv_cache, rng_key), sampled = jax.lax.scan(
+        (toks0, lens0, kv_cache, rng_key), (sampled, lps) = jax.lax.scan(
             body, (toks0, lens0, kv_cache, rng_key), None,
             length=num_steps,
         )
         return (
-            sampled[None], toks0[None], lens0[None], rng_key, kv_cache,
+            sampled[None],
+            lps[None] if with_logprob else None,
+            toks0[None], lens0[None], rng_key, kv_cache,
         )
 
     b = P("data")
@@ -255,9 +262,9 @@ def make_sharded_decode_steps(
         step,
         mesh=mesh,
         in_specs=(
-            PARAM_SPECS, b, b, b, b, b, CACHE_SPEC, b, b, b, P(),
+            PARAM_SPECS, b, b, b, b, b, CACHE_SPEC, b, P(),
         ),
-        out_specs=(b, b, b, P(), CACHE_SPEC),
+        out_specs=(b, b if with_logprob else None, b, b, P(), CACHE_SPEC),
         check_vma=False,
     )
     return jax.jit(mapped, donate_argnums=(6,))
@@ -435,6 +442,7 @@ def make_sharded_hybrid_decode_steps(
     num_steps: int,
     block_size: int,
     greedy_only: bool = False,
+    with_logprob: bool = False,
 ):
     """TP-sharded fused multi-step decode for hybrid models — the
     :func:`make_sharded_decode_steps` analog with the conv/SSM state
@@ -443,14 +451,17 @@ def make_sharded_hybrid_decode_steps(
 
     Returns ``step(params, tokens[D,S], seq_lens[D,S], block_table
     [D,S,B], live[D,S], max_lens[D,S], kv_cache, conv_state, ssm_state,
-    state_indices[D,S], temp[D,S], top_p, top_k, key) -> (sampled
-    [D,K,S], next_tokens, final_lens, next_key, kv_cache, conv_state,
-    ssm_state)``.
+    state_indices[D,S], st (SamplingTensors [D,S]), key) -> (sampled
+    [D,K,S], logprobs [D,K,S] | None, next_tokens, final_lens, next_key,
+    kv_cache, conv_state, ssm_state)``.
     """
     import jax.numpy as jnp
 
     from vllm_triton_backend_tpu.models import hybrid
-    from vllm_triton_backend_tpu.runtime.sampler import sample
+    from vllm_triton_backend_tpu.runtime.sampler import (
+        SamplingTensors,
+        sample,
+    )
 
     tp = mesh.shape["model"]
     lcfg = local_hybrid_config(cfg, tp)
@@ -459,13 +470,11 @@ def make_sharded_hybrid_decode_steps(
     def step(
         params, tokens, seq_lens, block_table, live, max_lens,
         kv_cache, conv_state, ssm_state, state_indices,
-        temperature, top_p, top_k, rng_key,
+        st, rng_key,
     ):
         toks0, lens0, tbl = tokens[0], seq_lens[0], block_table[0]
-        lv, ml, temp, tp_, tk, sidx0 = (
-            live[0], max_lens[0], temperature[0], top_p[0], top_k[0],
-            state_indices[0],
-        )
+        lv, ml, sidx0 = live[0], max_lens[0], state_indices[0]
+        st0 = SamplingTensors(*(a[0] for a in st))
         num_seqs = toks0.shape[0]
         qsl = jnp.arange(num_seqs + 1, dtype=jnp.int32)
 
@@ -492,16 +501,18 @@ def make_sharded_hybrid_decode_steps(
                 params, lcfg, toks, pos, kv, conv, ssm, sidx, meta,
                 extras, tp_axis="model",
             )
-            nxt = sample(
-                logits, temp, tp_, tk, sub, greedy_only=greedy_only
+            res = sample(
+                logits, st0, sub,
+                greedy_only=greedy_only, with_logprob=with_logprob,
             )
+            nxt, lp = res if with_logprob else (res, jnp.float32(0))
             nxt = jnp.where(still, nxt, toks)
             lens = jnp.where(still, lens + 1, lens)
-            return (nxt, lens, kv, conv, ssm, key), nxt
+            return (nxt, lens, kv, conv, ssm, key), (nxt, lp)
 
         (
             (toks0, lens0, kv_cache, conv_state, ssm_state, rng_key),
-            sampled,
+            (sampled, lps),
         ) = jax.lax.scan(
             body,
             (toks0, lens0, kv_cache, conv_state, ssm_state, rng_key),
@@ -509,7 +520,9 @@ def make_sharded_hybrid_decode_steps(
             length=num_steps,
         )
         return (
-            sampled[None], toks0[None], lens0[None], rng_key,
+            sampled[None],
+            lps[None] if with_logprob else None,
+            toks0[None], lens0[None], rng_key,
             kv_cache, conv_state, ssm_state,
         )
 
@@ -520,10 +533,10 @@ def make_sharded_hybrid_decode_steps(
         in_specs=(
             specs, b, b, b, b, b,
             CACHE_SPEC, STATE_POOL_SPEC, STATE_POOL_SPEC,
-            b, b, b, b, P(),
+            b, b, P(),
         ),
         out_specs=(
-            b, b, b, P(),
+            b, b if with_logprob else None, b, b, P(),
             CACHE_SPEC, STATE_POOL_SPEC, STATE_POOL_SPEC,
         ),
         check_vma=False,

@@ -40,6 +40,9 @@ class RequestOutput:
     output_token_ids: list[int]
     finish_reason: str
     text: str | None = None
+    # chosen-token logprobs, 1:1 with output_token_ids (only when the
+    # request set SamplingParams.logprobs)
+    logprobs: list[float] | None = None
 
 
 def _auto_num_blocks(mc, cc, cache_dtype, utilization, shards) -> int:
@@ -288,6 +291,22 @@ class LLMEngine:
         else:
             self.k_scale = self.v_scale = 1.0
 
+    def abort_request(self, req_id: str) -> Request | None:
+        """Stop a request wherever it lives (any replica scheduler);
+        frees its pages (and hybrid SSM slot).  Returns the request, or
+        None if unknown/already finished."""
+        for sched in self.schedulers:
+            req = sched.requests.get(req_id)
+            if req is None:
+                continue
+            sched.abort_request(req_id)
+            if self.is_hybrid:
+                slot = self._slot_of.pop(req_id, None)
+                if slot is not None:
+                    self._free_slots.append(slot)
+            return req
+        return None
+
     # ---------------- device state / failure recovery ----------------
 
     def _build_caches(self) -> None:
@@ -429,6 +448,106 @@ class LLMEngine:
 
     # ---------------- step ----------------
 
+    def _sampling_inputs(self, reqs, pad_to: int, stacked: bool = False):
+        """Device-side sampling state for one step over ``reqs``:
+        (st, pt, greedy_only, with_logprob).  ``pt`` (penalty token
+        histories) is built only when some request sets a penalty —
+        history lengths are bucketed to powers of two so growing outputs
+        reuse executables.  With ``stacked``, ``reqs`` is a list of
+        per-replica lists and every leaf gains a leading replica axis."""
+        from vllm_triton_backend_tpu.runtime.sampler import (
+            PenaltyTensors,
+            SamplingTensors,
+            make_penalty_tensors,
+            make_sampling_tensors,
+        )
+
+        groups = reqs if stacked else [reqs]
+        flat = [r for g in groups for r in g]
+        greedy_only = all(r.sampling.temperature <= 0.0 for r in flat)
+        with_logprob = any(r.sampling.logprobs for r in flat)
+        st_rows = [
+            make_sampling_tensors([r.sampling for r in g], pad_to=pad_to)
+            for g in groups
+        ]
+        pt_rows = None
+        if any(r.sampling.has_penalties for r in flat):
+            vocab = self.config.model.vocab_size
+            out_pad = next_power_of_2(
+                max(
+                    8,
+                    max(len(r.output_token_ids) for r in flat),
+                )
+            )
+            rep_on = any(
+                r.sampling.repetition_penalty != 1.0 for r in flat
+            )
+            prompt_pad = (
+                next_power_of_2(
+                    max(len(r.prompt_token_ids) for r in flat)
+                )
+                if rep_on
+                else 1
+            )
+            pt_rows = [
+                make_penalty_tensors(g, pad_to, vocab, out_pad, prompt_pad)
+                for g in groups
+            ]
+
+        def bundle(rows, cls):
+            if rows is None:
+                return None
+            if stacked:
+                return cls(
+                    *(
+                        jnp.asarray(np.stack([getattr(r, f) for r in rows]))
+                        for f in cls._fields
+                    )
+                )
+            return cls(*(jnp.asarray(a) for a in rows[0]))
+
+        return (
+            bundle(st_rows, SamplingTensors),
+            bundle(pt_rows, PenaltyTensors),
+            greedy_only,
+            with_logprob,
+        )
+
+    def _outputs(self, finished) -> list[RequestOutput]:
+        return [
+            RequestOutput(
+                req_id=r.req_id,
+                prompt_token_ids=r.prompt_token_ids,
+                output_token_ids=list(r.output_token_ids),
+                finish_reason=r.status.value.removeprefix("finished_"),
+                logprobs=(
+                    list(r.output_logprobs)
+                    if r.sampling.logprobs else None
+                ),
+            )
+            for r in finished
+        ]
+
+    def _sample_rows(
+        self, rows, st_d, pt_d, sub, greedy_only, with_logprob
+    ):
+        """Penalize + sample per-seq logits rows; returns host
+        (sampled [S], logprobs [S] | None)."""
+        from vllm_triton_backend_tpu.runtime.sampler import (
+            apply_penalties,
+        )
+
+        if pt_d is not None:
+            rows = apply_penalties(rows, pt_d)
+        res = sample(
+            rows, st_d, sub,
+            greedy_only=greedy_only, with_logprob=with_logprob,
+        )
+        if with_logprob:
+            toks, lp = res
+            return np.asarray(toks), np.asarray(lp)
+        return np.asarray(res), None
+
     # ---------------- fused multi-step decode fast path ----------------
 
     def _decode_session_applies(self) -> bool:
@@ -444,6 +563,10 @@ class LLMEngine:
             if not r.output_token_ids:
                 return False
             if r.num_computed_tokens != r.num_tokens - 1:
+                return False
+            if r.sampling.has_penalties:
+                # penalties need per-step token-history updates; the
+                # per-step loop applies them (sampler.apply_penalties)
                 return False
         return True
 
@@ -466,7 +589,7 @@ class LLMEngine:
         return k
 
     def _process_chunk(
-        self, reqs, sampled: np.ndarray, budget=None
+        self, reqs, sampled: np.ndarray, budget=None, logprobs=None
     ) -> list[Request]:
         """Apply one chunk's sampled tokens [K, S] to the request states;
         returns requests finished by this chunk.  Tokens for requests that
@@ -494,6 +617,8 @@ class LLMEngine:
                 r.num_computed_tokens += 1
                 tok = int(sampled[j, i])
                 r.output_token_ids.append(tok)
+                if sp.logprobs and logprobs is not None:
+                    r.output_logprobs.append(float(logprobs[j, i]))
                 if tok in stop:
                     r.status = RequestStatus.FINISHED_STOPPED
                 elif len(r.output_token_ids) >= sp.max_tokens:
@@ -517,75 +642,93 @@ class LLMEngine:
 
     def _launch_decode_chunk(
         self, tokens_d, lens_d, tbl_d, live_d, maxlen_d,
-        temp_d, topp_d, topk_d, key_d, extras, k, bs, greedy_only,
-        sidx_d=None,
+        st_d, key_d, extras, k, bs, greedy_only,
+        sidx_d=None, with_logprob=False,
     ):
         """One fused K-step chunk: single-chip, TP-sharded, or hybrid
-        (SSM state pools in the scan carry)."""
+        (SSM state pools in the scan carry).  Returns
+        (sampled [K,S], logprobs [K,S] | None, next_tokens, next_lens,
+        next_key, kv_cache)."""
+        from vllm_triton_backend_tpu.runtime.sampler import (
+            SamplingTensors,
+        )
+
+        cache_key = (extras, k, greedy_only, with_logprob)
         if self.is_hybrid and self.tp > 1:
             from vllm_triton_backend_tpu.parallel.sharded import (
                 make_sharded_hybrid_decode_steps,
             )
 
-            step_fn = self._tp_decode_steps.get((extras, k, greedy_only))
+            step_fn = self._tp_decode_steps.get(cache_key)
             if step_fn is None:
                 step_fn = make_sharded_hybrid_decode_steps(
                     self.config.model, self.mesh, extras, k, bs,
-                    greedy_only=greedy_only,
+                    greedy_only=greedy_only, with_logprob=with_logprob,
                 )
-                self._tp_decode_steps[(extras, k, greedy_only)] = step_fn
+                self._tp_decode_steps[cache_key] = step_fn
             (
-                sampled, toks, lens, key, kv,
+                sampled, lps, toks, lens, key, kv,
                 self.conv_state, self.ssm_state,
             ) = step_fn(
                 self.params, tokens_d[None], lens_d[None], tbl_d[None],
                 live_d[None], maxlen_d[None],
                 self.kv_cache, self.conv_state, self.ssm_state,
-                sidx_d[None], temp_d[None], topp_d[None], topk_d[None],
+                sidx_d[None],
+                SamplingTensors(*(a[None] for a in st_d)),
                 key_d,
             )
-            return sampled[0], toks[0], lens[0], key, kv
+            return (
+                sampled[0], lps[0] if with_logprob else None,
+                toks[0], lens[0], key, kv,
+            )
         if self.is_hybrid:
             from vllm_triton_backend_tpu.runtime.multistep import (
                 hybrid_decode_steps,
             )
 
             (
-                sampled, toks, lens, key, kv,
+                sampled, lps, toks, lens, key, kv,
                 self.conv_state, self.ssm_state,
             ) = hybrid_decode_steps(
                 self.params, self.config.model,
                 tokens_d, lens_d, tbl_d, live_d, maxlen_d,
                 self.kv_cache, self.conv_state, self.ssm_state, sidx_d,
-                temp_d, topp_d, topk_d,
+                st_d,
                 key_d, extras, k, bs, greedy_only,
+                with_logprob=with_logprob,
             )
-            return sampled, toks, lens, key, kv
+            return sampled, lps, toks, lens, key, kv
         if self.tp > 1:
             from vllm_triton_backend_tpu.parallel import (
                 make_sharded_decode_steps,
             )
 
-            step_fn = self._tp_decode_steps.get((extras, k, greedy_only))
+            step_fn = self._tp_decode_steps.get(cache_key)
             if step_fn is None:
                 step_fn = make_sharded_decode_steps(
                     self.config.model, self.mesh, extras, k, bs,
                     greedy_only=greedy_only,
                     tp_overlap=self.config.parallel.overlap_collectives,
+                    with_logprob=with_logprob,
                 )
-                self._tp_decode_steps[(extras, k, greedy_only)] = step_fn
-            sampled, toks, lens, key, kv = step_fn(
+                self._tp_decode_steps[cache_key] = step_fn
+            sampled, lps, toks, lens, key, kv = step_fn(
                 self.params, tokens_d[None], lens_d[None], tbl_d[None],
                 live_d[None], maxlen_d[None], self.kv_cache,
-                temp_d[None], topp_d[None], topk_d[None], key_d,
+                SamplingTensors(*(a[None] for a in st_d)),
+                key_d,
             )
-            return sampled[0], toks[0], lens[0], key, kv
+            return (
+                sampled[0], lps[0] if with_logprob else None,
+                toks[0], lens[0], key, kv,
+            )
         return decode_steps(
             self.params, self.config.model,
             tokens_d, lens_d, tbl_d, live_d, maxlen_d,
             self.kv_cache,
-            temp_d, topp_d, topk_d,
+            st_d,
             key_d, extras, k, bs, greedy_only,
+            with_logprob=with_logprob,
         )
 
     def _try_multistep(self) -> list[RequestOutput] | None:
@@ -622,22 +765,26 @@ class LLMEngine:
         bs = self.config.cache.block_size
 
         def build_host_state(reqs):
+            from vllm_triton_backend_tpu.runtime.sampler import (
+                device_sampling_tensors,
+                make_sampling_tensors,
+            )
+
             tokens = np.zeros(s_pad, np.int32)
             lens = np.ones(s_pad, np.int32)
             live = np.zeros(s_pad, bool)
-            temp = np.zeros(s_pad, np.float32)
-            top_p = np.ones(s_pad, np.float32)
-            top_k = np.zeros(s_pad, np.int32)
             for i, r in enumerate(reqs):
                 tokens[i] = r.output_token_ids[-1]
                 lens[i] = r.num_tokens
                 live[i] = True
-                temp[i] = r.sampling.temperature
-                top_p[i] = r.sampling.top_p
-                top_k[i] = r.sampling.top_k
+            st = device_sampling_tensors(
+                make_sampling_tensors(
+                    [r.sampling for r in reqs], pad_to=s_pad
+                )
+            )
             return (
                 jnp.asarray(tokens), jnp.asarray(lens), jnp.asarray(live),
-                jnp.asarray(temp), jnp.asarray(top_p), jnp.asarray(top_k),
+                st,
             )
 
         reserved = _reserve_session_tokens(
@@ -674,14 +821,13 @@ class LLMEngine:
             sidx_d = jnp.asarray(sidx)
 
         finished_all: list[Request] = []
-        tokens_d, lens_d, live_d, temp_d, topp_d, topk_d = (
-            build_host_state(reqs)
-        )
+        tokens_d, lens_d, live_d, st_d = build_host_state(reqs)
         # static sampler specialization: skip the stochastic path (full-
         # vocab sort) entirely when every request decodes greedily
         greedy_only = all(r.sampling.temperature <= 0.0 for r in reqs)
+        with_logprob = any(r.sampling.logprobs for r in reqs)
         key_d = self._key
-        pending: jax.Array | None = None  # in-flight chunk's sampled [K,S]
+        pending = None  # in-flight chunk's (sampled [K,S], logprobs|None)
         # in-flight tokens per live req not yet applied on host
         inflight = 0
         launched_total = 0  # monotone: tokens launched this session
@@ -701,11 +847,11 @@ class LLMEngine:
             )
             if launch:
                 (
-                    sampled, tokens_d, lens_d, key_d, self.kv_cache,
+                    sampled, lps, tokens_d, lens_d, key_d, self.kv_cache,
                 ) = self._launch_decode_chunk(
                     tokens_d, lens_d, tbl_d, live_d, maxlen_d,
-                    temp_d, topp_d, topk_d, key_d, extras, k, bs,
-                    greedy_only, sidx_d,
+                    st_d, key_d, extras, k, bs,
+                    greedy_only, sidx_d, with_logprob,
                 )
                 inflight += k
                 launched_total += k
@@ -718,26 +864,20 @@ class LLMEngine:
                 except (AttributeError, NotImplementedError):
                     pass
             if pending is not None:
+                p_tok, p_lp = pending
                 finished_all += self._process_chunk(
-                    reqs, np.asarray(pending), consumable
+                    reqs, np.asarray(p_tok), consumable,
+                    np.asarray(p_lp) if p_lp is not None else None,
                 )
-                inflight -= pending.shape[0]
+                inflight -= p_tok.shape[0]
                 pending = None
             if not launch:
                 break
-            pending = sampled
+            pending = (sampled, lps)
         self._key = key_d
         if chunks_launched == 0:
             return None  # no progress possible: regular path handles it
-        return [
-            RequestOutput(
-                req_id=r.req_id,
-                prompt_token_ids=r.prompt_token_ids,
-                output_token_ids=list(r.output_token_ids),
-                finish_reason=r.status.value.removeprefix("finished_"),
-            )
-            for r in finished_all
-        ]
+        return self._outputs(finished_all)
 
     # ---------------- data-parallel replica stepping ----------------
 
@@ -754,6 +894,8 @@ class LLMEngine:
                 if not r.output_token_ids:
                     return False
                 if r.num_computed_tokens != r.num_tokens - 1:
+                    return False
+                if r.sampling.has_penalties:
                     return False
         return any_running
 
@@ -804,18 +946,27 @@ class LLMEngine:
         if not reserved or reserved < k:
             return None
 
+        from vllm_triton_backend_tpu.runtime.sampler import (
+            SamplingTensors,
+            make_sampling_tensors,
+        )
+
         d = self.dp
         tokens = np.zeros((d, s_pad), np.int32)
         lens = np.ones((d, s_pad), np.int32)
         live = np.zeros((d, s_pad), bool)
         maxlen = np.ones((d, s_pad), np.int32)
-        temp = np.zeros((d, s_pad), np.float32)
-        top_p = np.ones((d, s_pad), np.float32)
-        top_k = np.zeros((d, s_pad), np.int32)
         tbl = np.zeros(
             (d, s_pad, sched0.max_blocks_per_seq), np.int32
         )
+        st_rows = []
+        with_logprob = any(r.sampling.logprobs for r in all_reqs)
         for di, (sched, reqs) in enumerate(zip(scheds, reqs_r)):
+            st_rows.append(
+                make_sampling_tensors(
+                    [r.sampling for r in reqs], pad_to=s_pad
+                )
+            )
             for i, r in enumerate(reqs):
                 tokens[di, i] = r.output_token_ids[-1]
                 lens[di, i] = r.num_tokens
@@ -825,19 +976,17 @@ class LLMEngine:
                     horizon,
                     r.num_tokens + reserved,
                 )
-                temp[di, i] = r.sampling.temperature
-                top_p[di, i] = r.sampling.top_p
-                top_k[di, i] = r.sampling.top_k
                 pages = sched.allocator.block_table(r.req_id)
                 tbl[di, i, : len(pages)] = pages
 
-        step_key = (extras, k, greedy_only)
+        step_key = (extras, k, greedy_only, with_logprob)
         step_fn = self._tp_decode_steps.get(step_key)
         if step_fn is None:
             step_fn = make_sharded_decode_steps(
                 self.config.model, self.mesh, extras, k, bs,
                 greedy_only=greedy_only,
                 tp_overlap=self.config.parallel.overlap_collectives,
+                with_logprob=with_logprob,
             )
             self._tp_decode_steps[step_key] = step_fn
 
@@ -850,8 +999,11 @@ class LLMEngine:
         for di, reqs in enumerate(reqs_r):
             for i, r in enumerate(reqs):
                 consumable[di, i] = maxlen[di, i] - r.num_tokens
-        temp_d, topp_d, topk_d = (
-            jnp.asarray(temp), jnp.asarray(top_p), jnp.asarray(top_k)
+        st_d = SamplingTensors(
+            *(
+                jnp.asarray(np.stack([getattr(row, f) for row in st_rows]))
+                for f in SamplingTensors._fields
+            )
         )
         key_d = self._key
         finished_all: list[Request] = []
@@ -873,10 +1025,12 @@ class LLMEngine:
                 <= horizon
             )
             if launch:
-                sampled, tokens_d, lens_d, key_d, self.kv_cache = step_fn(
+                (
+                    sampled, lps, tokens_d, lens_d, key_d, self.kv_cache,
+                ) = step_fn(
                     self.params, tokens_d, lens_d, tbl_d, live_d,
                     maxlen_d, self.kv_cache,
-                    temp_d, topp_d, topk_d, key_d,
+                    st_d, key_d,
                 )
                 inflight += k
                 launched_total += k
@@ -886,28 +1040,25 @@ class LLMEngine:
                 except (AttributeError, NotImplementedError):
                     pass
             if pending is not None:
-                host = np.asarray(pending)  # [D, K, S]
+                p_tok, p_lp = pending
+                host = np.asarray(p_tok)  # [D, K, S]
+                host_lp = (
+                    np.asarray(p_lp) if p_lp is not None else None
+                )
                 for di, reqs in enumerate(reqs_r):
                     finished_all += self._process_chunk_for(
-                        scheds[di], reqs, host[di], consumable[di]
+                        scheds[di], reqs, host[di], consumable[di],
+                        host_lp[di] if host_lp is not None else None,
                     )
-                inflight -= pending.shape[1]
+                inflight -= p_tok.shape[1]
                 pending = None
             if not launch:
                 break
-            pending = sampled
+            pending = (sampled, lps)
         self._key = key_d
         if chunks_launched == 0:
             return None
-        return [
-            RequestOutput(
-                req_id=r.req_id,
-                prompt_token_ids=r.prompt_token_ids,
-                output_token_ids=list(r.output_token_ids),
-                finish_reason=r.status.value.removeprefix("finished_"),
-            )
-            for r in finished_all
-        ]
+        return self._outputs(finished_all)
 
     def _step_dp(self) -> list[RequestOutput]:
         """One stacked regular step across the data replicas."""
@@ -939,17 +1090,13 @@ class LLMEngine:
         sl = np.stack([b.seq_lens for b in batches])
         tbl = np.stack([b.block_table for b in batches])
         li = np.stack([b.logits_indices for b in batches])
-        temp = np.zeros((d, s_max), np.float32)
-        top_p = np.ones((d, s_max), np.float32)
-        top_k = np.zeros((d, s_max), np.int32)
-        greedy = True
-        for di, b in enumerate(batches):
-            for i, rid in enumerate(b.req_ids):
-                r = self.schedulers[di].requests[rid]
-                temp[di, i] = r.sampling.temperature
-                top_p[di, i] = r.sampling.top_p
-                top_k[di, i] = r.sampling.top_k
-                greedy = greedy and r.sampling.temperature <= 0.0
+        req_groups = [
+            [self.schedulers[di].requests[rid] for rid in b.req_ids]
+            for di, b in enumerate(batches)
+        ]
+        st_d, pt_d, greedy, with_logprob = self._sampling_inputs(
+            req_groups, s_max, stacked=True
+        )
 
         step_fn = self._tp_steps.get(extras)
         if step_fn is None:
@@ -964,29 +1111,21 @@ class LLMEngine:
             jnp.asarray(tbl), jnp.asarray(slot),
         )
         self._key, sub = jax.random.split(self._key)
-        sampled = np.asarray(
-            sample_replicas(
-                logits, jnp.asarray(li), jnp.asarray(temp),
-                jnp.asarray(top_p), jnp.asarray(top_k), sub,
-                greedy_only=greedy,
-            )
+        res = sample_replicas(
+            logits, jnp.asarray(li), st_d, sub,
+            greedy_only=greedy, with_logprob=with_logprob, pt=pt_d,
         )
+        if with_logprob:
+            sampled, lp = np.asarray(res[0]), np.asarray(res[1])
+        else:
+            sampled, lp = np.asarray(res), None
         outputs: list[RequestOutput] = []
         for di, b in enumerate(batches):
             finished = self.schedulers[di].update(
-                b, sampled[di], self.eos_token_id
+                b, sampled[di], self.eos_token_id,
+                lp[di] if lp is not None else None,
             )
-            outputs += [
-                RequestOutput(
-                    req_id=r.req_id,
-                    prompt_token_ids=r.prompt_token_ids,
-                    output_token_ids=list(r.output_token_ids),
-                    finish_reason=r.status.value.removeprefix(
-                        "finished_"
-                    ),
-                )
-                for r in finished
-            ]
+            outputs += self._outputs(finished)
         return outputs
 
     # ---------------- pipeline-parallel stepping ----------------
@@ -1062,38 +1201,33 @@ class LLMEngine:
         )  # logits [M, Tm, vocab]
 
         reqs = [self.scheduler.requests[r] for r in batch.req_ids]
-        temp = np.zeros((m, s_max), np.float32)
-        top_p = np.ones((m, s_max), np.float32)
-        top_k = np.zeros((m, s_max), np.int32)
-        for i, r in enumerate(reqs):
-            mi, row = row_of[i]
-            temp[mi, row] = r.sampling.temperature
-            top_p[mi, row] = r.sampling.top_p
-            top_k[mi, row] = r.sampling.top_k
+        # microbatch groups follow the contiguous seq split (row_of)
+        req_groups = [
+            [reqs[int(i)] for i in group] for group in seq_groups
+        ]
+        st_d, pt_d, greedy, with_logprob = self._sampling_inputs(
+            req_groups, s_max, stacked=True
+        )
         self._key, sub = jax.random.split(self._key)
-        sampled_m = np.asarray(
-            sample_replicas(
-                logits, jnp.asarray(li), jnp.asarray(temp),
-                jnp.asarray(top_p), jnp.asarray(top_k), sub,
-                greedy_only=all(
-                    r.sampling.temperature <= 0.0 for r in reqs
-                ),
-            )
-        )  # [M, s_max]
+        res = sample_replicas(
+            logits, jnp.asarray(li), st_d, sub,
+            greedy_only=greedy, with_logprob=with_logprob, pt=pt_d,
+        )
+        if with_logprob:
+            sampled_m, lp_m = np.asarray(res[0]), np.asarray(res[1])
+        else:
+            sampled_m, lp_m = np.asarray(res), None  # [M, s_max]
         sampled = np.zeros(s_max, sampled_m.dtype)
+        lp = np.zeros(s_max, np.float32) if lp_m is not None else None
         for i in range(num_seqs):
             mi, row = row_of[i]
             sampled[i] = sampled_m[mi, row]
-        finished = self.scheduler.update(batch, sampled, self.eos_token_id)
-        return [
-            RequestOutput(
-                req_id=r.req_id,
-                prompt_token_ids=r.prompt_token_ids,
-                output_token_ids=list(r.output_token_ids),
-                finish_reason=r.status.value.removeprefix("finished_"),
-            )
-            for r in finished
-        ]
+            if lp is not None:
+                lp[i] = lp_m[mi, row]
+        finished = self.scheduler.update(
+            batch, sampled, self.eos_token_id, lp
+        )
+        return self._outputs(finished)
 
     # ---------------- context-parallel stepping ----------------
 
@@ -1131,43 +1265,27 @@ class LLMEngine:
             jnp.asarray(batch.slot_mapping),
         )
         reqs = [self.scheduler.requests[r] for r in batch.req_ids]
-        temp = np.zeros(batch.logits_indices.shape[0], np.float32)
-        top_p = np.ones_like(temp)
-        top_k = np.zeros(temp.shape, np.int32)
-        for i, r in enumerate(reqs):
-            temp[i] = r.sampling.temperature
-            top_p[i] = r.sampling.top_p
-            top_k[i] = r.sampling.top_k
-        self._key, sub = jax.random.split(self._key)
-        sampled = np.asarray(
-            sample(
-                logits[jnp.asarray(batch.logits_indices)],
-                jnp.asarray(temp), jnp.asarray(top_p),
-                jnp.asarray(top_k), sub,
-                greedy_only=all(
-                    r.sampling.temperature <= 0.0 for r in reqs
-                ),
-            )
+        st_d, pt_d, greedy_only, with_logprob = self._sampling_inputs(
+            reqs, batch.logits_indices.shape[0]
         )
-        finished = self.scheduler.update(batch, sampled, self.eos_token_id)
-        return [
-            RequestOutput(
-                req_id=r.req_id,
-                prompt_token_ids=r.prompt_token_ids,
-                output_token_ids=list(r.output_token_ids),
-                finish_reason=r.status.value.removeprefix("finished_"),
-            )
-            for r in finished
-        ]
+        self._key, sub = jax.random.split(self._key)
+        sampled, logprobs = self._sample_rows(
+            logits[jnp.asarray(batch.logits_indices)],
+            st_d, pt_d, sub, greedy_only, with_logprob,
+        )
+        finished = self.scheduler.update(
+            batch, sampled, self.eos_token_id, logprobs
+        )
+        return self._outputs(finished)
 
     def _process_chunk_for(
-        self, sched, reqs, sampled: np.ndarray, budget=None
+        self, sched, reqs, sampled: np.ndarray, budget=None, logprobs=None
     ) -> list[Request]:
         """_process_chunk against an explicit replica scheduler."""
         saved = self.scheduler
         self.scheduler = sched
         try:
-            return self._process_chunk(reqs, sampled, budget)
+            return self._process_chunk(reqs, sampled, budget, logprobs)
         finally:
             self.scheduler = saved
 
@@ -1196,13 +1314,9 @@ class LLMEngine:
             v_scale=self.v_scale,
         )
         reqs = [self.scheduler.requests[r] for r in batch.req_ids]
-        temp = np.zeros(batch.logits_indices.shape[0], np.float32)
-        top_p = np.ones_like(temp)
-        top_k = np.zeros(temp.shape, np.int32)
-        for i, r in enumerate(reqs):
-            temp[i] = r.sampling.temperature
-            top_p[i] = r.sampling.top_p
-            top_k[i] = r.sampling.top_k
+        st_d, pt_d, greedy_only, with_logprob = self._sampling_inputs(
+            reqs, batch.logits_indices.shape[0]
+        )
         if self.tp > 1 and not self.is_hybrid:
             from vllm_triton_backend_tpu.parallel import (
                 make_sharded_forward,
@@ -1226,15 +1340,9 @@ class LLMEngine:
                 jnp.asarray(batch.slot_mapping)[None],
             )
             self._key, sub = jax.random.split(self._key)
-            sampled = np.asarray(
-                sample(
-                    logits[0][jnp.asarray(batch.logits_indices)],
-                    jnp.asarray(temp), jnp.asarray(top_p),
-                    jnp.asarray(top_k), sub,
-                    greedy_only=all(
-                        r.sampling.temperature <= 0.0 for r in reqs
-                    ),
-                )
+            sampled, logprobs = self._sample_rows(
+                logits[0][jnp.asarray(batch.logits_indices)],
+                st_d, pt_d, sub, greedy_only, with_logprob,
             )
         elif self.is_hybrid:
             state_idx = np.full(
@@ -1291,18 +1399,12 @@ class LLMEngine:
                     jnp.asarray(state_idx), meta, extras,
                 )
             self._key, sub = jax.random.split(self._key)
-            sampled = np.asarray(
-                sample(
-                    logits[jnp.asarray(batch.logits_indices)],
-                    jnp.asarray(temp), jnp.asarray(top_p),
-                    jnp.asarray(top_k), sub,
-                    greedy_only=all(
-                        r.sampling.temperature <= 0.0 for r in reqs
-                    ),
-                )
+            sampled, logprobs = self._sample_rows(
+                logits[jnp.asarray(batch.logits_indices)],
+                st_d, pt_d, sub, greedy_only, with_logprob,
             )
         else:
-            sampled_d, self._key, self.kv_cache = engine_step(
+            out = engine_step(
                 self.params,
                 self.config.model,
                 jnp.asarray(batch.token_ids),
@@ -1313,29 +1415,29 @@ class LLMEngine:
                 jnp.asarray(batch.block_table),
                 jnp.asarray(batch.slot_mapping),
                 jnp.asarray(batch.logits_indices),
-                jnp.asarray(temp),
-                jnp.asarray(top_p),
-                jnp.asarray(top_k),
+                st_d,
                 self._key,
                 extras,
-                all(r.sampling.temperature <= 0.0 for r in reqs),
+                greedy_only,
+                with_logprob,
+                pt_d,
             )
+            if with_logprob:
+                sampled_d, lp_d, self._key, self.kv_cache = out
+                logprobs = np.asarray(lp_d)
+            else:
+                sampled_d, self._key, self.kv_cache = out
+                logprobs = None
             sampled = np.asarray(sampled_d)
-        finished = self.scheduler.update(batch, sampled, self.eos_token_id)
+        finished = self.scheduler.update(
+            batch, sampled, self.eos_token_id, logprobs
+        )
         if self.is_hybrid:
             for r in finished:
                 slot = self._slot_of.pop(r.req_id, None)
                 if slot is not None:
                     self._free_slots.append(slot)
-        return [
-            RequestOutput(
-                req_id=r.req_id,
-                prompt_token_ids=r.prompt_token_ids,
-                output_token_ids=list(r.output_token_ids),
-                finish_reason=r.status.value.removeprefix("finished_"),
-            )
-            for r in finished
-        ]
+        return self._outputs(finished)
 
 
 class LLM:

@@ -36,7 +36,7 @@ from vllm_triton_backend_tpu.runtime.sampler import sample
 
 @functools.partial(
     jax.jit,
-    static_argnames=("cfg", "extras", "greedy_only"),
+    static_argnames=("cfg", "extras", "greedy_only", "with_logprob"),
     donate_argnames=("kv_cache",),
 )
 def engine_step(
@@ -50,19 +50,20 @@ def engine_step(
     block_table: jax.Array,
     slot_mapping: jax.Array,
     logits_indices: jax.Array,  # [S] int32 last-token index per seq
-    temperature: jax.Array,  # [S]
-    top_p: jax.Array,
-    top_k: jax.Array,
+    st,  # SamplingTensors [S]
     rng_key: jax.Array,
     extras: ForwardExtras,
     greedy_only: bool = False,
-) -> tuple[jax.Array, jax.Array, jax.Array]:
+    with_logprob: bool = False,
+    pt=None,  # PenaltyTensors [S] | None
+):
     """One fully-fused engine step: forward + last-token gather + sample.
 
     The per-step host work reduces to H2D enqueues, ONE dispatch, and one
     D2H of the sampled tokens — each eager op between jit calls costs a
     host-device round trip, which dominates small-step latency.
-    Returns (sampled [S], next_key, kv_cache).
+    Returns (sampled [S], next_key, kv_cache) — with ``with_logprob``,
+    (sampled, logprobs [S], next_key, kv_cache).
     """
     meta = AttentionMetadata(
         query_start_loc=query_start_loc,
@@ -75,18 +76,28 @@ def engine_step(
         params, cfg, token_ids, positions, kv_cache, meta, extras,
         logits_indices=logits_indices,
     )
+    if pt is not None:
+        from vllm_triton_backend_tpu.runtime.sampler import (
+            apply_penalties,
+        )
+
+        logits = apply_penalties(logits, pt)
     rng_key, sub = jax.random.split(rng_key)
-    sampled = sample(
-        logits, temperature, top_p, top_k, sub,
-        greedy_only=greedy_only,
+    out = sample(
+        logits, st, sub,
+        greedy_only=greedy_only, with_logprob=with_logprob,
     )
-    return sampled, rng_key, kv_cache
+    if with_logprob:
+        sampled, lp = out
+        return sampled, lp, rng_key, kv_cache
+    return out, rng_key, kv_cache
 
 
 @functools.partial(
     jax.jit,
     static_argnames=(
         "cfg", "extras", "num_steps", "block_size", "greedy_only",
+        "with_logprob",
     ),
     donate_argnames=("kv_cache",),
 )
@@ -99,17 +110,16 @@ def decode_steps(
     live: jax.Array,  # [S] bool — padding rows False
     max_lens: jax.Array,  # [S] int32 per-seq length ceiling (reserved)
     kv_cache: jax.Array,
-    temperature: jax.Array,  # [S] f32
-    top_p: jax.Array,  # [S] f32
-    top_k: jax.Array,  # [S] int32
+    st,  # SamplingTensors [S]
     rng_key: jax.Array,
     extras: ForwardExtras,
     num_steps: int,
     block_size: int,
     greedy_only: bool = False,
-) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array, jax.Array]:
-    """Returns (sampled [K, S], next_tokens [S], final_seq_lens, next_key,
-    kv_cache).
+    with_logprob: bool = False,
+):
+    """Returns (sampled [K, S], logprobs [K, S] | None, next_tokens [S],
+    final_seq_lens, next_key, kv_cache).
 
     ``tokens[s]`` is the token to feed at the first step (the previously
     sampled one, already counted in ``seq_lens``, not yet in the cache).
@@ -148,25 +158,30 @@ def decode_steps(
         logits, kv = forward_fn(
             params, cfg, toks, pos, kv, meta, extras
         )
-        nxt = sample(
-            logits, temperature, top_p, top_k, sub,
-            greedy_only=greedy_only,
+        res = sample(
+            logits, st, sub,
+            greedy_only=greedy_only, with_logprob=with_logprob,
         )
+        nxt, lp = res if with_logprob else (res, jnp.float32(0))
         nxt = jnp.where(still, nxt, toks)
         lens = jnp.where(still, lens + 1, lens)
-        return (nxt, lens, kv, key), nxt
+        return (nxt, lens, kv, key), (nxt, lp)
 
-    (tokens, seq_lens, kv_cache, rng_key), sampled = jax.lax.scan(
+    (tokens, seq_lens, kv_cache, rng_key), (sampled, lps) = jax.lax.scan(
         body, (tokens, seq_lens, kv_cache, rng_key), None,
         length=num_steps,
     )
-    return sampled, tokens, seq_lens, rng_key, kv_cache
+    return (
+        sampled, lps if with_logprob else None,
+        tokens, seq_lens, rng_key, kv_cache,
+    )
 
 
 @functools.partial(
     jax.jit,
     static_argnames=(
         "cfg", "extras", "num_steps", "block_size", "greedy_only",
+        "with_logprob",
     ),
     donate_argnames=("kv_cache", "conv_state", "ssm_state"),
 )
@@ -182,14 +197,13 @@ def hybrid_decode_steps(
     conv_state: jax.Array,  # [Lm, slots, di, k-1]
     ssm_state: jax.Array,  # [Lm, slots, di, ds]
     state_indices: jax.Array,  # [S] int32 per-seq SSM slot (-1 = dead)
-    temperature: jax.Array,
-    top_p: jax.Array,
-    top_k: jax.Array,
+    st,  # SamplingTensors [S]
     rng_key: jax.Array,
     extras: ForwardExtras,
     num_steps: int,
     block_size: int,
     greedy_only: bool = False,
+    with_logprob: bool = False,
 ):
     """Fused K-step decode for hybrid (attention + Mamba) models —
     :func:`decode_steps` with the SSM state pools in the scan carry.
@@ -197,8 +211,8 @@ def hybrid_decode_steps(
     Frozen rows (length at ``max_lens``) redirect BOTH their KV slot
     (``-1`` -> trash page) and their SSM state slot (``-1`` -> reserved
     dead slot 0) so neither pool advances.  Returns
-    (sampled [K, S], next_tokens, final_seq_lens, next_key, kv_cache,
-    conv_state, ssm_state).
+    (sampled [K, S], logprobs [K, S] | None, next_tokens, final_seq_lens,
+    next_key, kv_cache, conv_state, ssm_state).
     """
     from vllm_triton_backend_tpu.models import hybrid
 
@@ -227,17 +241,18 @@ def hybrid_decode_steps(
         logits, kv, conv, ssm = hybrid.forward_fn(
             params, cfg, toks, pos, kv, conv, ssm, sidx, meta, extras
         )
-        nxt = sample(
-            logits, temperature, top_p, top_k, sub,
-            greedy_only=greedy_only,
+        res = sample(
+            logits, st, sub,
+            greedy_only=greedy_only, with_logprob=with_logprob,
         )
+        nxt, lp = res if with_logprob else (res, jnp.float32(0))
         nxt = jnp.where(still, nxt, toks)
         lens = jnp.where(still, lens + 1, lens)
-        return (nxt, lens, kv, conv, ssm, key), nxt
+        return (nxt, lens, kv, conv, ssm, key), (nxt, lp)
 
     (
         (tokens, seq_lens, kv_cache, conv_state, ssm_state, rng_key),
-        sampled,
+        (sampled, lps),
     ) = jax.lax.scan(
         body,
         (tokens, seq_lens, kv_cache, conv_state, ssm_state, rng_key),
@@ -245,6 +260,7 @@ def hybrid_decode_steps(
         length=num_steps,
     )
     return (
-        sampled, tokens, seq_lens, rng_key,
+        sampled, lps if with_logprob else None,
+        tokens, seq_lens, rng_key,
         kv_cache, conv_state, ssm_state,
     )

@@ -42,6 +42,10 @@ class Request:
     prompt_token_ids: list[int]
     sampling: SamplingParams
     output_token_ids: list[int] = field(default_factory=list)
+    # chosen-token logprobs, 1:1 with output_token_ids (filled only when
+    # sampling.logprobs; recomputed tokens after preemption/recovery keep
+    # their original entries)
+    output_logprobs: list[float] = field(default_factory=list)
     num_computed_tokens: int = 0
     status: RequestStatus = RequestStatus.WAITING
 
@@ -318,13 +322,15 @@ class Scheduler:
     # ---------------- post-step update ----------------
 
     def update(
-        self, batch: ScheduledBatch, sampled: np.ndarray, eos_token_id: int | None
+        self, batch: ScheduledBatch, sampled: np.ndarray,
+        eos_token_id: int | None, logprobs: np.ndarray | None = None,
     ) -> list[Request]:
         """Apply one step's results; returns requests finished this step.
 
         ``sampled[i]`` is the sampled token for batch row i; it is only
         consumed when the request's whole remaining context was computed
-        (i.e. not mid-chunked-prefill).
+        (i.e. not mid-chunked-prefill).  ``logprobs[i]``, when given, is
+        that token's logprob (stored for requests that asked for it).
         """
         finished = []
         for i, req_id in enumerate(batch.req_ids):
@@ -340,6 +346,8 @@ class Scheduler:
                 continue  # chunked prefill still in flight
             tok = int(sampled[i])
             req.output_token_ids.append(tok)
+            if req.sampling.logprobs and logprobs is not None:
+                req.output_logprobs.append(float(logprobs[i]))
             sp = req.sampling
             stop = set(sp.stop_token_ids)
             if eos_token_id is not None and not sp.ignore_eos:
