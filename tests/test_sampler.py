@@ -21,13 +21,14 @@ def _logits(rows):
     return jnp.asarray(np.array(rows, dtype=np.float32))
 
 
-def _st(temp, top_p=None, top_k=None, min_p=None):
+def _st(temp, top_p=None, top_k=None, min_p=None, seed=None):
     n = len(temp)
     return SamplingTensors(
         jnp.asarray(temp, jnp.float32),
         jnp.asarray(top_p if top_p is not None else [1.0] * n, jnp.float32),
         jnp.asarray(top_k if top_k is not None else [0] * n, jnp.int32),
         jnp.asarray(min_p if min_p is not None else [0.0] * n, jnp.float32),
+        jnp.asarray(seed if seed is not None else [-1] * n, jnp.int32),
     )
 
 
@@ -173,3 +174,32 @@ def test_make_sampling_tensors_padding():
     assert st.temperature[0] == np.float32(0.7)
     assert st.top_k[0] == 5 and st.top_k[1] == 0
     assert st.min_p[0] == np.float32(0.1) and st.min_p[3] == 0.0
+
+
+def test_seeded_rows_reproducible_and_key_independent():
+    """A seeded row's draw depends only on (seed, ctr) — not on the
+    shared engine key; unseeded rows still follow the shared key."""
+    logits = _logits([[1.0, 1.0, 1.0, 1.0]] * 2)
+    st = _st([1.0, 1.0], seed=[42, -1])
+    ctr = jnp.asarray([7, 7], jnp.int32)
+    a = sample(
+        logits, st, jax.random.key(0),
+        with_seeds=True, seed_ctr=ctr,
+    )
+    b = sample(
+        logits, st, jax.random.key(999),  # different shared key
+        with_seeds=True, seed_ctr=ctr,
+    )
+    assert int(a[0]) == int(b[0])  # seeded row unchanged
+    # different counter -> (eventually) different draw for seeded row
+    seen = {
+        int(
+            sample(
+                logits, st, jax.random.key(0),
+                with_seeds=True,
+                seed_ctr=jnp.asarray([c, c], jnp.int32),
+            )[0]
+        )
+        for c in range(20)
+    }
+    assert len(seen) > 1

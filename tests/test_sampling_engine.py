@@ -174,3 +174,18 @@ def test_min_p_filters_tail(setup):
     )[0]
     # determinism given same seed path
     assert a.output_token_ids == b.output_token_ids
+
+
+def test_seeded_request_independent_of_batchmates(setup):
+    """SamplingParams.seed: the same seeded request yields the same
+    tokens whether it runs alone or alongside other requests (vLLM's
+    per-request determinism contract)."""
+    cfg, params = setup
+    prompts = _prompts(cfg)
+    seeded = SamplingParams(temperature=1.0, seed=1234, max_tokens=8)
+    alone = _run(cfg, params, prompts[:1], seeded)[0]
+    with_mate = _run(
+        cfg, params, prompts,
+        [seeded, SamplingParams(temperature=0.8, max_tokens=8)],
+    )[0]
+    assert alone.output_token_ids == with_mate.output_token_ids

@@ -210,6 +210,10 @@ def build_app(worker: EngineWorker, model_name: str = "vtb-model"):
             stop=tuple(str(s) for s in stop),
             stop_token_ids=tuple(body.get("stop_token_ids", ())),
             logprobs=bool(body.get("logprobs", False)),
+            seed=(
+                int(body["seed"]) if body.get("seed") is not None
+                else None
+            ),
         )
 
     async def wait_result(out_q: queue.Queue, stream_cb=None):

@@ -466,6 +466,7 @@ class LLMEngine:
         flat = [r for g in groups for r in g]
         greedy_only = all(r.sampling.temperature <= 0.0 for r in flat)
         with_logprob = any(r.sampling.logprobs for r in flat)
+        with_seeds = any(r.sampling.seed is not None for r in flat)
         st_rows = [
             make_sampling_tensors([r.sampling for r in g], pad_to=pad_to)
             for g in groups
@@ -511,6 +512,7 @@ class LLMEngine:
             bundle(pt_rows, PenaltyTensors),
             greedy_only,
             with_logprob,
+            with_seeds,
         )
 
     def _outputs(self, finished) -> list[RequestOutput]:
@@ -529,7 +531,8 @@ class LLMEngine:
         ]
 
     def _sample_rows(
-        self, rows, st_d, pt_d, sub, greedy_only, with_logprob
+        self, rows, st_d, pt_d, sub, greedy_only, with_logprob,
+        with_seeds=False, seed_ctr=None,
     ):
         """Penalize + sample per-seq logits rows; returns host
         (sampled [S], logprobs [S] | None)."""
@@ -542,6 +545,7 @@ class LLMEngine:
         res = sample(
             rows, st_d, sub,
             greedy_only=greedy_only, with_logprob=with_logprob,
+            with_seeds=with_seeds, seed_ctr=seed_ctr,
         )
         if with_logprob:
             toks, lp = res
@@ -564,9 +568,10 @@ class LLMEngine:
                 return False
             if r.num_computed_tokens != r.num_tokens - 1:
                 return False
-            if r.sampling.has_penalties:
-                # penalties need per-step token-history updates; the
-                # per-step loop applies them (sampler.apply_penalties)
+            if r.sampling.has_penalties or r.sampling.seed is not None:
+                # penalties need per-step token-history updates, and
+                # seeded draws per-row keys; the per-step loop handles
+                # both (sampler.apply_penalties / with_seeds)
                 return False
         return True
 
@@ -895,7 +900,10 @@ class LLMEngine:
                     return False
                 if r.num_computed_tokens != r.num_tokens - 1:
                     return False
-                if r.sampling.has_penalties:
+                if (
+                    r.sampling.has_penalties
+                    or r.sampling.seed is not None
+                ):
                     return False
         return any_running
 
@@ -1094,9 +1102,9 @@ class LLMEngine:
             [self.schedulers[di].requests[rid] for rid in b.req_ids]
             for di, b in enumerate(batches)
         ]
-        st_d, pt_d, greedy, with_logprob = self._sampling_inputs(
-            req_groups, s_max, stacked=True
-        )
+        (
+            st_d, pt_d, greedy, with_logprob, with_seeds,
+        ) = self._sampling_inputs(req_groups, s_max, stacked=True)
 
         step_fn = self._tp_steps.get(extras)
         if step_fn is None:
@@ -1114,6 +1122,8 @@ class LLMEngine:
         res = sample_replicas(
             logits, jnp.asarray(li), st_d, sub,
             greedy_only=greedy, with_logprob=with_logprob, pt=pt_d,
+            with_seeds=with_seeds,
+            seed_ctr=jnp.asarray(sl) if with_seeds else None,
         )
         if with_logprob:
             sampled, lp = np.asarray(res[0]), np.asarray(res[1])
@@ -1205,13 +1215,15 @@ class LLMEngine:
         req_groups = [
             [reqs[int(i)] for i in group] for group in seq_groups
         ]
-        st_d, pt_d, greedy, with_logprob = self._sampling_inputs(
-            req_groups, s_max, stacked=True
-        )
+        (
+            st_d, pt_d, greedy, with_logprob, with_seeds,
+        ) = self._sampling_inputs(req_groups, s_max, stacked=True)
         self._key, sub = jax.random.split(self._key)
         res = sample_replicas(
             logits, jnp.asarray(li), st_d, sub,
             greedy_only=greedy, with_logprob=with_logprob, pt=pt_d,
+            with_seeds=with_seeds,
+            seed_ctr=jnp.asarray(sl) if with_seeds else None,
         )
         if with_logprob:
             sampled_m, lp_m = np.asarray(res[0]), np.asarray(res[1])
@@ -1265,13 +1277,15 @@ class LLMEngine:
             jnp.asarray(batch.slot_mapping),
         )
         reqs = [self.scheduler.requests[r] for r in batch.req_ids]
-        st_d, pt_d, greedy_only, with_logprob = self._sampling_inputs(
-            reqs, batch.logits_indices.shape[0]
-        )
+        (
+            st_d, pt_d, greedy_only, with_logprob, with_seeds,
+        ) = self._sampling_inputs(reqs, batch.logits_indices.shape[0])
         self._key, sub = jax.random.split(self._key)
         sampled, logprobs = self._sample_rows(
             logits[jnp.asarray(batch.logits_indices)],
             st_d, pt_d, sub, greedy_only, with_logprob,
+            with_seeds,
+            jnp.asarray(batch.seq_lens) if with_seeds else None,
         )
         finished = self.scheduler.update(
             batch, sampled, self.eos_token_id, logprobs
@@ -1314,8 +1328,11 @@ class LLMEngine:
             v_scale=self.v_scale,
         )
         reqs = [self.scheduler.requests[r] for r in batch.req_ids]
-        st_d, pt_d, greedy_only, with_logprob = self._sampling_inputs(
-            reqs, batch.logits_indices.shape[0]
+        (
+            st_d, pt_d, greedy_only, with_logprob, with_seeds,
+        ) = self._sampling_inputs(reqs, batch.logits_indices.shape[0])
+        seed_ctr = (
+            jnp.asarray(batch.seq_lens) if with_seeds else None
         )
         if self.tp > 1 and not self.is_hybrid:
             from vllm_triton_backend_tpu.parallel import (
@@ -1343,6 +1360,7 @@ class LLMEngine:
             sampled, logprobs = self._sample_rows(
                 logits[0][jnp.asarray(batch.logits_indices)],
                 st_d, pt_d, sub, greedy_only, with_logprob,
+                with_seeds, seed_ctr,
             )
         elif self.is_hybrid:
             state_idx = np.full(
@@ -1402,6 +1420,7 @@ class LLMEngine:
             sampled, logprobs = self._sample_rows(
                 logits[jnp.asarray(batch.logits_indices)],
                 st_d, pt_d, sub, greedy_only, with_logprob,
+                with_seeds, seed_ctr,
             )
         else:
             out = engine_step(
@@ -1421,6 +1440,7 @@ class LLMEngine:
                 greedy_only,
                 with_logprob,
                 pt_d,
+                with_seeds,
             )
             if with_logprob:
                 sampled_d, lp_d, self._key, self.kv_cache = out

@@ -36,7 +36,9 @@ from vllm_triton_backend_tpu.runtime.sampler import sample
 
 @functools.partial(
     jax.jit,
-    static_argnames=("cfg", "extras", "greedy_only", "with_logprob"),
+    static_argnames=(
+        "cfg", "extras", "greedy_only", "with_logprob", "with_seeds",
+    ),
     donate_argnames=("kv_cache",),
 )
 def engine_step(
@@ -56,6 +58,7 @@ def engine_step(
     greedy_only: bool = False,
     with_logprob: bool = False,
     pt=None,  # PenaltyTensors [S] | None
+    with_seeds: bool = False,
 ):
     """One fully-fused engine step: forward + last-token gather + sample.
 
@@ -86,6 +89,8 @@ def engine_step(
     out = sample(
         logits, st, sub,
         greedy_only=greedy_only, with_logprob=with_logprob,
+        with_seeds=with_seeds,
+        seed_ctr=seq_lens if with_seeds else None,
     )
     if with_logprob:
         sampled, lp = out

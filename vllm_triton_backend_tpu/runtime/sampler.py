@@ -68,6 +68,7 @@ class SamplingTensors(NamedTuple):
     top_p: jax.Array  # [S] f32
     top_k: jax.Array  # [S] i32; 0 => disabled
     min_p: jax.Array  # [S] f32; 0 => disabled
+    seed: jax.Array  # [S] i32; -1 => unseeded (shared engine RNG)
 
 
 def make_sampling_tensors(
@@ -82,12 +83,15 @@ def make_sampling_tensors(
     top_p = np.ones(n, np.float32)
     top_k = np.zeros(n, np.int32)
     min_p = np.zeros(n, np.float32)
+    seed = np.full(n, -1, np.int32)
     for i, p in enumerate(params_list):
         temp[i] = p.temperature
         top_p[i] = p.top_p
         top_k[i] = p.top_k
         min_p[i] = p.min_p
-    return SamplingTensors(temp, top_p, top_k, min_p)
+        if p.seed is not None:
+            seed[i] = p.seed
+    return SamplingTensors(temp, top_p, top_k, min_p, seed)
 
 
 def device_sampling_tensors(st: SamplingTensors) -> SamplingTensors:
@@ -95,7 +99,10 @@ def device_sampling_tensors(st: SamplingTensors) -> SamplingTensors:
 
 
 @functools.partial(
-    jax.jit, static_argnames=("vocab_padded", "greedy_only", "with_logprob")
+    jax.jit,
+    static_argnames=(
+        "vocab_padded", "greedy_only", "with_logprob", "with_seeds",
+    ),
 )
 def sample(
     logits: jax.Array,  # [num_seqs, vocab] f32 (last-token logits)
@@ -104,6 +111,8 @@ def sample(
     vocab_padded: int | None = None,
     greedy_only: bool = False,
     with_logprob: bool = False,
+    with_seeds: bool = False,
+    seed_ctr: jax.Array | None = None,  # [S] i32 per-row draw counter
 ):
     """Sample one token per sequence. Returns [num_seqs] int32, or
     (tokens, logprobs [num_seqs] f32) when ``with_logprob``.
@@ -115,7 +124,7 @@ def sample(
     the top-k, top-p and min-p thresholds from that sorted copy (the
     first version sorted three times).
     """
-    temperature, top_p, top_k, min_p = st
+    temperature, top_p, top_k, min_p, seed = st
     num_seqs, vocab = logits.shape
     if vocab_padded and vocab_padded > vocab:
         pad = jnp.full(
@@ -173,6 +182,23 @@ def sample(
     sampled = jax.random.categorical(
         key, filtered, axis=-1
     ).astype(jnp.int32)
+    if with_seeds:
+        # per-request reproducible draws (SamplingParams.seed, the vLLM
+        # ``seed`` semantic): row i draws with fold_in(key(seed_i),
+        # ctr_i) where ctr is the sequence length at this step — the
+        # draw depends only on the request's own history, never on
+        # batch composition or the engine's shared RNG stream.
+        ctr = (
+            seed_ctr if seed_ctr is not None
+            else jnp.zeros_like(seed)
+        )
+
+        def row_draw(lg, sd, c):
+            k = jax.random.fold_in(jax.random.key(sd), c)
+            return jax.random.categorical(k, lg).astype(jnp.int32)
+
+        seeded_sampled = jax.vmap(row_draw)(filtered, seed, ctr)
+        sampled = jnp.where(seed >= 0, seeded_sampled, sampled)
     out = jnp.where(temperature <= 0.0, greedy, sampled)
     if not with_logprob:
         return out
@@ -265,7 +291,7 @@ def apply_penalties(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("greedy_only", "with_logprob")
+    jax.jit, static_argnames=("greedy_only", "with_logprob", "with_seeds")
 )
 def sample_replicas(
     logits: jax.Array,  # [D, T, vocab] f32 (per-replica flat batches)
@@ -275,6 +301,8 @@ def sample_replicas(
     greedy_only: bool = False,
     with_logprob: bool = False,
     pt: PenaltyTensors | None = None,  # [D, S] / [D, S, N] leaves
+    with_seeds: bool = False,
+    seed_ctr: jax.Array | None = None,  # [D, S]
 ):
     """Sample across stacked data-replica batches in ONE device call
     (per-replica host loops would pay a D2H round trip each)."""
@@ -297,6 +325,10 @@ def sample_replicas(
         key,
         greedy_only=greedy_only,
         with_logprob=with_logprob,
+        with_seeds=with_seeds,
+        seed_ctr=(
+            seed_ctr.reshape(-1) if seed_ctr is not None else None
+        ),
     )
     if with_logprob:
         toks, lp = flat
