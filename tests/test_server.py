@@ -133,3 +133,68 @@ def test_streaming(worker):
             await client.close()
 
     asyncio.run(run())
+
+
+def test_n_completions_and_logprobs(worker):
+    async def run():
+        app = build_app(worker)
+        server = TestServer(app)
+        client = TestClient(server)
+        await client.start_server()
+        try:
+            r = await client.post(
+                "/v1/completions",
+                json={
+                    "prompt": [1, 2, 3], "max_tokens": 4, "n": 3,
+                    "temperature": 1.0, "seed": 7, "logprobs": True,
+                },
+            )
+            assert r.status == 200
+            data = await r.json()
+            assert len(data["choices"]) == 3
+            assert [c["index"] for c in data["choices"]] == [0, 1, 2]
+            for c in data["choices"]:
+                lps = c["logprobs"]["token_logprobs"]
+                assert len(lps) == 4 and all(v <= 0 for v in lps)
+            assert data["usage"]["completion_tokens"] == 12
+        finally:
+            await client.close()
+
+    asyncio.run(run())
+
+
+def test_chat_streaming(worker):
+    async def run():
+        app = build_app(worker)
+        server = TestServer(app)
+        client = TestClient(server)
+        await client.start_server()
+        try:
+            r = await client.post(
+                "/v1/chat/completions",
+                json={
+                    "messages": [{"role": "user", "content": "1 2 3"}],
+                    "max_tokens": 4,
+                    "stream": True,
+                },
+            )
+            assert r.status == 200
+            raw = (await r.read()).decode()
+            events = [
+                json.loads(line[len("data: "):])
+                for line in raw.splitlines()
+                if line.startswith("data: ") and "[DONE]" not in line
+            ]
+            assert events, raw
+            assert events[0]["object"] == "chat.completion.chunk"
+            content = "".join(
+                e["choices"][0]["delta"].get("content", "")
+                for e in events
+            )
+            assert content.strip()
+            assert events[-1]["choices"][0]["finish_reason"] == "length"
+            assert raw.rstrip().endswith("data: [DONE]")
+        finally:
+            await client.close()
+
+    asyncio.run(run())

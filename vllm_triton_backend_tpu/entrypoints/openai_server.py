@@ -233,6 +233,59 @@ def build_app(worker: EngineWorker, model_name: str = "vtb-model"):
         else:
             ids = _encode(worker.tokenizer, str(prompt))
         sp = sampling_from(body)
+        n = max(1, int(body.get("n", 1)))
+        if n > 1 and not body.get("stream"):
+            # n parallel completions: n engine requests batched together
+            # (each is its own batch row -> independent draws; seeded
+            # requests get seed+i for distinct reproducible streams)
+            import dataclasses as _dc
+
+            subs = [
+                worker.submit(
+                    ids,
+                    _dc.replace(sp, seed=sp.seed + i)
+                    if sp.seed is not None else sp,
+                )
+                for i in range(n)
+            ]
+            outs = [await wait_result(q) for _, q in subs]
+            choices = []
+            total_completion = 0
+            for i, out in enumerate(outs):
+                total_completion += len(out.output_token_ids)
+                c = {
+                    "index": i,
+                    "text": (
+                        out.text if out.text is not None
+                        else _decode(
+                            worker.tokenizer, out.output_token_ids
+                        )
+                    ),
+                    "finish_reason": out.finish_reason,
+                }
+                if sp.logprobs and out.logprobs is not None:
+                    c["logprobs"] = {
+                        "token_logprobs": out.logprobs,
+                        "tokens": [
+                            _decode(worker.tokenizer, [t])
+                            for t in out.output_token_ids
+                        ],
+                    }
+                choices.append(c)
+            return web.json_response(
+                {
+                    "id": subs[0][0],
+                    "object": "text_completion",
+                    "created": int(time.time()),
+                    "model": model_name,
+                    "choices": choices,
+                    "usage": {
+                        "prompt_tokens": len(ids),
+                        "completion_tokens": total_completion,
+                        "total_tokens": len(ids) + total_completion,
+                    },
+                }
+            )
         req_id, out_q = worker.submit(ids, sp)
         created = int(time.time())
 
@@ -318,6 +371,53 @@ def build_app(worker: EngineWorker, model_name: str = "vtb-model"):
         ids = _encode(worker.tokenizer, text)
         sp = sampling_from(body)
         req_id, out_q = worker.submit(ids, sp)
+        created = int(time.time())
+        if body.get("stream"):
+            resp = web.StreamResponse(
+                headers={"Content-Type": "text/event-stream"}
+            )
+            await resp.prepare(request)
+
+            async def send_delta(tok_ids):
+                chunk = {
+                    "id": req_id,
+                    "object": "chat.completion.chunk",
+                    "created": created,
+                    "model": model_name,
+                    "choices": [
+                        {
+                            "index": 0,
+                            "delta": {
+                                "content": _decode(
+                                    worker.tokenizer, tok_ids
+                                )
+                            },
+                            "finish_reason": None,
+                        }
+                    ],
+                }
+                await resp.write(
+                    f"data: {json.dumps(chunk)}\n\n".encode()
+                )
+
+            out = await wait_result(out_q, send_delta)
+            final = {
+                "id": req_id,
+                "object": "chat.completion.chunk",
+                "created": created,
+                "model": model_name,
+                "choices": [
+                    {
+                        "index": 0,
+                        "delta": {},
+                        "finish_reason": out.finish_reason,
+                    }
+                ],
+            }
+            await resp.write(f"data: {json.dumps(final)}\n\n".encode())
+            await resp.write(b"data: [DONE]\n\n")
+            await resp.write_eof()
+            return resp
         out = await wait_result(out_q)
         return web.json_response(
             {
