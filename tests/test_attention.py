@@ -429,3 +429,82 @@ def test_stickbreaking_pallas_kernel(attend_current, chunk_pages):
         attend_current=attend_current, chunk_pages=chunk_pages,
     )
     np.testing.assert_allclose(np.asarray(out), ref, atol=2e-3, rtol=2e-2)
+
+
+def test_decode_pipeline_depths():
+    """The chunk-DMA pipeline must be depth-correct: every
+    pipeline_depth (2/3/4) produces oracle-exact output across a
+    multi-chunk KV span, ragged lengths, and a GQA head layout."""
+    from vllm_triton_backend_tpu.ops.pallas.decode_attention import (
+        paged_decode_attention,
+    )
+
+    rng = np.random.default_rng(11)
+    num_layers, hq, hkv, hd, bs, nb = 2, 8, 2, 128, 16, 80
+    kv_cache = random_cache(rng, hkv, nb, bs, hd, num_layers=num_layers)
+    q, block_table, meta = random_batch(
+        rng, [1, 1, 1], [300, 17, 129], hq, hd, bs, nb
+    )
+    scale = SCALE_BY_HD(hd)
+    ref = ref_paged_attention(
+        q, kv_cache[1],
+        np.asarray(meta.query_start_loc), np.asarray(meta.seq_lens),
+        block_table, scale,
+    )
+    for depth in (2, 3, 4):
+        out = paged_decode_attention(
+            jnp.asarray(q), jnp.asarray(kv_cache), jnp.int32(1),
+            meta.seq_lens, meta.block_table,
+            scale=scale, max_seq_len=512,
+            chunk_pages=2,  # 16 chunks for the long seq
+            pipeline_depth=depth,
+        )
+        np.testing.assert_allclose(
+            np.asarray(out), ref, atol=2e-3, rtol=1e-3,
+        ), depth
+
+
+def test_append_decode_pipeline_depths():
+    """Depth sweep through the fused append-attend path: cache write
+    placement must stay correct when more chunks are in flight."""
+    from vllm_triton_backend_tpu.ops.pallas.decode_attention import (
+        paged_decode_append_attention,
+    )
+
+    rng = np.random.default_rng(12)
+    hq, hkv, hd, bs, nb = 4, 2, 128, 16, 64
+    ctx = [100, 37]  # length INCLUDING the current (new) token
+    kv_cache = random_cache(rng, hkv, nb, bs, hd, num_layers=1)
+    q, block_table, meta = random_batch(
+        rng, [1, 1], [c - 1 for c in ctx], hq, hd, bs, nb
+    )
+    k_new = rng.standard_normal((2, hkv, hd), dtype=np.float32)
+    v_new = rng.standard_normal((2, hkv, hd), dtype=np.float32)
+    # oracle: write-then-attend
+    ref_cache = np.array(kv_cache[0])
+    slots = []
+    for i, c in enumerate(ctx):
+        pg = block_table[i, (c - 1) // bs]
+        slots.append(int(pg) * bs + (c - 1) % bs)
+        ref_cache[pg, 0, :, (c - 1) % bs, :] = k_new[i]
+        ref_cache[pg, 1, :, (c - 1) % bs, :] = v_new[i]
+    ref = ref_paged_attention(
+        q, ref_cache,
+        np.asarray(meta.query_start_loc), np.asarray(meta.seq_lens),
+        block_table, SCALE_BY_HD(hd),
+    )
+    for depth in (2, 3, 4):
+        out, new_cache = paged_decode_append_attention(
+            jnp.asarray(q), jnp.asarray(k_new), jnp.asarray(v_new),
+            jnp.asarray(kv_cache), jnp.int32(0), jnp.int32(1),
+            meta.seq_lens, meta.block_table,
+            jnp.asarray(slots, jnp.int32),
+            scale=SCALE_BY_HD(hd), max_seq_len=256,
+            chunk_pages=2, pipeline_depth=depth,
+        )
+        np.testing.assert_allclose(
+            np.asarray(out), ref, atol=2e-3, rtol=1e-3,
+        )
+        np.testing.assert_allclose(
+            np.asarray(new_cache[0]), ref_cache, atol=2e-6,
+        )

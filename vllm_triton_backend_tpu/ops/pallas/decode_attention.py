@@ -105,6 +105,7 @@ def _ragged_decode_kernel(
     stickbreaking: bool = False,
     attend_current: bool = False,
     append_kv: bool = False,
+    pipeline_depth: int = 2,
 ):
     rest = list(rest)
     slots_ref = rest.pop(0) if append_kv else None
@@ -221,19 +222,29 @@ def _ragged_decode_kernel(
         )
 
     step = s * num_chunks + c
-    slot = jax.lax.rem(step, 2)
+    slot = jax.lax.rem(step, pipeline_depth)
 
     @pl.when(step == 0)
     def _warmup():
-        start_chunk(0, ck_of(0), 0)
+        # fill the pipeline: issue the first depth-1 chunks up front so
+        # depth-1 chunks of scattered page DMAs stay in flight (depth 2
+        # = classic double buffering; deeper hides per-page DMA latency
+        # variance on randomly-permuted block tables)
+        for d in range(pipeline_depth - 1):
+            @pl.when(d < num_seqs * num_chunks)
+            def _(d=d):
+                start_chunk(
+                    d // num_chunks, ck_of(jax.lax.rem(d, num_chunks)),
+                    d % pipeline_depth,
+                )
 
-    # issue the NEXT grid step's chunk while this one computes
-    nxt = step + 1
+    # keep the pipeline full: issue the chunk depth-1 steps ahead
+    nxt = step + pipeline_depth - 1
     ns, nc = nxt // num_chunks, jax.lax.rem(nxt, num_chunks)
 
     @pl.when(nxt < num_seqs * num_chunks)
     def _prefetch():
-        start_chunk(ns, ck_of(nc), jax.lax.rem(nxt, 2))
+        start_chunk(ns, ck_of(nc), jax.lax.rem(nxt, pipeline_depth))
 
     @pl.when(c == 0)
     def _init():
@@ -422,11 +433,13 @@ def _default_chunk_pages(
     num_kv_heads: int,
     head_size: int,
     itemsize: int,
+    pipeline_depth: int = 2,
 ) -> int:
     """Chunk sizing heuristic: big enough to amortize per-step overhead,
-    small enough that the double-buffered chunk pair fits ~4 MB of VMEM."""
+    small enough that all ``pipeline_depth`` in-flight chunk buffers fit
+    ~4 MB of VMEM."""
     budget = 4 * 1024 * 1024
-    bytes_per_token = 2 * 2 * num_kv_heads * head_size * itemsize
+    bytes_per_token = pipeline_depth * 2 * num_kv_heads * head_size * itemsize
     max_tokens = max(block_size, budget // max(1, bytes_per_token))
     target = min(512, max_tokens, round_up(max_seq_len, block_size))
     return max(1, target // block_size)
@@ -438,6 +451,7 @@ def _default_chunk_pages(
         "scale", "max_seq_len", "sliding_window", "logits_soft_cap",
         "k_scale", "v_scale", "return_partials", "chunk_pages",
         "local_chunk_size", "stickbreaking", "attend_current",
+        "pipeline_depth",
     ),
 )
 def _paged_decode_impl(
@@ -462,6 +476,7 @@ def _paged_decode_impl(
     local_chunk_size: int = 0,
     stickbreaking: bool = False,
     attend_current: bool = False,
+    pipeline_depth: int = 2,  # in-flight chunk buffers (2 = double)
 ) -> jax.Array:
     """Single-token-per-sequence paged attention (the decode hot path).
 
@@ -486,7 +501,7 @@ def _paged_decode_impl(
     if not chunk_pages:
         chunk_pages = _default_chunk_pages(
             max_seq_len, block_size, num_kv_heads, head_pad,
-            kv_cache.dtype.itemsize,
+            kv_cache.dtype.itemsize, pipeline_depth,
         )
     max_pages = cdiv(max_seq_len, block_size)
     chunk_pages = min(chunk_pages, max_pages)
@@ -527,6 +542,7 @@ def _paged_decode_impl(
         stickbreaking=stickbreaking,
         attend_current=attend_current,
         append_kv=append_kv,
+        pipeline_depth=pipeline_depth,
     )
 
     def q_map(s, c, *prefetch):
@@ -588,10 +604,10 @@ def _paged_decode_impl(
         out_specs=out_specs,
         scratch_shapes=[
             pltpu.VMEM(
-                (2, 2, num_kv_heads, chunk_tokens, head_pad),
+                (pipeline_depth, 2, num_kv_heads, chunk_tokens, head_pad),
                 kv_cache.dtype,
             ),
-            pltpu.SemaphoreType.DMA((2, chunk_pages)),
+            pltpu.SemaphoreType.DMA((pipeline_depth, chunk_pages)),
         ] + (
             [pltpu.SemaphoreType.DMA] if append_kv else []
         ) + [
@@ -732,7 +748,13 @@ from vllm_triton_backend_tpu.autotune import ConfigSpace, autotune  # noqa: E402
 from vllm_triton_backend_tpu.utils import next_power_of_2  # noqa: E402
 
 DECODE_CONFIG_SPACE = ConfigSpace(
-    space={"chunk_tokens": [128, 256, 512, 1024]},
+    space={
+        "chunk_tokens": [128, 256, 512, 1024],
+        # in-flight chunk DMA buffers: 2 = classic double buffering;
+        # deeper pipelines hide per-page latency variance on scattered
+        # (engine-realistic) block tables at the cost of VMEM
+        "pipeline_depth": [2, 3, 4],
+    },
 )
 
 
@@ -740,7 +762,10 @@ def _decode_fallback(key: tuple) -> dict:
     # mirror _default_chunk_pages: big enough to amortize grid-step
     # overhead, small enough for double-buffered VMEM
     max_seq_p2 = key[0]
-    return {"chunk_tokens": min(512, max(128, max_seq_p2))}
+    return {
+        "chunk_tokens": min(512, max(128, max_seq_p2)),
+        "pipeline_depth": 2,
+    }
 
 
 @autotune(
@@ -761,14 +786,15 @@ def _decode_launch(
     # autotune key fields (consumed here)
     max_seq_len_p2, num_seqs_p2, num_q_heads, num_kv_heads, head_size,
     block_size, kv_dtype,
-    # tuned knob (injected by the autotuner)
+    # tuned knobs (injected by the autotuner)
     chunk_tokens,
+    pipeline_depth=2,
 ):
-    # clamp the tuned chunk to the VMEM double-buffer budget for these
-    # head counts / dtypes (same budget as _default_chunk_pages)
+    # clamp the tuned chunk to the VMEM in-flight-buffer budget for
+    # these head counts / dtypes (same budget as _default_chunk_pages)
     cap = _default_chunk_pages(
         max_seq_len, block_size, num_kv_heads, head_size,
-        jnp.dtype(kv_dtype).itemsize,
+        jnp.dtype(kv_dtype).itemsize, pipeline_depth,
     )
     chunk_pages = max(1, min(chunk_tokens // block_size, cap))
     return _paged_decode_impl(
@@ -777,6 +803,7 @@ def _decode_launch(
         sliding_window=sliding_window, logits_soft_cap=logits_soft_cap,
         alibi_slopes=alibi_slopes, k_scale=k_scale, v_scale=v_scale,
         return_partials=return_partials, chunk_pages=chunk_pages,
+        pipeline_depth=pipeline_depth,
         local_chunk_size=local_chunk_size,
     )
 
@@ -801,6 +828,7 @@ def paged_decode_append_attention(
     v_scale: float = 1.0,
     local_chunk_size: int = 0,
     chunk_pages: int = 0,
+    pipeline_depth: int = 0,  # 0 -> autotuned
 ) -> tuple[jax.Array, jax.Array]:
     """Fused append-attend: one kernel replaces reshape_and_cache +
     paged_decode_attention on the decode hot path.
@@ -844,9 +872,10 @@ def paged_decode_append_attention(
             block_size=block_size,
             kv_dtype=str(kv_cache.dtype),
         )
+        pipeline_depth = pipeline_depth or cfg.get("pipeline_depth", 2)
         cap = _default_chunk_pages(
             max_seq_len, block_size, num_kv_heads, head_pad,
-            kv_cache.dtype.itemsize,
+            kv_cache.dtype.itemsize, pipeline_depth,
         )
         chunk_pages = max(
             1, min(cfg["chunk_tokens"] // block_size, cap)
@@ -858,6 +887,7 @@ def paged_decode_append_attention(
         sliding_window=sliding_window, logits_soft_cap=logits_soft_cap,
         alibi_slopes=alibi_slopes, k_scale=k_scale, v_scale=v_scale,
         chunk_pages=chunk_pages, local_chunk_size=local_chunk_size,
+        pipeline_depth=pipeline_depth or 2,
     )
 
 
@@ -878,6 +908,7 @@ def paged_decode_attention(
     return_partials: bool = False,
     chunk_pages: int = 0,  # 0 -> autotuned
     local_chunk_size: int = 0,
+    pipeline_depth: int = 0,  # 0 -> autotuned (with chunk_pages: 2)
 ) -> jax.Array:
     """Autotuned entry — see :func:`_paged_decode_impl` for semantics."""
     if chunk_pages:
@@ -888,6 +919,7 @@ def paged_decode_attention(
             alibi_slopes=alibi_slopes, k_scale=k_scale, v_scale=v_scale,
             return_partials=return_partials, chunk_pages=chunk_pages,
             local_chunk_size=local_chunk_size,
+            pipeline_depth=pipeline_depth or 2,
         )
     _, _, _, num_kv_heads, block_size, head_pad = kv_cache.shape
     return _decode_launch(
