@@ -189,3 +189,31 @@ def test_seeded_request_independent_of_batchmates(setup):
         [seeded, SamplingParams(temperature=0.8, max_tokens=8)],
     )[0]
     assert alone.output_token_ids == with_mate.output_token_ids
+
+
+def test_priority_scheduling_order(setup):
+    """Lower priority value = served earlier (vLLM semantics); equal
+    priorities keep FCFS order."""
+    cfg, params = setup
+    import dataclasses as dc
+
+    cfg1 = dc.replace(
+        cfg, scheduler=dc.replace(cfg.scheduler, max_num_seqs=1)
+    )
+    engine = LLMEngine(cfg1, params=params)
+    rng = np.random.default_rng(9)
+    prompts = [
+        rng.integers(0, cfg.model.vocab_size, size=6).tolist()
+        for _ in range(3)
+    ]
+    sp = SamplingParams(max_tokens=4)
+    engine.add_request(prompts[0], sp, priority=0)
+    engine.add_request(prompts[1], sp, priority=5)   # low priority
+    engine.add_request(prompts[2], sp, priority=-1)  # high priority
+    order = []
+    while engine.has_unfinished():
+        for o in engine.step():
+            order.append(o.req_id)
+    # all three queued before step 1: the priority -1 request jumps the
+    # whole queue; FCFS breaks the 0-vs-5 tie in favor of req-0
+    assert order == ["req-2", "req-0", "req-1"], order

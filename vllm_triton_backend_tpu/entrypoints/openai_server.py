@@ -64,13 +64,14 @@ class EngineWorker:
         self._thread.join(timeout=5)
 
     def submit(
-        self, prompt_ids: list[int], sampling: SamplingParams
+        self, prompt_ids: list[int], sampling: SamplingParams,
+        priority: int = 0,
     ) -> tuple[str, queue.Queue]:
         req_id = f"cmpl-{uuid.uuid4().hex[:24]}"
         out_q: queue.Queue = queue.Queue()
         self.streams[req_id] = out_q
         self._sampling[req_id] = sampling
-        self.new_requests.put((req_id, prompt_ids, sampling))
+        self.new_requests.put((req_id, prompt_ids, sampling, priority))
         self.metrics["requests_total"] += 1
         return req_id, out_q
 
@@ -79,10 +80,12 @@ class EngineWorker:
             admitted = False
             while True:
                 try:
-                    req_id, ids, sp = self.new_requests.get_nowait()
+                    req_id, ids, sp, prio = self.new_requests.get_nowait()
                 except queue.Empty:
                     break
-                self.engine.add_request(ids, sp, req_id=req_id)
+                self.engine.add_request(
+                    ids, sp, req_id=req_id, priority=prio
+                )
                 self._prev_lens[req_id] = 0
                 admitted = True
             if not self.engine.has_unfinished():
@@ -286,7 +289,9 @@ def build_app(worker: EngineWorker, model_name: str = "vtb-model"):
                     },
                 }
             )
-        req_id, out_q = worker.submit(ids, sp)
+        req_id, out_q = worker.submit(
+            ids, sp, priority=int(body.get("priority", 0))
+        )
         created = int(time.time())
 
         if body.get("stream"):

@@ -405,7 +405,11 @@ class LLMEngine:
         prompt_token_ids: list[int],
         sampling: SamplingParams | None = None,
         req_id: str | None = None,
+        priority: int = 0,
     ) -> str:
+        """``priority``: vLLM semantics — lower value is served earlier
+        (admission order and preemption-victim choice); default 0 keeps
+        plain FCFS."""
         req_id = req_id or f"req-{next(self._id_counter)}"
         # round-robin replica placement (least-loaded tiebreak)
         sched = min(
@@ -413,7 +417,10 @@ class LLMEngine:
             key=lambda s: (len(s.waiting) + len(s.running)),
         )
         sched.add_request(
-            Request(req_id, list(prompt_token_ids), sampling or SamplingParams())
+            Request(
+                req_id, list(prompt_token_ids),
+                sampling or SamplingParams(), priority=priority,
+            )
         )
         return req_id
 

@@ -48,6 +48,11 @@ class Request:
     output_logprobs: list[float] = field(default_factory=list)
     num_computed_tokens: int = 0
     status: RequestStatus = RequestStatus.WAITING
+    # scheduling priority (vLLM semantics: LOWER value = served earlier;
+    # ties keep arrival order). Affects admission order and preemption
+    # victim choice.
+    priority: int = 0
+    arrival: int = 0  # monotone admission counter (set by the scheduler)
 
     @property
     def all_token_ids(self) -> list[int]:
@@ -108,6 +113,7 @@ class Scheduler:
         self.waiting: list[Request] = []
         self.running: list[Request] = []
         self.requests: dict[str, Request] = {}
+        self._arrival_counter = 0
         self.max_blocks_per_seq = cdiv(
             scheduler_config.max_model_len, self.block_size
         )
@@ -117,7 +123,20 @@ class Scheduler:
     def add_request(self, req: Request) -> None:
         assert req.req_id not in self.requests
         self.requests[req.req_id] = req
-        self.waiting.append(req)
+        req.arrival = self._arrival_counter
+        self._arrival_counter += 1
+        if req.priority == 0 and (
+            not self.waiting or self.waiting[-1].priority <= 0
+        ):
+            self.waiting.append(req)  # common case: FCFS tail append
+        else:
+            import bisect
+
+            keys = [(w.priority, w.arrival) for w in self.waiting]
+            self.waiting.insert(
+                bisect.bisect_right(keys, (req.priority, req.arrival)),
+                req,
+            )
 
     def abort_request(self, req_id: str) -> None:
         req = self.requests.get(req_id)
@@ -202,7 +221,12 @@ class Scheduler:
         # standard recompute-preemption policy.
         if blocked and not scheduled:
             while len(self.running) > 1 and blocked:
-                victim = self.running.pop()  # newest first
+                # victim: lowest-priority running request, newest first
+                victim = max(
+                    self.running[1:],
+                    key=lambda r: (r.priority, r.arrival),
+                )
+                self.running.remove(victim)
                 if victim in blocked:
                     blocked.remove(victim)
                 self.allocator.free(victim.req_id)
