@@ -68,3 +68,100 @@ def test_prefill_logits_match_transformers(tiny_hf_dir):
     np.testing.assert_allclose(
         np.asarray(logits), ref, atol=2e-3, rtol=1e-3
     )
+
+
+@pytest.fixture(scope="module")
+def tiny_qwen2_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("tiny_qwen2_hf")
+    cfg = transformers.Qwen2Config(
+        vocab_size=256,
+        hidden_size=64,
+        intermediate_size=128,
+        num_hidden_layers=2,
+        num_attention_heads=4,
+        num_key_value_heads=2,
+        max_position_embeddings=128,
+        rope_theta=10000.0,
+        tie_word_embeddings=False,
+    )
+    torch.manual_seed(1)
+    model = transformers.Qwen2ForCausalLM(cfg)
+    # transformers zero-inits Linear biases; randomize so the bias path
+    # actually carries signal
+    with torch.no_grad():
+        for layer in model.model.layers:
+            for proj in ("q_proj", "k_proj", "v_proj"):
+                getattr(layer.self_attn, proj).bias.normal_(0, 0.5)
+    model.save_pretrained(d, safe_serialization=True)
+    return str(d), model
+
+
+def test_qwen2_prefill_logits_match_transformers(tiny_qwen2_dir):
+    """Qwen2 = llama + qkv biases (model-family widening): logits parity
+    against transformers proves the bias load path and grouped fused
+    bias layout."""
+    d, hf_model = tiny_qwen2_dir
+    cfg, params = load_params(d, config_from_hf(d, dtype="float32"))
+    assert cfg.attention_bias
+    assert params.layers.qkv_bias is not None
+
+    rng = np.random.default_rng(5)
+    prompt = rng.integers(0, cfg.vocab_size, size=13)
+
+    with torch.no_grad():
+        ref = hf_model(torch.tensor(prompt[None])).logits[0].numpy()
+
+    block_size, num_blocks = 16, 8
+    kv_cache = make_kv_caches(cfg, num_blocks, block_size)
+    bt = np.arange(2, dtype=np.int32).reshape(1, 2)
+    meta = make_metadata([len(prompt)], [0], bt, block_size)
+    logits, _ = forward(
+        params, cfg,
+        jnp.asarray(prompt, jnp.int32),
+        jnp.arange(len(prompt), dtype=jnp.int32),
+        kv_cache, meta,
+        ForwardExtras(max_query_len=16, max_seq_len=32),
+    )
+    np.testing.assert_allclose(
+        np.asarray(logits), ref, atol=2e-4, rtol=2e-3
+    )
+
+
+def test_qwen2_bias_is_applied_in_quantized_fused_path(tiny_qwen2_dir):
+    """The fused-qkv quantized path must add the (dense) bias: zeroing
+    it changes the logits."""
+    from vllm_triton_backend_tpu.models.llama import quantize_params
+
+    d, _ = tiny_qwen2_dir
+    cfg, params = load_params(d, config_from_hf(d, dtype="float32"))
+    qp = quantize_params(params, dtype="int8", cfg=cfg)
+    assert qp.layers.qkv_proj is not None  # fused layout engaged
+    assert qp.layers.qkv_bias is not None  # bias kept dense
+
+    rng = np.random.default_rng(6)
+    prompt = rng.integers(0, cfg.vocab_size, size=9)
+    block_size, num_blocks = 16, 8
+    bt = np.arange(2, dtype=np.int32).reshape(1, 2)
+    meta = make_metadata([len(prompt)], [0], bt, block_size)
+    extras = ForwardExtras(max_query_len=16, max_seq_len=32)
+
+    def logits_of(p):
+        kv = make_kv_caches(cfg, num_blocks, block_size)
+        out, _ = forward(
+            p, cfg, jnp.asarray(prompt, jnp.int32),
+            jnp.arange(len(prompt), dtype=jnp.int32), kv, meta, extras,
+        )
+        return np.asarray(out)
+
+    with_bias = logits_of(qp)
+    no_bias = logits_of(
+        qp._replace(
+            layers=qp.layers._replace(
+                qkv_bias=jnp.zeros_like(qp.layers.qkv_bias)
+            )
+        )
+    )
+    assert not np.allclose(with_bias, no_bias)
+    # and the biased quantized logits stay close to the dense reference
+    dense = logits_of(params)
+    assert np.mean(np.abs(with_bias - dense)) < 0.1 * np.std(dense)

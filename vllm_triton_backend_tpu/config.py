@@ -81,6 +81,9 @@ class ModelConfig:
     num_kv_heads: int = 4
     head_dim: int | None = None  # defaults to hidden_size // num_heads
     rope_theta: float = 10000.0
+    # qkv projection biases (Qwen2-family); o/mlp stay bias-free as in
+    # every supported architecture
+    attention_bias: bool = False
     rope_scaling: dict | None = None  # llama3-style {"factor", "low_freq_factor", ...}
     rms_norm_eps: float = 1e-5
     max_position_embeddings: int = 2048

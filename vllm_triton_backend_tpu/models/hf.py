@@ -22,7 +22,12 @@ import numpy as np
 from vllm_triton_backend_tpu.config import ModelConfig
 from vllm_triton_backend_tpu.models.llama import LayerParams, LlamaParams
 
-_SUPPORTED = {"LlamaForCausalLM", "GraniteForCausalLM", "MistralForCausalLM"}
+_SUPPORTED = {
+    "LlamaForCausalLM",
+    "GraniteForCausalLM",
+    "MistralForCausalLM",
+    "Qwen2ForCausalLM",  # llama + qkv biases (attention_bias)
+}
 _SUPPORTED_SSM = {"MambaForCausalLM"}
 
 
@@ -49,6 +54,13 @@ def config_from_hf(model_dir: str, **overrides) -> ModelConfig:
         rms_norm_eps=float(hf.get("rms_norm_eps", 1e-5)),
         max_position_embeddings=hf.get("max_position_embeddings", 2048),
         tie_word_embeddings=hf.get("tie_word_embeddings", False),
+        # Qwen2 carries qkv biases; its config reports attention_bias
+        # (older configs omit it -> Qwen2's default True)
+        attention_bias=bool(
+            hf.get(
+                "attention_bias", arch == "Qwen2ForCausalLM"
+            )
+        ),
         sliding_window=hf.get("sliding_window"),
         # granite multipliers (absent for plain llama -> identity)
         embedding_multiplier=float(hf.get("embedding_multiplier", 1.0)),
@@ -144,6 +156,16 @@ def load_params(
         )
 
     p = "model.layers.{}."
+    qkv_bias = None
+    if (p.format(0) + "self_attn.q_proj.bias") in state:
+        from vllm_triton_backend_tpu.models.llama import fuse_qkv_bias
+
+        qkv_bias = fuse_qkv_bias(
+            stack_norm(p + "self_attn.q_proj.bias"),
+            stack_norm(p + "self_attn.k_proj.bias"),
+            stack_norm(p + "self_attn.v_proj.bias"),
+            cfg.num_kv_heads, cfg.head_size,
+        )
     layers = LayerParams(
         input_norm=stack_norm(p + "input_layernorm.weight"),
         q_proj=stack_linear(p + "self_attn.q_proj.weight"),
@@ -154,6 +176,7 @@ def load_params(
         gate_proj=stack_linear(p + "mlp.gate_proj.weight"),
         up_proj=stack_linear(p + "mlp.up_proj.weight"),
         down_proj=stack_linear(p + "mlp.down_proj.weight"),
+        qkv_bias=qkv_bias,
     )
     embed = jnp.asarray(state["model.embed_tokens.weight"], dtype=dtype)
     if cfg.tie_word_embeddings or "lm_head.weight" not in state:

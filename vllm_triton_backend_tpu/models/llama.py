@@ -79,6 +79,10 @@ class LayerParams(NamedTuple):
     down_proj: jax.Array  # [intermediate, hidden]
     qkv_proj: Any = None  # fused quantized [hidden, G*(qpk+2)*head]
     gate_up_proj: Any = None  # fused quantized [hidden, inter*2]
+    # Qwen2-family qkv bias, stored in the grouped FUSED column layout
+    # [G*(qpk+2)*head] (same layout for the fused and per-projection
+    # paths; stays dense under weight quantization)
+    qkv_bias: Any = None
 
 
 class LlamaParams(NamedTuple):
@@ -111,6 +115,15 @@ def init_params(cfg: ModelConfig, key: jax.Array) -> LlamaParams:
         gate_proj=init(keys[5], (nl, h, inter), h),
         up_proj=init(keys[6], (nl, h, inter), h),
         down_proj=init(keys[7], (nl, inter, h), inter),
+        qkv_bias=(
+            fuse_qkv_bias(
+                init(keys[9], (nl, cfg.num_heads * hd), h),
+                init(keys[10], (nl, cfg.num_kv_heads * hd), h),
+                init(keys[11], (nl, cfg.num_kv_heads * hd), h),
+                cfg.num_kv_heads, hd,
+            )
+            if cfg.attention_bias else None
+        ),
     )
     lm_head = embed.T if cfg.tie_word_embeddings else init(
         keys[8], (h, cfg.vocab_size), h
@@ -279,10 +292,18 @@ def forward_fn(
             lin = linear
 
         normed = rms_norm(h_in, lp.input_norm, cfg.rms_norm_eps)
+        qkv_bias = lp.qkv_bias
+        if quantized and qkv_bias is not None:
+            # quantized weights live outside the scan; the (tiny, dense)
+            # bias stays stacked [L, ...] and is sliced per layer here
+            qkv_bias = qkv_bias[lidx]
         if lp.qkv_proj is not None:
             grp = cfg.num_kv_heads
             qpk = cfg.num_heads // grp
-            qkv = lin(normed, lp.qkv_proj).reshape(t, grp, qpk + 2, hd)
+            qkv = lin(normed, lp.qkv_proj)
+            if qkv_bias is not None:
+                qkv = qkv + qkv_bias
+            qkv = qkv.reshape(t, grp, qpk + 2, hd)
             q = qkv[:, :, :qpk].reshape(t, cfg.num_heads, hd)
             k = qkv[:, :, qpk]
             v = qkv[:, :, qpk + 1]
@@ -290,6 +311,13 @@ def forward_fn(
             q = lin(normed, lp.q_proj).reshape(t, cfg.num_heads, hd)
             k = lin(normed, lp.k_proj).reshape(t, cfg.num_kv_heads, hd)
             v = lin(normed, lp.v_proj).reshape(t, cfg.num_kv_heads, hd)
+            if qkv_bias is not None:
+                grp = cfg.num_kv_heads
+                qpk = cfg.num_heads // grp
+                b = qkv_bias.reshape(grp, qpk + 2, hd)
+                q = q + b[:, :qpk].reshape(cfg.num_heads, hd)
+                k = k + b[:, qpk]
+                v = v + b[:, qpk + 1]
         q = apply_rope(q, positions, inv_freq)
         k = apply_rope(k, positions, inv_freq)
 
@@ -506,6 +534,14 @@ def init_quantized_params(
         down_proj=init_q(keys[7], (nl, inter, h), inter),
         qkv_proj=init_q(keys[1], (nl, h, n_qkv), h),
         gate_up_proj=init_q(keys[5], (nl, h, 2 * inter), h),
+        qkv_bias=(
+            (
+                jax.random.normal(
+                    keys[9], (nl, n_qkv), jnp.float32
+                ) * (h**-0.5)
+            ).astype(dtype)
+            if cfg.attention_bias else None
+        ),
     )
     # lm_head: pad the vocab axis to a tile multiple AT QUANTIZE TIME —
     # padding inside the matmul would make XLA re-materialize the whole
@@ -551,6 +587,20 @@ def fuse_qkv(
     k = wk.reshape(*lead, h, grp, 1, hd)
     v = wv.reshape(*lead, h, grp, 1, hd)
     return jnp.concatenate((q, k, v), axis=-2).reshape(*lead, h, -1)
+
+
+def fuse_qkv_bias(
+    bq: jax.Array,  # [..., num_heads * hd]
+    bk: jax.Array,  # [..., num_kv_heads * hd]
+    bv: jax.Array,  # [..., num_kv_heads * hd]
+    num_kv_heads: int,
+    head_size: int,
+) -> jax.Array:
+    """Pack qkv biases into :func:`fuse_qkv`'s grouped column layout."""
+    return fuse_qkv(
+        bq[..., None, :], bk[..., None, :], bv[..., None, :],
+        num_kv_heads, head_size,
+    )[..., 0, :]
 
 
 def fuse_gate_up(wg: jax.Array, wu: jax.Array) -> jax.Array:

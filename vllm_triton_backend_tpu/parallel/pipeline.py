@@ -49,7 +49,9 @@ from vllm_triton_backend_tpu.ops.metadata import AttentionMetadata
 from vllm_triton_backend_tpu.ops.pallas.cache_ops import reshape_and_cache
 from vllm_triton_backend_tpu.ops.pallas.quant_linear import linear
 
-def pp_param_specs(tp: bool = False) -> LlamaParams:
+def pp_param_specs(
+    tp: bool = False, attention_bias: bool = False
+) -> LlamaParams:
     """Layer stacks shard over "stage"; with ``tp`` the projections also
     shard over "model" (column for qkv/gate/up, row for o/down — the
     sharded.py Megatron layout with a leading stacked-layer axis)."""
@@ -67,6 +69,14 @@ def pp_param_specs(tp: bool = False) -> LlamaParams:
             gate_proj=col,
             up_proj=col,
             down_proj=row,
+            **(
+                {
+                    "qkv_bias": (
+                        P("stage", "model") if tp else P("stage")
+                    )
+                }
+                if attention_bias else {}
+            ),
         ),
         final_norm=P(),
         lm_head=P(None, "model") if tp else P(),
@@ -96,7 +106,10 @@ def make_pp_mesh(num_stages: int, tp: int = 1, devices=None) -> Mesh:
 
 
 def shard_params_pp(params: LlamaParams, mesh: Mesh) -> LlamaParams:
-    specs = pp_param_specs(tp="model" in mesh.axis_names)
+    specs = pp_param_specs(
+        tp="model" in mesh.axis_names,
+        attention_bias=params.layers.qkv_bias is not None,
+    )
     return jax.tree.map(
         lambda x, spec: jax.device_put(x, NamedSharding(mesh, spec)),
         params,
@@ -130,6 +143,12 @@ def _stage_forward(
         q = linear(normed, lp.q_proj).reshape(t, cfg.num_heads, hd)
         k = linear(normed, lp.k_proj).reshape(t, cfg.num_kv_heads, hd)
         v = linear(normed, lp.v_proj).reshape(t, cfg.num_kv_heads, hd)
+        if lp.qkv_bias is not None:
+            grp, qpk = cfg.num_kv_heads, cfg.num_heads // cfg.num_kv_heads
+            b = lp.qkv_bias.reshape(grp, qpk + 2, hd)
+            q = q + b[:, :qpk].reshape(cfg.num_heads, hd)
+            k = k + b[:, qpk]
+            v = v + b[:, qpk + 1]
         q = apply_rope(q, positions, inv_freq)
         k = apply_rope(k, positions, inv_freq)
         kv = reshape_and_cache(

@@ -58,6 +58,18 @@ PARAM_SPECS = LlamaParams(
 CACHE_SPEC = P(None, "data", None, "model", None, None)
 
 
+def param_specs(attention_bias: bool = False) -> LlamaParams:
+    """PARAM_SPECS, extended with the qkv-bias leaf when the model
+    carries one (spec trees must match the param pytree structure —
+    ``None`` fields are structurally absent).  The fused grouped bias
+    column layout shards over ``model`` exactly like qkv_proj."""
+    if not attention_bias:
+        return PARAM_SPECS
+    return PARAM_SPECS._replace(
+        layers=PARAM_SPECS.layers._replace(qkv_bias=P(None, "model"))
+    )
+
+
 def row_parallel_matmul_overlapped(
     x: jax.Array,  # [T, K_local] local activations
     w: jax.Array,  # [K_local, N] local weight shard
@@ -104,7 +116,7 @@ def shard_params(params: LlamaParams, mesh: Mesh) -> LlamaParams:
     return jax.tree.map(
         lambda x, spec: jax.device_put(x, NamedSharding(mesh, spec)),
         params,
-        PARAM_SPECS,
+        param_specs(params.layers.qkv_bias is not None),
     )
 
 
@@ -144,6 +156,7 @@ def make_sharded_forward(
     """
     tp = mesh.shape["model"]
     lcfg = local_model_config(cfg, tp)
+    specs = param_specs(cfg.attention_bias)
 
     def step(
         params, token_ids, positions, kv_cache,
@@ -167,7 +180,7 @@ def make_sharded_forward(
         step,
         mesh=mesh,
         in_specs=(
-            PARAM_SPECS, batch_spec, batch_spec, CACHE_SPEC,
+            specs, batch_spec, batch_spec, CACHE_SPEC,
             batch_spec, batch_spec, batch_spec, batch_spec,
         ),
         out_specs=(P("data"), CACHE_SPEC),
@@ -203,6 +216,7 @@ def make_sharded_decode_steps(
 
     tp = mesh.shape["model"]
     lcfg = local_model_config(cfg, tp)
+    specs = param_specs(cfg.attention_bias)
 
     from vllm_triton_backend_tpu.runtime.sampler import SamplingTensors
 
@@ -262,7 +276,7 @@ def make_sharded_decode_steps(
         step,
         mesh=mesh,
         in_specs=(
-            PARAM_SPECS, b, b, b, b, b, CACHE_SPEC, b, P(),
+            specs, b, b, b, b, b, CACHE_SPEC, b, P(),
         ),
         out_specs=(b, b if with_logprob else None, b, b, P(), CACHE_SPEC),
         check_vma=False,
