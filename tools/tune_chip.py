@@ -110,9 +110,14 @@ def main(
                     jnp.bfloat16,
                 )
                 seq = max(1, max_seq - bs // 2)
+                # engine-realistic RANDOM page placement: sequential
+                # tables flatter the DMA pipeline (measured 36 vs 54
+                # us/layer, docs/decode_step_profile.md) and would tune
+                # chunk/depth for a pattern the engine never produces
                 bt = (
-                    np.arange(batch * pages, dtype=np.int32)
-                    .reshape(batch, pages) % (nb - 1)
+                    rng.permutation(batch * pages)
+                    .reshape(batch, pages)
+                    .astype(np.int32) % (nb - 1)
                 )
                 meta = make_metadata(
                     [1] * batch, [seq - 1] * batch, bt, bs
