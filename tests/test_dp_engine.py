@@ -92,3 +92,51 @@ def test_dp_engine_uses_all_replicas():
     stats = engine.stats()
     assert stats["finished"] == 4
     assert stats["generated_tokens"] == 16
+
+
+def test_dp_hybrid_engine_matches_single_chip():
+    """DP=2 hybrid: replica-local SSM slot pools (slots axis sharded
+    over the data mesh axis, reserved dead slot 0 per replica) and
+    per-replica KV trash pages — token-exact vs the single-chip engine
+    through per-step AND fused-session paths."""
+    if len(jax.devices()) < 2:
+        pytest.skip("needs 2 devices")
+    from vllm_triton_backend_tpu.models import hybrid
+
+    mc = ModelConfig.tiny(
+        dtype="float32",
+        num_layers=3,
+        layers_block_type=("mamba", "attention", "mamba"),
+        architecture="hybrid",
+    )
+    base = EngineConfig(
+        model=mc,
+        cache=CacheConfig(block_size=16, num_blocks=64),
+        scheduler=SchedulerConfig(
+            max_num_seqs=4,
+            max_num_batched_tokens=64,
+            max_model_len=128,
+            token_buckets=(8, 16, 32, 64),
+        ),
+    )
+    params = hybrid.init_params(mc, jax.random.key(2))
+    rng = np.random.default_rng(1)
+    prompts = [
+        rng.integers(0, mc.vocab_size, size=n).tolist()
+        for n in (6, 14, 9)
+    ]
+
+    def run(cfg, multistep):
+        engine = LLMEngine(cfg, params=params, multistep=multistep)
+        for p in prompts:
+            engine.add_request(p, SamplingParams(max_tokens=6))
+        out = {}
+        while engine.has_unfinished():
+            for o in engine.step():
+                out[o.req_id] = o.output_token_ids
+        return out
+
+    single = run(base, multistep=0)
+    dp_cfg = base.replace(parallel=ParallelConfig(data_parallel=2))
+    assert run(dp_cfg, multistep=0) == single
+    assert run(dp_cfg, multistep=4) == single

@@ -161,17 +161,18 @@ def make_kv_caches(
     num_blocks: int,
     block_size: int,
     cache_dtype: Any = None,
+    data_shards: int = 1,
 ) -> jax.Array:
     """Fused KV cache sized to the number of ATTENTION layers only
-    (head dim lane-padded + trailing trash page as in
+    (head dim lane-padded + per-data-shard trailing trash page as in
     llama.make_kv_caches)."""
     from vllm_triton_backend_tpu.utils import round_up
 
     dtype = cache_dtype or jnp.dtype(cfg.dtype)
     n_attn = sum(1 for t in block_types(cfg) if t == "attention")
     shape = (
-        max(n_attn, 1), num_blocks + 1, 2, cfg.num_kv_heads, block_size,
-        round_up(cfg.head_size, 128),
+        max(n_attn, 1), num_blocks + data_shards, 2, cfg.num_kv_heads,
+        block_size, round_up(cfg.head_size, 128),
     )
     return jnp.zeros(shape, dtype)
 

@@ -309,8 +309,10 @@ _ATTN_LAYER_SPECS = LayerParams(
     down_proj=P("model", None),
 )
 
-# state pools [Lm, slots, di, *]: channel dim over ``model``
-STATE_POOL_SPEC = P(None, None, "model", None)
+# state pools [Lm, slots, di, *]: channel dim over ``model``; the slots
+# axis shards over ``data`` (each replica owns a contiguous local slot
+# range with its own reserved dead slot 0, like the page-pool slices)
+STATE_POOL_SPEC = P(None, "data", "model", None)
 
 
 def _mamba_layer_specs():

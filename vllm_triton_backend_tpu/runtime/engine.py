@@ -158,8 +158,9 @@ class LLMEngine:
             # (stale) values there — a real request in slot 0 would race
             # with those duplicate-index writes.
             self._n_state_slots = 2 * sched_config.max_num_seqs + 3
+            # local slot per request; replica-local free lists (one list
+            # when dp == 1) — built after self.dp is known, see below
             self._slot_of: dict[str, int] = {}
-            self._free_slots = list(range(1, self._n_state_slots))
         elif params is None:
             params = llama.init_params(mc, jax.random.key(config.seed))
         self.params = params
@@ -194,7 +195,6 @@ class LLMEngine:
         self.tp = config.parallel.tensor_parallel
         self.pp = config.parallel.pipeline_parallel
         if self.dp > 1:
-            assert not self.is_hybrid, "DP hybrid engine not supported yet"
             assert cc.num_blocks % self.dp == 0
         if self.pp > 1:
             assert self.dp == 1 and not self.is_hybrid, (
@@ -248,6 +248,11 @@ class LLMEngine:
 
             self.mesh = make_cp_mesh(self.cp)
             self._cp_steps: dict = {}  # extras -> jitted cp forward
+        if self.is_hybrid:
+            self._free_slots = [
+                list(range(1, self._n_state_slots))
+                for _ in range(self.dp)
+            ]
         self._build_caches()
         # one scheduler per data replica, each over its local block slice
         local_cc = cc
@@ -291,19 +296,22 @@ class LLMEngine:
         else:
             self.k_scale = self.v_scale = 1.0
 
+    def _hyb_free_slot(self, req_id: str, replica: int) -> None:
+        slot = self._slot_of.pop(req_id, None)
+        if slot is not None:
+            self._free_slots[replica].append(slot)
+
     def abort_request(self, req_id: str) -> Request | None:
         """Stop a request wherever it lives (any replica scheduler);
         frees its pages (and hybrid SSM slot).  Returns the request, or
         None if unknown/already finished."""
-        for sched in self.schedulers:
+        for ri, sched in enumerate(self.schedulers):
             req = sched.requests.get(req_id)
             if req is None:
                 continue
             sched.abort_request(req_id)
             if self.is_hybrid:
-                slot = self._slot_of.pop(req_id, None)
-                if slot is not None:
-                    self._free_slots.append(slot)
+                self._hyb_free_slot(req_id, ri)
             return req
         return None
 
@@ -328,14 +336,13 @@ class LLMEngine:
         block_shards = max(self.dp, self.cp)
         kv = make_caches(
             mc, cc.num_blocks, cc.block_size, self._cache_dtype,
-            **(
-                {"data_shards": block_shards}
-                if not self.is_hybrid else {}
-            ),
+            data_shards=block_shards,
         )
         if self.is_hybrid:
+            # slots axis = dp contiguous replica-local ranges (each with
+            # its own reserved dead slot 0), sharded over ``data``
             conv, ssm = self._hybrid.make_state_pools(
-                mc, self._n_state_slots
+                mc, self.dp * self._n_state_slots
             )
             if self.tp > 1 or self.dp > 1:
                 from vllm_triton_backend_tpu.parallel.sharded import (
@@ -394,7 +401,10 @@ class LLMEngine:
                 n += sched.reset_for_recovery()
         if self.is_hybrid:
             self._slot_of.clear()
-            self._free_slots = list(range(1, self._n_state_slots))
+            self._free_slots = [
+                list(range(1, self._n_state_slots))
+                for _ in range(self.dp)
+            ]
         self._build_caches()
         return n
 
@@ -647,9 +657,9 @@ class LLMEngine:
                 sched.running.remove(r)
                 sched.allocator.free(r.req_id)
                 if self.is_hybrid:
-                    slot = self._slot_of.pop(r.req_id, None)
-                    if slot is not None:
-                        self._free_slots.append(slot)
+                    self._hyb_free_slot(
+                        r.req_id, self.schedulers.index(sched)
+                    )
         return finished
 
     def _launch_decode_chunk(
@@ -994,15 +1004,33 @@ class LLMEngine:
                 pages = sched.allocator.block_table(r.req_id)
                 tbl[di, i, : len(pages)] = pages
 
+        sidx_d = None
+        if self.is_hybrid:
+            sidx = np.full((d, s_pad), -1, np.int32)
+            for di, reqs in enumerate(reqs_r):
+                for i, r in enumerate(reqs):
+                    sidx[di, i] = self._slot_of[r.req_id]
+            sidx_d = jnp.asarray(sidx)
         step_key = (extras, k, greedy_only, with_logprob)
         step_fn = self._tp_decode_steps.get(step_key)
         if step_fn is None:
-            step_fn = make_sharded_decode_steps(
-                self.config.model, self.mesh, extras, k, bs,
-                greedy_only=greedy_only,
-                tp_overlap=self.config.parallel.overlap_collectives,
-                with_logprob=with_logprob,
-            )
+            if self.is_hybrid:
+                from vllm_triton_backend_tpu.parallel.sharded import (
+                    make_sharded_hybrid_decode_steps,
+                )
+
+                step_fn = make_sharded_hybrid_decode_steps(
+                    self.config.model, self.mesh, extras, k, bs,
+                    greedy_only=greedy_only,
+                    with_logprob=with_logprob,
+                )
+            else:
+                step_fn = make_sharded_decode_steps(
+                    self.config.model, self.mesh, extras, k, bs,
+                    greedy_only=greedy_only,
+                    tp_overlap=self.config.parallel.overlap_collectives,
+                    with_logprob=with_logprob,
+                )
             self._tp_decode_steps[step_key] = step_fn
 
         tokens_d = jnp.asarray(tokens)
@@ -1040,13 +1068,25 @@ class LLMEngine:
                 <= horizon
             )
             if launch:
-                (
-                    sampled, lps, tokens_d, lens_d, key_d, self.kv_cache,
-                ) = step_fn(
-                    self.params, tokens_d, lens_d, tbl_d, live_d,
-                    maxlen_d, self.kv_cache,
-                    st_d, key_d,
-                )
+                if self.is_hybrid:
+                    (
+                        sampled, lps, tokens_d, lens_d, key_d,
+                        self.kv_cache, self.conv_state, self.ssm_state,
+                    ) = step_fn(
+                        self.params, tokens_d, lens_d, tbl_d, live_d,
+                        maxlen_d, self.kv_cache,
+                        self.conv_state, self.ssm_state, sidx_d,
+                        st_d, key_d,
+                    )
+                else:
+                    (
+                        sampled, lps, tokens_d, lens_d, key_d,
+                        self.kv_cache,
+                    ) = step_fn(
+                        self.params, tokens_d, lens_d, tbl_d, live_d,
+                        maxlen_d, self.kv_cache,
+                        st_d, key_d,
+                    )
                 inflight += k
                 launched_total += k
                 chunks_launched += 1
@@ -1113,18 +1153,46 @@ class LLMEngine:
             st_d, pt_d, greedy, with_logprob, with_seeds,
         ) = self._sampling_inputs(req_groups, s_max, stacked=True)
 
-        step_fn = self._tp_steps.get(extras)
-        if step_fn is None:
-            step_fn = make_sharded_forward(
-                self.config.model, self.mesh, extras,
-                tp_overlap=self.config.parallel.overlap_collectives,
+        if self.is_hybrid:
+            from vllm_triton_backend_tpu.parallel.sharded import (
+                make_sharded_hybrid_forward,
             )
-            self._tp_steps[extras] = step_fn
-        logits, self.kv_cache = step_fn(
-            self.params, jnp.asarray(tok), jnp.asarray(pos),
-            self.kv_cache, jnp.asarray(qsl), jnp.asarray(sl),
-            jnp.asarray(tbl), jnp.asarray(slot),
-        )
+
+            state_idx = np.full((d, s_max), -1, np.int32)
+            for di, b in enumerate(batches):
+                for i, rid in enumerate(b.req_ids):
+                    if rid not in self._slot_of:
+                        self._slot_of[rid] = self._free_slots[di].pop()
+                    state_idx[di, i] = self._slot_of[rid]
+            step_fn = self._tp_steps.get(extras)
+            if step_fn is None:
+                step_fn = make_sharded_hybrid_forward(
+                    self.config.model, self.mesh, extras
+                )
+                self._tp_steps[extras] = step_fn
+            (
+                logits, self.kv_cache,
+                self.conv_state, self.ssm_state,
+            ) = step_fn(
+                self.params, jnp.asarray(tok), jnp.asarray(pos),
+                self.kv_cache, self.conv_state, self.ssm_state,
+                jnp.asarray(state_idx),
+                jnp.asarray(qsl), jnp.asarray(sl),
+                jnp.asarray(tbl), jnp.asarray(slot),
+            )
+        else:
+            step_fn = self._tp_steps.get(extras)
+            if step_fn is None:
+                step_fn = make_sharded_forward(
+                    self.config.model, self.mesh, extras,
+                    tp_overlap=self.config.parallel.overlap_collectives,
+                )
+                self._tp_steps[extras] = step_fn
+            logits, self.kv_cache = step_fn(
+                self.params, jnp.asarray(tok), jnp.asarray(pos),
+                self.kv_cache, jnp.asarray(qsl), jnp.asarray(sl),
+                jnp.asarray(tbl), jnp.asarray(slot),
+            )
         self._key, sub = jax.random.split(self._key)
         res = sample_replicas(
             logits, jnp.asarray(li), st_d, sub,
@@ -1142,6 +1210,9 @@ class LLMEngine:
                 b, sampled[di], self.eos_token_id,
                 lp[di] if lp is not None else None,
             )
+            if self.is_hybrid:
+                for r in finished:
+                    self._hyb_free_slot(r.req_id, di)
             outputs += self._outputs(finished)
         return outputs
 
@@ -1375,7 +1446,7 @@ class LLMEngine:
             )
             for i, rid in enumerate(batch.req_ids):
                 if rid not in self._slot_of:
-                    self._slot_of[rid] = self._free_slots.pop()
+                    self._slot_of[rid] = self._free_slots[0].pop()
                 state_idx[i] = self._slot_of[rid]
             if self.tp > 1:
                 from vllm_triton_backend_tpu.parallel.sharded import (
@@ -1461,9 +1532,7 @@ class LLMEngine:
         )
         if self.is_hybrid:
             for r in finished:
-                slot = self._slot_of.pop(r.req_id, None)
-                if slot is not None:
-                    self._free_slots.append(slot)
+                self._hyb_free_slot(r.req_id, 0)
         return self._outputs(finished)
 
 
