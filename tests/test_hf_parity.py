@@ -165,3 +165,57 @@ def test_qwen2_bias_is_applied_in_quantized_fused_path(tiny_qwen2_dir):
     # and the biased quantized logits stay close to the dense reference
     dense = logits_of(params)
     assert np.mean(np.abs(with_bias - dense)) < 0.1 * np.std(dense)
+
+
+@pytest.fixture(scope="module")
+def tiny_mixtral_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("tiny_mixtral_hf")
+    cfg = transformers.MixtralConfig(
+        vocab_size=256,
+        hidden_size=64,
+        intermediate_size=96,
+        num_hidden_layers=2,
+        num_attention_heads=4,
+        num_key_value_heads=2,
+        num_local_experts=4,
+        num_experts_per_tok=2,
+        max_position_embeddings=128,
+        rope_theta=10000.0,
+        tie_word_embeddings=False,
+    )
+    torch.manual_seed(2)
+    model = transformers.MixtralForCausalLM(cfg)
+    model.save_pretrained(d, safe_serialization=True)
+    return str(d), model
+
+
+def test_mixtral_prefill_logits_match_transformers(tiny_mixtral_dir):
+    """Mixtral = llama + sparse-MoE MLP (softmax-all -> top-k ->
+    renormalize router): logits parity proves the routing math and the
+    interleaved expert gate/up packing."""
+    d, hf_model = tiny_mixtral_dir
+    cfg, params = load_params(d, config_from_hf(d, dtype="float32"))
+    assert cfg.num_local_experts == 4 and cfg.num_experts_per_tok == 2
+    assert params.layers.moe_router is not None
+    assert params.layers.gate_proj is None
+
+    rng = np.random.default_rng(8)
+    prompt = rng.integers(0, cfg.vocab_size, size=14)
+
+    with torch.no_grad():
+        ref = hf_model(torch.tensor(prompt[None])).logits[0].numpy()
+
+    block_size, num_blocks = 16, 8
+    kv_cache = make_kv_caches(cfg, num_blocks, block_size)
+    bt = np.arange(2, dtype=np.int32).reshape(1, 2)
+    meta = make_metadata([len(prompt)], [0], bt, block_size)
+    logits, _ = forward(
+        params, cfg,
+        jnp.asarray(prompt, jnp.int32),
+        jnp.arange(len(prompt), dtype=jnp.int32),
+        kv_cache, meta,
+        ForwardExtras(max_query_len=16, max_seq_len=32),
+    )
+    np.testing.assert_allclose(
+        np.asarray(logits), ref, atol=5e-4, rtol=2e-3
+    )

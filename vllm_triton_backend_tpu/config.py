@@ -86,6 +86,11 @@ class ModelConfig:
     attention_bias: bool = False
     rope_scaling: dict | None = None  # llama3-style {"factor", "low_freq_factor", ...}
     rms_norm_eps: float = 1e-5
+    # Mixture-of-Experts MLP (Mixtral-family): 0 experts = dense MLP.
+    # Router: softmax over all experts -> top-k -> renormalize (HF
+    # Mixtral semantics).
+    num_local_experts: int = 0
+    num_experts_per_tok: int = 2
     max_position_embeddings: int = 2048
     tie_word_embeddings: bool = False
     dtype: str = "bfloat16"

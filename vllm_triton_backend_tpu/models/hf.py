@@ -27,6 +27,7 @@ _SUPPORTED = {
     "GraniteForCausalLM",
     "MistralForCausalLM",
     "Qwen2ForCausalLM",  # llama + qkv biases (attention_bias)
+    "MixtralForCausalLM",  # llama + sparse MoE MLP
 }
 _SUPPORTED_SSM = {"MambaForCausalLM"}
 
@@ -61,6 +62,9 @@ def config_from_hf(model_dir: str, **overrides) -> ModelConfig:
                 "attention_bias", arch == "Qwen2ForCausalLM"
             )
         ),
+        # Mixtral-family sparse MoE MLP
+        num_local_experts=int(hf.get("num_local_experts", 0)),
+        num_experts_per_tok=int(hf.get("num_experts_per_tok", 2)),
         sliding_window=hf.get("sliding_window"),
         # granite multipliers (absent for plain llama -> identity)
         embedding_multiplier=float(hf.get("embedding_multiplier", 1.0)),
@@ -166,6 +170,61 @@ def load_params(
             stack_norm(p + "self_attn.v_proj.bias"),
             cfg.num_kv_heads, cfg.head_size,
         )
+    moe = {}
+    if cfg.num_local_experts > 0:
+        from vllm_triton_backend_tpu.models.llama import fuse_gate_up
+
+        e = cfg.num_local_experts
+        bp = p + "block_sparse_moe."
+        moe = dict(
+            gate_proj=None, up_proj=None, down_proj=None,
+            # HF router Linear [E, h] -> [h, E]
+            moe_router=stack_linear(bp + "gate.weight"),
+            # per-expert w1 (gate) / w3 (up) interleaved, w2 (down)
+            moe_gate_up=jnp.stack(
+                [
+                    jnp.stack(
+                        [
+                            fuse_gate_up(
+                                jnp.asarray(
+                                    get(
+                                        bp.format(i)
+                                        + f"experts.{x}.w1.weight"
+                                    ).T,
+                                    dtype=dtype,
+                                ),
+                                jnp.asarray(
+                                    get(
+                                        bp.format(i)
+                                        + f"experts.{x}.w3.weight"
+                                    ).T,
+                                    dtype=dtype,
+                                ),
+                            )
+                            for x in range(e)
+                        ]
+                    )
+                    for i in range(nl)
+                ]
+            ),
+            moe_down=jnp.stack(
+                [
+                    jnp.stack(
+                        [
+                            jnp.asarray(
+                                get(
+                                    bp.format(i)
+                                    + f"experts.{x}.w2.weight"
+                                ).T,
+                                dtype=dtype,
+                            )
+                            for x in range(e)
+                        ]
+                    )
+                    for i in range(nl)
+                ]
+            ),
+        )
     layers = LayerParams(
         input_norm=stack_norm(p + "input_layernorm.weight"),
         q_proj=stack_linear(p + "self_attn.q_proj.weight"),
@@ -173,9 +232,13 @@ def load_params(
         v_proj=stack_linear(p + "self_attn.v_proj.weight"),
         o_proj=stack_linear(p + "self_attn.o_proj.weight"),
         post_attn_norm=stack_norm(p + "post_attention_layernorm.weight"),
-        gate_proj=stack_linear(p + "mlp.gate_proj.weight"),
-        up_proj=stack_linear(p + "mlp.up_proj.weight"),
-        down_proj=stack_linear(p + "mlp.down_proj.weight"),
+        **(
+            moe or dict(
+                gate_proj=stack_linear(p + "mlp.gate_proj.weight"),
+                up_proj=stack_linear(p + "mlp.up_proj.weight"),
+                down_proj=stack_linear(p + "mlp.down_proj.weight"),
+            )
+        ),
         qkv_bias=qkv_bias,
     )
     embed = jnp.asarray(state["model.embed_tokens.weight"], dtype=dtype)

@@ -83,6 +83,16 @@ class LayerParams(NamedTuple):
     # [G*(qpk+2)*head] (same layout for the fused and per-projection
     # paths; stays dense under weight quantization)
     qkv_bias: Any = None
+    # Mixture-of-Experts MLP (Mixtral-family; cfg.num_local_experts > 0):
+    # router [hidden, E] replicated; expert ffn weights stacked on a
+    # leading expert axis — gate/up interleaved like gate_up_proj.
+    # Sharding the EXPERT axis over ``model`` is expert parallelism
+    # (each shard computes its local experts' masked contributions and
+    # one psum combines — fills SURVEY §2.6's EP row).  When set, the
+    # dense gate/up/down fields are None.
+    moe_router: Any = None  # [hidden, E]
+    moe_gate_up: Any = None  # [E, hidden, 2*I] interleaved
+    moe_down: Any = None  # [E, I, hidden]
 
 
 class LlamaParams(NamedTuple):
@@ -105,6 +115,8 @@ def init_params(cfg: ModelConfig, key: jax.Array) -> LlamaParams:
         ).astype(dtype)
 
     embed = init(keys[0], (cfg.vocab_size, h), h)
+    moe = cfg.num_local_experts > 0
+    e = cfg.num_local_experts
     layers = LayerParams(
         input_norm=jnp.ones((nl, h), dtype),
         q_proj=init(keys[1], (nl, h, cfg.num_heads * hd), h),
@@ -112,9 +124,18 @@ def init_params(cfg: ModelConfig, key: jax.Array) -> LlamaParams:
         v_proj=init(keys[3], (nl, h, cfg.num_kv_heads * hd), h),
         o_proj=init(keys[4], (nl, cfg.num_heads * hd, h), cfg.num_heads * hd),
         post_attn_norm=jnp.ones((nl, h), dtype),
-        gate_proj=init(keys[5], (nl, h, inter), h),
-        up_proj=init(keys[6], (nl, h, inter), h),
-        down_proj=init(keys[7], (nl, inter, h), inter),
+        gate_proj=None if moe else init(keys[5], (nl, h, inter), h),
+        up_proj=None if moe else init(keys[6], (nl, h, inter), h),
+        down_proj=None if moe else init(keys[7], (nl, inter, h), inter),
+        moe_router=(
+            init(keys[5], (nl, h, e), h) if moe else None
+        ),
+        moe_gate_up=(
+            init(keys[6], (nl, e, h, 2 * inter), h) if moe else None
+        ),
+        moe_down=(
+            init(keys[7], (nl, e, inter, h), inter) if moe else None
+        ),
         qkv_bias=(
             fuse_qkv_bias(
                 init(keys[9], (nl, cfg.num_heads * hd), h),
@@ -134,6 +155,43 @@ def init_params(cfg: ModelConfig, key: jax.Array) -> LlamaParams:
         final_norm=jnp.ones((h,), dtype),
         lm_head=lm_head,
     )
+
+
+def _moe_mlp(lp, cfg: ModelConfig, x: jax.Array, dtype, tp_axis):
+    """Mixtral-style sparse MLP (HF semantics: softmax over ALL experts
+    -> top-k -> renormalize).  Each (local) expert runs a dense matmul
+    over the whole token batch with a per-token routing weight mask —
+    decode batches are weight-streaming-bound so the extra FLOPs are
+    free; prefill pays E/k extra compute (v1; a megablox-style grouped
+    matmul is the known upgrade).  With the expert axis sharded over
+    ``tp_axis`` (expert parallelism) each shard computes its local
+    experts and the caller psums the combine."""
+    t, h = x.shape
+    k = cfg.num_experts_per_tok
+    probs = jax.nn.softmax(
+        (x @ lp.moe_router).astype(jnp.float32), axis=-1
+    )  # [T, E_global]
+    topw, topi = jax.lax.top_k(probs, k)
+    topw = topw / jnp.sum(topw, axis=-1, keepdims=True)
+    e_local = lp.moe_gate_up.shape[0]
+    off = (
+        jax.lax.axis_index(tp_axis) * e_local if tp_axis else 0
+    )
+    out = jnp.zeros((t, h), jnp.float32)
+    for el in range(e_local):  # static unroll (E is small)
+        ge = off + el
+        w_t = jnp.sum(
+            jnp.where(topi == ge, topw, 0.0), axis=-1
+        )  # [T] f32
+        gu = (x @ lp.moe_gate_up[el]).reshape(t, -1, 2)
+        act = (
+            jax.nn.silu(gu[..., 0].astype(jnp.float32)).astype(dtype)
+            * gu[..., 1]
+        )
+        out = out + (act @ lp.moe_down[el]).astype(
+            jnp.float32
+        ) * w_t[:, None]
+    return out.astype(x.dtype)
 
 
 def rms_norm(x: jax.Array, weight: jax.Array, eps: float) -> jax.Array:
@@ -413,6 +471,12 @@ def forward_fn(
         h_mid = h_in + attn_out * cfg.residual_multiplier
 
         normed2 = rms_norm(h_mid, lp.post_attn_norm, cfg.rms_norm_eps)
+        if lp.moe_router is not None:
+            mlp = _moe_mlp(lp, cfg, normed2, dtype, tp_axis)
+            if tp_axis is not None:  # EP combine across expert shards
+                mlp = jax.lax.psum(mlp, tp_axis)
+            h_out = h_mid + mlp * cfg.residual_multiplier
+            return (h_out, kv), None
         if lp.gate_up_proj is not None:
             gu = lin(normed2, lp.gate_up_proj).reshape(
                 t, cfg.intermediate_size, 2
@@ -624,6 +688,9 @@ def quantize_params(
     qw = functools.partial(quantize_weights, dtype=dtype)
     stacked = jax.vmap(qw)
     lyr = params.layers
+    assert lyr.moe_router is None, (
+        "weight-only quantized MoE experts: later phase"
+    )
     if cfg is not None:
         layers = lyr._replace(
             q_proj=None,

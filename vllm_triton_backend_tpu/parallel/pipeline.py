@@ -40,6 +40,7 @@ from vllm_triton_backend_tpu.models.llama import (
     ForwardExtras,
     LayerParams,
     LlamaParams,
+    _moe_mlp,
     _rope_inv_freq,
     apply_rope,
     rms_norm,
@@ -50,34 +51,39 @@ from vllm_triton_backend_tpu.ops.pallas.cache_ops import reshape_and_cache
 from vllm_triton_backend_tpu.ops.pallas.quant_linear import linear
 
 def pp_param_specs(
-    tp: bool = False, attention_bias: bool = False
+    tp: bool = False, attention_bias: bool = False, moe: bool = False
 ) -> LlamaParams:
     """Layer stacks shard over "stage"; with ``tp`` the projections also
     shard over "model" (column for qkv/gate/up, row for o/down — the
     sharded.py Megatron layout with a leading stacked-layer axis)."""
     col = P("stage", None, "model") if tp else P("stage")
     row = P("stage", "model", None) if tp else P("stage")
+    kw = dict(
+        input_norm=P("stage"),
+        q_proj=col,
+        k_proj=col,
+        v_proj=col,
+        o_proj=row,
+        post_attn_norm=P("stage"),
+        gate_proj=col,
+        up_proj=col,
+        down_proj=row,
+    )
+    if attention_bias:
+        kw["qkv_bias"] = P("stage", "model") if tp else P("stage")
+    if moe:
+        kw.update(
+            moe_router=P("stage"),
+            moe_gate_up=P("stage", "model") if tp else P("stage"),
+            moe_down=P("stage", "model") if tp else P("stage"),
+            # dense MLP leaves absent on MoE models
+            gate_proj=None,
+            up_proj=None,
+            down_proj=None,
+        )
     return LlamaParams(
         embed=P(),
-        layers=LayerParams(
-            input_norm=P("stage"),
-            q_proj=col,
-            k_proj=col,
-            v_proj=col,
-            o_proj=row,
-            post_attn_norm=P("stage"),
-            gate_proj=col,
-            up_proj=col,
-            down_proj=row,
-            **(
-                {
-                    "qkv_bias": (
-                        P("stage", "model") if tp else P("stage")
-                    )
-                }
-                if attention_bias else {}
-            ),
-        ),
+        layers=LayerParams(**kw),
         final_norm=P(),
         lm_head=P(None, "model") if tp else P(),
     )
@@ -109,6 +115,7 @@ def shard_params_pp(params: LlamaParams, mesh: Mesh) -> LlamaParams:
     specs = pp_param_specs(
         tp="model" in mesh.axis_names,
         attention_bias=params.layers.qkv_bias is not None,
+        moe=params.layers.moe_router is not None,
     )
     return jax.tree.map(
         lambda x, spec: jax.device_put(x, NamedSharding(mesh, spec)),
@@ -168,6 +175,9 @@ def _stage_forward(
         )
         h_mid = h_in + reduce(linear(attn.reshape(t, -1), lp.o_proj))
         normed2 = rms_norm(h_mid, lp.post_attn_norm, cfg.rms_norm_eps)
+        if lp.moe_router is not None:
+            mlp = reduce(_moe_mlp(lp, cfg, normed2, dtype, tp_axis))
+            return (h_mid + mlp, kv), None
         gate = jax.nn.silu(linear(normed2, lp.gate_proj).astype(jnp.float32))
         mlp = reduce(linear(
             gate.astype(dtype) * linear(normed2, lp.up_proj), lp.down_proj
@@ -290,7 +300,11 @@ def make_pp_forward(
         step,
         mesh=mesh,
         in_specs=(
-            pp_param_specs(tp=tp > 1), batch_spec, batch_spec, cache_spec,
+            pp_param_specs(
+                tp=tp > 1,
+                attention_bias=cfg.attention_bias,
+                moe=cfg.num_local_experts > 0,
+            ), batch_spec, batch_spec, cache_spec,
             batch_spec, batch_spec, batch_spec, batch_spec,
         ),
         out_specs=(P(), cache_spec),

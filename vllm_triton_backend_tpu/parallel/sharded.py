@@ -58,15 +58,31 @@ PARAM_SPECS = LlamaParams(
 CACHE_SPEC = P(None, "data", None, "model", None, None)
 
 
-def param_specs(attention_bias: bool = False) -> LlamaParams:
-    """PARAM_SPECS, extended with the qkv-bias leaf when the model
-    carries one (spec trees must match the param pytree structure —
-    ``None`` fields are structurally absent).  The fused grouped bias
-    column layout shards over ``model`` exactly like qkv_proj."""
-    if not attention_bias:
+def param_specs(
+    attention_bias: bool = False, moe: bool = False
+) -> LlamaParams:
+    """PARAM_SPECS, extended with the optional leaves the model carries
+    (spec trees must match the param pytree structure — ``None`` fields
+    are structurally absent).  The fused grouped bias column layout
+    shards over ``model`` exactly like qkv_proj; MoE expert stacks shard
+    their EXPERT axis over ``model`` (expert parallelism — each shard
+    computes its local experts, one psum combines) with the router
+    replicated."""
+    extra = {}
+    if attention_bias:
+        extra["qkv_bias"] = P(None, "model")
+    if moe:
+        extra["moe_router"] = P(None, None, None)
+        extra["moe_gate_up"] = P(None, "model", None, None)
+        extra["moe_down"] = P(None, "model", None, None)
+        # dense MLP leaves are structurally absent on MoE models
+        extra["gate_proj"] = None
+        extra["up_proj"] = None
+        extra["down_proj"] = None
+    if not extra:
         return PARAM_SPECS
     return PARAM_SPECS._replace(
-        layers=PARAM_SPECS.layers._replace(qkv_bias=P(None, "model"))
+        layers=PARAM_SPECS.layers._replace(**extra)
     )
 
 
@@ -116,7 +132,10 @@ def shard_params(params: LlamaParams, mesh: Mesh) -> LlamaParams:
     return jax.tree.map(
         lambda x, spec: jax.device_put(x, NamedSharding(mesh, spec)),
         params,
-        param_specs(params.layers.qkv_bias is not None),
+        param_specs(
+            params.layers.qkv_bias is not None,
+            params.layers.moe_router is not None,
+        ),
     )
 
 
@@ -156,7 +175,13 @@ def make_sharded_forward(
     """
     tp = mesh.shape["model"]
     lcfg = local_model_config(cfg, tp)
-    specs = param_specs(cfg.attention_bias)
+    specs = param_specs(
+        cfg.attention_bias, cfg.num_local_experts > 0
+    )
+    if cfg.num_local_experts:
+        assert cfg.num_local_experts % tp == 0, (
+            "expert count must divide the model axis"
+        )
 
     def step(
         params, token_ids, positions, kv_cache,
@@ -216,7 +241,13 @@ def make_sharded_decode_steps(
 
     tp = mesh.shape["model"]
     lcfg = local_model_config(cfg, tp)
-    specs = param_specs(cfg.attention_bias)
+    specs = param_specs(
+        cfg.attention_bias, cfg.num_local_experts > 0
+    )
+    if cfg.num_local_experts:
+        assert cfg.num_local_experts % tp == 0, (
+            "expert count must divide the model axis"
+        )
 
     from vllm_triton_backend_tpu.runtime.sampler import SamplingTensors
 
