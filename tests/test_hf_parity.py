@@ -219,3 +219,111 @@ def test_mixtral_prefill_logits_match_transformers(tiny_mixtral_dir):
     np.testing.assert_allclose(
         np.asarray(logits), ref, atol=5e-4, rtol=2e-3
     )
+
+
+@pytest.fixture(scope="module")
+def tiny_gemma2_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("tiny_gemma2_hf")
+    cfg = transformers.Gemma2Config(
+        vocab_size=256,
+        hidden_size=64,
+        intermediate_size=128,
+        num_hidden_layers=2,
+        num_attention_heads=4,
+        num_key_value_heads=2,
+        head_dim=16,
+        max_position_embeddings=128,
+        rope_theta=10000.0,
+        query_pre_attn_scalar=16,
+        attn_logit_softcapping=50.0,
+        final_logit_softcapping=30.0,
+        sliding_window=8,  # < prompt length so the even layer truly slides
+        tie_word_embeddings=True,
+    )
+    torch.manual_seed(3)
+    model = transformers.Gemma2ForCausalLM(cfg)
+    model.save_pretrained(d, safe_serialization=True)
+    return str(d), model
+
+
+def test_gemma2_prefill_logits_match_transformers(tiny_gemma2_dir):
+    """Gemma-2 = sandwich norms, (1+w) RMSNorm, gelu-tanh, sqrt(h)
+    embedding scale, attn+final logit softcaps, ALTERNATING sliding
+    window (per-layer pattern scan).  The prompt exceeds the window so
+    the even layer's slide actually bites."""
+    d, hf_model = tiny_gemma2_dir
+    cfg, params = load_params(d, config_from_hf(d, dtype="float32"))
+    assert cfg.sandwich_norms and cfg.norm_add_unit_offset
+    assert cfg.sliding_window_pattern == (8, None)
+    assert cfg.hidden_act == "gelu_tanh"
+    assert params.layers.pre_ffw_norm is not None
+
+    rng = np.random.default_rng(9)
+    prompt = rng.integers(0, cfg.vocab_size, size=24)
+
+    with torch.no_grad():
+        ref = hf_model(torch.tensor(prompt[None])).logits[0].numpy()
+
+    block_size, num_blocks = 16, 8
+    kv_cache = make_kv_caches(cfg, num_blocks, block_size)
+    bt = np.arange(2, dtype=np.int32).reshape(1, 2)
+    meta = make_metadata([len(prompt)], [0], bt, block_size)
+    logits, _ = forward(
+        params, cfg,
+        jnp.asarray(prompt, jnp.int32),
+        jnp.arange(len(prompt), dtype=jnp.int32),
+        kv_cache, meta,
+        ForwardExtras(max_query_len=32, max_seq_len=32),
+    )
+    np.testing.assert_allclose(
+        np.asarray(logits), ref, atol=5e-4, rtol=2e-3
+    )
+
+
+def test_gemma2_engine_paths(tiny_gemma2_dir):
+    """Gemma-2 through the full engine: fused decode sessions and TP=2
+    match the per-step single-chip run (pattern-scan + sandwich norms
+    through every engine path)."""
+    import jax
+
+    from vllm_triton_backend_tpu.config import (
+        CacheConfig,
+        EngineConfig,
+        ParallelConfig,
+        SchedulerConfig,
+    )
+    from vllm_triton_backend_tpu.runtime.engine import LLMEngine
+    from vllm_triton_backend_tpu.runtime.sampler import SamplingParams
+
+    d, _ = tiny_gemma2_dir
+    cfg, params = load_params(d, config_from_hf(d, dtype="float32"))
+    ecfg = EngineConfig(
+        model=cfg,
+        cache=CacheConfig(block_size=16, num_blocks=64),
+        scheduler=SchedulerConfig(
+            max_num_seqs=4,
+            max_num_batched_tokens=64,
+            max_model_len=128,
+            token_buckets=(8, 16, 32, 64),
+        ),
+    )
+    rng = np.random.default_rng(10)
+    prompts = [
+        rng.integers(0, cfg.vocab_size, size=n).tolist() for n in (21, 9)
+    ]
+
+    def run(c, multistep):
+        eng = LLMEngine(c, params=params, multistep=multistep)
+        for p in prompts:
+            eng.add_request(p, SamplingParams(max_tokens=6))
+        out = {}
+        while eng.has_unfinished():
+            for o in eng.step():
+                out[o.req_id] = o.output_token_ids
+        return out
+
+    per_step = run(ecfg, 0)
+    assert run(ecfg, 4) == per_step
+    if len(jax.devices()) >= 2:
+        tp = ecfg.replace(parallel=ParallelConfig(tensor_parallel=2))
+        assert run(tp, 0) == per_step

@@ -102,6 +102,22 @@ class ModelConfig:
     # Sliding-window attention (None = full causal), reference
     # backend/triton_attn.py:314-317 semantics: window of (w-1) past tokens.
     sliding_window: int | None = None
+    # Per-layer sliding-window PATTERN (gemma-2/3 style): layer i uses
+    # entry i % len(pattern); None entry = full causal. The layer scan
+    # runs over pattern-period blocks so each position keeps a static
+    # window. None = uniform (plain ``sliding_window``).
+    sliding_window_pattern: tuple | None = None
+    # Gemma-family block shape: RMSNorm weights stored as (w - 1) with a
+    # unit offset applied at use; sandwich norms (post-attention and
+    # post-feedforward norms applied to the SUBLAYER OUTPUT before the
+    # residual add, plus a pre-feedforward norm).
+    norm_add_unit_offset: bool = False
+    sandwich_norms: bool = False
+    # MLP activation: "silu" (llama) or "gelu_tanh" (gemma)
+    hidden_act: str = "silu"
+    # lm_head logit softcapping (gemma-2; 0 = off) — applied before
+    # logits_scaling
+    final_logit_softcap: float = 0.0
     # Attention logit softcapping (0 = off), reference
     # kernels/triton_unified_attention.py:25-29 tanh softcap semantics.
     logits_soft_cap: float = 0.0

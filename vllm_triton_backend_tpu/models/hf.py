@@ -28,6 +28,7 @@ _SUPPORTED = {
     "MistralForCausalLM",
     "Qwen2ForCausalLM",  # llama + qkv biases (attention_bias)
     "MixtralForCausalLM",  # llama + sparse MoE MLP
+    "Gemma2ForCausalLM",  # sandwich norms, gelu-tanh, alt. sliding win
 }
 _SUPPORTED_SSM = {"MambaForCausalLM"}
 
@@ -65,11 +66,45 @@ def config_from_hf(model_dir: str, **overrides) -> ModelConfig:
         # Mixtral-family sparse MoE MLP
         num_local_experts=int(hf.get("num_local_experts", 0)),
         num_experts_per_tok=int(hf.get("num_experts_per_tok", 2)),
-        sliding_window=hf.get("sliding_window"),
+        # gemma-2 block shape
+        sandwich_norms=arch == "Gemma2ForCausalLM",
+        norm_add_unit_offset=arch == "Gemma2ForCausalLM",
+        hidden_act=(
+            "gelu_tanh"
+            if hf.get("hidden_activation", hf.get("hidden_act"))
+            in ("gelu_pytorch_tanh", "gelu_tanh") else "silu"
+        ),
+        final_logit_softcap=float(
+            hf.get("final_logit_softcapping") or 0.0
+        ),
+        logits_soft_cap=float(
+            hf.get("attn_logit_softcapping") or 0.0
+        ),
+        # gemma-2: EVEN layers slide (HF `not bool(layer_idx % 2)`),
+        # odd layers are full-context
+        sliding_window_pattern=(
+            (hf["sliding_window"], None)
+            if arch == "Gemma2ForCausalLM" and hf.get("sliding_window")
+            else None
+        ),
+        # gemma scales embeddings by sqrt(hidden)
+        embedding_multiplier=(
+            float(hf["hidden_size"]) ** 0.5
+            if arch == "Gemma2ForCausalLM"
+            else float(hf.get("embedding_multiplier", 1.0))
+        ),
+        attention_multiplier=(
+            float(hf["query_pre_attn_scalar"]) ** -0.5
+            if hf.get("query_pre_attn_scalar")
+            else hf.get("attention_multiplier")
+        ),
+        sliding_window=(
+            # gemma-2's window applies via the per-layer pattern only
+            None if arch == "Gemma2ForCausalLM"
+            else hf.get("sliding_window")
+        ),
         # granite multipliers (absent for plain llama -> identity)
-        embedding_multiplier=float(hf.get("embedding_multiplier", 1.0)),
         residual_multiplier=float(hf.get("residual_multiplier", 1.0)),
-        attention_multiplier=hf.get("attention_multiplier"),
         logits_scaling=float(hf.get("logits_scaling", 1.0)),
     )
     kw.update(overrides)
@@ -240,6 +275,17 @@ def load_params(
             )
         ),
         qkv_bias=qkv_bias,
+        # gemma-2 sandwich norms
+        pre_ffw_norm=(
+            stack_norm(p + "pre_feedforward_layernorm.weight")
+            if (p.format(0) + "pre_feedforward_layernorm.weight")
+            in state else None
+        ),
+        post_ffw_norm=(
+            stack_norm(p + "post_feedforward_layernorm.weight")
+            if (p.format(0) + "post_feedforward_layernorm.weight")
+            in state else None
+        ),
     )
     embed = jnp.asarray(state["model.embed_tokens.weight"], dtype=dtype)
     if cfg.tie_word_embeddings or "lm_head.weight" not in state:

@@ -93,6 +93,11 @@ class LayerParams(NamedTuple):
     moe_router: Any = None  # [hidden, E]
     moe_gate_up: Any = None  # [E, hidden, 2*I] interleaved
     moe_down: Any = None  # [E, I, hidden]
+    # gemma-2 sandwich norms (cfg.sandwich_norms): post_attn_norm then
+    # applies to the ATTENTION OUTPUT (not the MLP input); these two
+    # cover the pre-/post-feedforward positions
+    pre_ffw_norm: Any = None  # [hidden]
+    post_ffw_norm: Any = None  # [hidden]
 
 
 class LlamaParams(NamedTuple):
@@ -145,6 +150,12 @@ def init_params(cfg: ModelConfig, key: jax.Array) -> LlamaParams:
             )
             if cfg.attention_bias else None
         ),
+        pre_ffw_norm=(
+            jnp.ones((nl, h), dtype) if cfg.sandwich_norms else None
+        ),
+        post_ffw_norm=(
+            jnp.ones((nl, h), dtype) if cfg.sandwich_norms else None
+        ),
     )
     lm_head = embed.T if cfg.tie_word_embeddings else init(
         keys[8], (h, cfg.vocab_size), h
@@ -194,10 +205,21 @@ def _moe_mlp(lp, cfg: ModelConfig, x: jax.Array, dtype, tp_axis):
     return out.astype(x.dtype)
 
 
-def rms_norm(x: jax.Array, weight: jax.Array, eps: float) -> jax.Array:
+def rms_norm(
+    x: jax.Array, weight: jax.Array, eps: float,
+    unit_offset: bool = False,
+) -> jax.Array:
+    """``unit_offset``: gemma stores RMSNorm weights as (w - 1) and
+    applies (1 + w) — matmul in f32 like HF (the offset add happens in
+    the norm's f32 domain)."""
     xf = x.astype(jnp.float32)
     var = jnp.mean(xf * xf, axis=-1, keepdims=True)
-    return (xf * jax.lax.rsqrt(var + eps)).astype(x.dtype) * weight
+    normed = xf * jax.lax.rsqrt(var + eps)
+    if unit_offset:
+        return (
+            normed * (1.0 + weight.astype(jnp.float32))
+        ).astype(x.dtype)
+    return normed.astype(x.dtype) * weight
 
 
 def _rope_inv_freq(cfg: ModelConfig) -> jax.Array:
@@ -335,7 +357,7 @@ def forward_fn(
         QuantizedLinear,
     )
 
-    def layer_body(carry, xs):
+    def layer_body(carry, xs, sw=cfg.sliding_window):
         h_in, kv = carry
         t = token_ids.shape[0]
         if quantized:
@@ -349,7 +371,10 @@ def forward_fn(
             lp, slot, owns_kv = xs
             lin = linear
 
-        normed = rms_norm(h_in, lp.input_norm, cfg.rms_norm_eps)
+        normed = rms_norm(
+            h_in, lp.input_norm, cfg.rms_norm_eps,
+            cfg.norm_add_unit_offset,
+        )
         qkv_bias = lp.qkv_bias
         if quantized and qkv_bias is not None:
             # quantized weights live outside the scan; the (tiny, dense)
@@ -432,7 +457,7 @@ def forward_fn(
                 write_slots[:num_seqs],
                 scale=cfg.attn_scale,
                 max_seq_len=extras.max_seq_len,
-                sliding_window=cfg.sliding_window or 0,
+                sliding_window=sw or 0,
                 logits_soft_cap=cfg.logits_soft_cap,
                 k_scale=extras.k_scale,
                 v_scale=extras.v_scale,
@@ -459,7 +484,7 @@ def forward_fn(
                 scale=cfg.attn_scale,
                 max_query_len=extras.max_query_len,
                 max_seq_len=extras.max_seq_len,
-                sliding_window=cfg.sliding_window or 0,
+                sliding_window=sw or 0,
                 logits_soft_cap=cfg.logits_soft_cap,
                 k_scale=extras.k_scale,
                 v_scale=extras.v_scale,
@@ -468,27 +493,46 @@ def forward_fn(
         attn_out = reduce_proj(
             lin, attn.reshape(t, cfg.num_heads * hd), lp.o_proj
         )
-        h_mid = h_in + attn_out * cfg.residual_multiplier
-
-        normed2 = rms_norm(h_mid, lp.post_attn_norm, cfg.rms_norm_eps)
+        uo = cfg.norm_add_unit_offset
+        if cfg.sandwich_norms:
+            # gemma-2 block: post-attn norm applies to the SUBLAYER
+            # OUTPUT before the residual; the MLP gets its own pre-norm
+            attn_out = rms_norm(
+                attn_out, lp.post_attn_norm, cfg.rms_norm_eps, uo
+            )
+            h_mid = h_in + attn_out * cfg.residual_multiplier
+            normed2 = rms_norm(
+                h_mid, lp.pre_ffw_norm, cfg.rms_norm_eps, uo
+            )
+        else:
+            h_mid = h_in + attn_out * cfg.residual_multiplier
+            normed2 = rms_norm(
+                h_mid, lp.post_attn_norm, cfg.rms_norm_eps, uo
+            )
         if lp.moe_router is not None:
             mlp = _moe_mlp(lp, cfg, normed2, dtype, tp_axis)
             if tp_axis is not None:  # EP combine across expert shards
                 mlp = jax.lax.psum(mlp, tp_axis)
             h_out = h_mid + mlp * cfg.residual_multiplier
             return (h_out, kv), None
+        act = (
+            functools.partial(jax.nn.gelu, approximate=True)
+            if cfg.hidden_act == "gelu_tanh" else jax.nn.silu
+        )
         if lp.gate_up_proj is not None:
             gu = lin(normed2, lp.gate_up_proj).reshape(
                 t, cfg.intermediate_size, 2
             )
-            gate = jax.nn.silu(gu[..., 0].astype(jnp.float32))
+            gate = act(gu[..., 0].astype(jnp.float32))
             up = gu[..., 1]
         else:
-            gate = jax.nn.silu(
+            gate = act(
                 lin(normed2, lp.gate_proj).astype(jnp.float32)
             )
             up = lin(normed2, lp.up_proj)
         mlp = reduce_proj(lin, gate.astype(dtype) * up, lp.down_proj)
+        if cfg.sandwich_norms:
+            mlp = rms_norm(mlp, lp.post_ffw_norm, cfg.rms_norm_eps, uo)
         h_out = h_mid + mlp * cfg.residual_multiplier
         return (h_out, kv), None
 
@@ -508,13 +552,43 @@ def forward_fn(
         )
     else:
         scan_xs = (layers, slots_arr, owns_arr)
-    (x, kv_cache), _ = jax.lax.scan(
-        layer_body, (x, kv_cache), scan_xs
-    )
+    pattern = cfg.sliding_window_pattern
+    if pattern is None:
+        (x, kv_cache), _ = jax.lax.scan(
+            layer_body, (x, kv_cache), scan_xs
+        )
+    else:
+        # Per-layer sliding-window PATTERN (gemma-2/3): the scan runs
+        # over pattern-period layer BLOCKS with the period's bodies
+        # unrolled inside, so each position keeps a STATIC window for
+        # the attention kernels.  One traced block regardless of depth.
+        period = len(pattern)
+        assert cfg.num_layers % period == 0, (
+            "num_layers must divide the sliding-window pattern period"
+        )
+
+        def reblock(a):
+            return a.reshape(
+                (cfg.num_layers // period, period) + a.shape[1:]
+            )
+
+        blocked_xs = jax.tree.map(reblock, scan_xs)
+
+        def block_body(carry, xs_block):
+            for p_i in range(period):
+                xs_p = jax.tree.map(lambda a: a[p_i], xs_block)
+                carry, _ = layer_body(carry, xs_p, sw=pattern[p_i])
+            return carry, None
+
+        (x, kv_cache), _ = jax.lax.scan(
+            block_body, (x, kv_cache), blocked_xs
+        )
 
     if logits_indices is not None:
         x = x[logits_indices]
-    x = rms_norm(x, params.final_norm, cfg.rms_norm_eps)
+    x = rms_norm(
+        x, params.final_norm, cfg.rms_norm_eps, cfg.norm_add_unit_offset
+    )
     logits = linear(x, params.lm_head).astype(jnp.float32)
     if tp_axis:
         # lm_head is vocab-sharded: gather shards into the full vocab axis
@@ -526,6 +600,9 @@ def forward_fn(
         # (quantize_weights pad_to); the pad columns are exact zeros —
         # slice them off before they compete in sampling
         logits = logits[:, : cfg.vocab_size]
+    if cfg.final_logit_softcap:
+        c = cfg.final_logit_softcap
+        logits = c * jnp.tanh(logits / c)
     if cfg.logits_scaling != 1.0:
         logits = logits / cfg.logits_scaling
     return logits, kv_cache
@@ -690,6 +767,9 @@ def quantize_params(
     lyr = params.layers
     assert lyr.moe_router is None, (
         "weight-only quantized MoE experts: later phase"
+    )
+    assert lyr.pre_ffw_norm is None, (
+        "quantized sandwich-norm (gemma-2) models: later phase"
     )
     if cfg is not None:
         layers = lyr._replace(

@@ -51,7 +51,8 @@ from vllm_triton_backend_tpu.ops.pallas.cache_ops import reshape_and_cache
 from vllm_triton_backend_tpu.ops.pallas.quant_linear import linear
 
 def pp_param_specs(
-    tp: bool = False, attention_bias: bool = False, moe: bool = False
+    tp: bool = False, attention_bias: bool = False, moe: bool = False,
+    sandwich_norms: bool = False,
 ) -> LlamaParams:
     """Layer stacks shard over "stage"; with ``tp`` the projections also
     shard over "model" (column for qkv/gate/up, row for o/down — the
@@ -71,6 +72,9 @@ def pp_param_specs(
     )
     if attention_bias:
         kw["qkv_bias"] = P("stage", "model") if tp else P("stage")
+    if sandwich_norms:
+        kw["pre_ffw_norm"] = P("stage")
+        kw["post_ffw_norm"] = P("stage")
     if moe:
         kw.update(
             moe_router=P("stage"),
@@ -116,6 +120,7 @@ def shard_params_pp(params: LlamaParams, mesh: Mesh) -> LlamaParams:
         tp="model" in mesh.axis_names,
         attention_bias=params.layers.qkv_bias is not None,
         moe=params.layers.moe_router is not None,
+        sandwich_norms=params.layers.pre_ffw_norm is not None,
     )
     return jax.tree.map(
         lambda x, spec: jax.device_put(x, NamedSharding(mesh, spec)),
@@ -197,6 +202,9 @@ def make_pp_forward(
     extras: ForwardExtras,
     num_microbatches: int,
 ):
+    assert not cfg.sandwich_norms and cfg.sliding_window_pattern is None, (
+        "gemma-2-style blocks through pipeline parallelism: later phase"
+    )
     """Build the jitted pipeline forward.
 
     Inputs carry a leading microbatch axis ``[M, ...]`` (replicated):
@@ -304,6 +312,7 @@ def make_pp_forward(
                 tp=tp > 1,
                 attention_bias=cfg.attention_bias,
                 moe=cfg.num_local_experts > 0,
+                sandwich_norms=cfg.sandwich_norms,
             ), batch_spec, batch_spec, cache_spec,
             batch_spec, batch_spec, batch_spec, batch_spec,
         ),

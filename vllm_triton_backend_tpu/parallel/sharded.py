@@ -59,7 +59,8 @@ CACHE_SPEC = P(None, "data", None, "model", None, None)
 
 
 def param_specs(
-    attention_bias: bool = False, moe: bool = False
+    attention_bias: bool = False, moe: bool = False,
+    sandwich_norms: bool = False,
 ) -> LlamaParams:
     """PARAM_SPECS, extended with the optional leaves the model carries
     (spec trees must match the param pytree structure — ``None`` fields
@@ -71,6 +72,9 @@ def param_specs(
     extra = {}
     if attention_bias:
         extra["qkv_bias"] = P(None, "model")
+    if sandwich_norms:
+        extra["pre_ffw_norm"] = P(None, None)
+        extra["post_ffw_norm"] = P(None, None)
     if moe:
         extra["moe_router"] = P(None, None, None)
         extra["moe_gate_up"] = P(None, "model", None, None)
@@ -135,6 +139,7 @@ def shard_params(params: LlamaParams, mesh: Mesh) -> LlamaParams:
         param_specs(
             params.layers.qkv_bias is not None,
             params.layers.moe_router is not None,
+            params.layers.pre_ffw_norm is not None,
         ),
     )
 
@@ -176,7 +181,8 @@ def make_sharded_forward(
     tp = mesh.shape["model"]
     lcfg = local_model_config(cfg, tp)
     specs = param_specs(
-        cfg.attention_bias, cfg.num_local_experts > 0
+        cfg.attention_bias, cfg.num_local_experts > 0,
+        cfg.sandwich_norms,
     )
     if cfg.num_local_experts:
         assert cfg.num_local_experts % tp == 0, (
@@ -242,7 +248,8 @@ def make_sharded_decode_steps(
     tp = mesh.shape["model"]
     lcfg = local_model_config(cfg, tp)
     specs = param_specs(
-        cfg.attention_bias, cfg.num_local_experts > 0
+        cfg.attention_bias, cfg.num_local_experts > 0,
+        cfg.sandwich_norms,
     )
     if cfg.num_local_experts:
         assert cfg.num_local_experts % tp == 0, (
