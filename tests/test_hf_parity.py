@@ -327,3 +327,50 @@ def test_gemma2_engine_paths(tiny_gemma2_dir):
     if len(jax.devices()) >= 2:
         tp = ecfg.replace(parallel=ParallelConfig(tensor_parallel=2))
         assert run(tp, 0) == per_step
+
+
+def test_qwen3_prefill_logits_match_transformers(tmp_path_factory):
+    """Qwen3 = llama + per-head q/k RMSNorm before rope."""
+    d = tmp_path_factory.mktemp("tiny_qwen3_hf")
+    cfg_hf = transformers.Qwen3Config(
+        vocab_size=256,
+        hidden_size=64,
+        intermediate_size=128,
+        num_hidden_layers=2,
+        num_attention_heads=4,
+        num_key_value_heads=2,
+        head_dim=16,
+        max_position_embeddings=128,
+        rope_theta=10000.0,
+        tie_word_embeddings=False,
+    )
+    torch.manual_seed(4)
+    hf_model = transformers.Qwen3ForCausalLM(cfg_hf)
+    hf_model.save_pretrained(d, safe_serialization=True)
+
+    cfg, params = load_params(
+        str(d), config_from_hf(str(d), dtype="float32")
+    )
+    assert cfg.qk_norm and params.layers.q_norm is not None
+    assert not cfg.attention_bias
+
+    rng = np.random.default_rng(11)
+    prompt = rng.integers(0, cfg.vocab_size, size=15)
+
+    with torch.no_grad():
+        ref = hf_model(torch.tensor(prompt[None])).logits[0].numpy()
+
+    block_size, num_blocks = 16, 8
+    kv_cache = make_kv_caches(cfg, num_blocks, block_size)
+    bt = np.arange(2, dtype=np.int32).reshape(1, 2)
+    meta = make_metadata([len(prompt)], [0], bt, block_size)
+    logits, _ = forward(
+        params, cfg,
+        jnp.asarray(prompt, jnp.int32),
+        jnp.arange(len(prompt), dtype=jnp.int32),
+        kv_cache, meta,
+        ForwardExtras(max_query_len=16, max_seq_len=32),
+    )
+    np.testing.assert_allclose(
+        np.asarray(logits), ref, atol=5e-4, rtol=2e-3
+    )

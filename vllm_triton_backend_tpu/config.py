@@ -115,6 +115,8 @@ class ModelConfig:
     sandwich_norms: bool = False
     # MLP activation: "silu" (llama) or "gelu_tanh" (gemma)
     hidden_act: str = "silu"
+    # Per-head q/k RMSNorm before rope (Qwen3 / Gemma-3)
+    qk_norm: bool = False
     # lm_head logit softcapping (gemma-2; 0 = off) — applied before
     # logits_scaling
     final_logit_softcap: float = 0.0

@@ -29,6 +29,7 @@ _SUPPORTED = {
     "Qwen2ForCausalLM",  # llama + qkv biases (attention_bias)
     "MixtralForCausalLM",  # llama + sparse MoE MLP
     "Gemma2ForCausalLM",  # sandwich norms, gelu-tanh, alt. sliding win
+    "Qwen3ForCausalLM",  # per-head q/k RMSNorm before rope
 }
 _SUPPORTED_SSM = {"MambaForCausalLM"}
 
@@ -66,6 +67,8 @@ def config_from_hf(model_dir: str, **overrides) -> ModelConfig:
         # Mixtral-family sparse MoE MLP
         num_local_experts=int(hf.get("num_local_experts", 0)),
         num_experts_per_tok=int(hf.get("num_experts_per_tok", 2)),
+        # Qwen3/Gemma-3 per-head q/k norms
+        qk_norm=arch == "Qwen3ForCausalLM",
         # gemma-2 block shape
         sandwich_norms=arch == "Gemma2ForCausalLM",
         norm_add_unit_offset=arch == "Gemma2ForCausalLM",
@@ -275,6 +278,16 @@ def load_params(
             )
         ),
         qkv_bias=qkv_bias,
+        q_norm=(
+            stack_norm(p + "self_attn.q_norm.weight")
+            if (p.format(0) + "self_attn.q_norm.weight") in state
+            else None
+        ),
+        k_norm=(
+            stack_norm(p + "self_attn.k_norm.weight")
+            if (p.format(0) + "self_attn.k_norm.weight") in state
+            else None
+        ),
         # gemma-2 sandwich norms
         pre_ffw_norm=(
             stack_norm(p + "pre_feedforward_layernorm.weight")

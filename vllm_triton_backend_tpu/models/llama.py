@@ -98,6 +98,9 @@ class LayerParams(NamedTuple):
     # cover the pre-/post-feedforward positions
     pre_ffw_norm: Any = None  # [hidden]
     post_ffw_norm: Any = None  # [hidden]
+    # Qwen3/Gemma-3 per-head q/k RMSNorm (applied before rope)
+    q_norm: Any = None  # [head]
+    k_norm: Any = None  # [head]
 
 
 class LlamaParams(NamedTuple):
@@ -156,6 +159,8 @@ def init_params(cfg: ModelConfig, key: jax.Array) -> LlamaParams:
         post_ffw_norm=(
             jnp.ones((nl, h), dtype) if cfg.sandwich_norms else None
         ),
+        q_norm=jnp.ones((nl, hd), dtype) if cfg.qk_norm else None,
+        k_norm=jnp.ones((nl, hd), dtype) if cfg.qk_norm else None,
     )
     lm_head = embed.T if cfg.tie_word_embeddings else init(
         keys[8], (h, cfg.vocab_size), h
@@ -380,6 +385,10 @@ def forward_fn(
             # quantized weights live outside the scan; the (tiny, dense)
             # bias stays stacked [L, ...] and is sliced per layer here
             qkv_bias = qkv_bias[lidx]
+        if quantized and lp.q_norm is not None:
+            lp = lp._replace(
+                q_norm=lp.q_norm[lidx], k_norm=lp.k_norm[lidx]
+            )
         if lp.qkv_proj is not None:
             grp = cfg.num_kv_heads
             qpk = cfg.num_heads // grp
@@ -401,6 +410,14 @@ def forward_fn(
                 q = q + b[:, :qpk].reshape(cfg.num_heads, hd)
                 k = k + b[:, qpk]
                 v = v + b[:, qpk + 1]
+        if lp.q_norm is not None:
+            # per-head RMSNorm on the head dim (Qwen3/Gemma-3)
+            q = rms_norm(
+                q, lp.q_norm, cfg.rms_norm_eps, cfg.norm_add_unit_offset
+            )
+            k = rms_norm(
+                k, lp.k_norm, cfg.rms_norm_eps, cfg.norm_add_unit_offset
+            )
         q = apply_rope(q, positions, inv_freq)
         k = apply_rope(k, positions, inv_freq)
 

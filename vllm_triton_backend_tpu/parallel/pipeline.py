@@ -52,7 +52,7 @@ from vllm_triton_backend_tpu.ops.pallas.quant_linear import linear
 
 def pp_param_specs(
     tp: bool = False, attention_bias: bool = False, moe: bool = False,
-    sandwich_norms: bool = False,
+    sandwich_norms: bool = False, qk_norm: bool = False,
 ) -> LlamaParams:
     """Layer stacks shard over "stage"; with ``tp`` the projections also
     shard over "model" (column for qkv/gate/up, row for o/down — the
@@ -75,6 +75,9 @@ def pp_param_specs(
     if sandwich_norms:
         kw["pre_ffw_norm"] = P("stage")
         kw["post_ffw_norm"] = P("stage")
+    if qk_norm:
+        kw["q_norm"] = P("stage")
+        kw["k_norm"] = P("stage")
     if moe:
         kw.update(
             moe_router=P("stage"),
@@ -121,6 +124,7 @@ def shard_params_pp(params: LlamaParams, mesh: Mesh) -> LlamaParams:
         attention_bias=params.layers.qkv_bias is not None,
         moe=params.layers.moe_router is not None,
         sandwich_norms=params.layers.pre_ffw_norm is not None,
+        qk_norm=params.layers.q_norm is not None,
     )
     return jax.tree.map(
         lambda x, spec: jax.device_put(x, NamedSharding(mesh, spec)),
@@ -161,6 +165,9 @@ def _stage_forward(
             q = q + b[:, :qpk].reshape(cfg.num_heads, hd)
             k = k + b[:, qpk]
             v = v + b[:, qpk + 1]
+        if lp.q_norm is not None:
+            q = rms_norm(q, lp.q_norm, cfg.rms_norm_eps)
+            k = rms_norm(k, lp.k_norm, cfg.rms_norm_eps)
         q = apply_rope(q, positions, inv_freq)
         k = apply_rope(k, positions, inv_freq)
         kv = reshape_and_cache(
@@ -313,6 +320,7 @@ def make_pp_forward(
                 attention_bias=cfg.attention_bias,
                 moe=cfg.num_local_experts > 0,
                 sandwich_norms=cfg.sandwich_norms,
+                qk_norm=cfg.qk_norm,
             ), batch_spec, batch_spec, cache_spec,
             batch_spec, batch_spec, batch_spec, batch_spec,
         ),

@@ -60,7 +60,7 @@ CACHE_SPEC = P(None, "data", None, "model", None, None)
 
 def param_specs(
     attention_bias: bool = False, moe: bool = False,
-    sandwich_norms: bool = False,
+    sandwich_norms: bool = False, qk_norm: bool = False,
 ) -> LlamaParams:
     """PARAM_SPECS, extended with the optional leaves the model carries
     (spec trees must match the param pytree structure — ``None`` fields
@@ -75,6 +75,9 @@ def param_specs(
     if sandwich_norms:
         extra["pre_ffw_norm"] = P(None, None)
         extra["post_ffw_norm"] = P(None, None)
+    if qk_norm:
+        extra["q_norm"] = P(None, None)
+        extra["k_norm"] = P(None, None)
     if moe:
         extra["moe_router"] = P(None, None, None)
         extra["moe_gate_up"] = P(None, "model", None, None)
@@ -140,6 +143,7 @@ def shard_params(params: LlamaParams, mesh: Mesh) -> LlamaParams:
             params.layers.qkv_bias is not None,
             params.layers.moe_router is not None,
             params.layers.pre_ffw_norm is not None,
+            params.layers.q_norm is not None,
         ),
     )
 
@@ -182,7 +186,7 @@ def make_sharded_forward(
     lcfg = local_model_config(cfg, tp)
     specs = param_specs(
         cfg.attention_bias, cfg.num_local_experts > 0,
-        cfg.sandwich_norms,
+        cfg.sandwich_norms, cfg.qk_norm,
     )
     if cfg.num_local_experts:
         assert cfg.num_local_experts % tp == 0, (
@@ -249,7 +253,7 @@ def make_sharded_decode_steps(
     lcfg = local_model_config(cfg, tp)
     specs = param_specs(
         cfg.attention_bias, cfg.num_local_experts > 0,
-        cfg.sandwich_norms,
+        cfg.sandwich_norms, cfg.qk_norm,
     )
     if cfg.num_local_experts:
         assert cfg.num_local_experts % tp == 0, (
