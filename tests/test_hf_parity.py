@@ -374,3 +374,56 @@ def test_qwen3_prefill_logits_match_transformers(tmp_path_factory):
     np.testing.assert_allclose(
         np.asarray(logits), ref, atol=5e-4, rtol=2e-3
     )
+
+
+def test_gemma3_prefill_logits_match_transformers(tmp_path_factory):
+    """Gemma-3 = gemma-2 block + per-head q/k norms + DUAL rope bases
+    (local layers rope at rope_local_base_freq, global layers at
+    rope_theta) with the 5:1 sliding:full layer pattern."""
+    d = tmp_path_factory.mktemp("tiny_gemma3_hf")
+    cfg_hf = transformers.Gemma3TextConfig(
+        vocab_size=256,
+        hidden_size=64,
+        intermediate_size=128,
+        num_hidden_layers=6,  # one full 5:1 pattern period
+        num_attention_heads=4,
+        num_key_value_heads=2,
+        head_dim=16,
+        max_position_embeddings=128,
+        rope_theta=1000000.0,
+        rope_local_base_freq=10000.0,
+        query_pre_attn_scalar=16,
+        sliding_window=8,
+        tie_word_embeddings=True,
+    )
+    torch.manual_seed(5)
+    hf_model = transformers.Gemma3ForCausalLM(cfg_hf)
+    hf_model.save_pretrained(d, safe_serialization=True)
+
+    cfg, params = load_params(
+        str(d), config_from_hf(str(d), dtype="float32")
+    )
+    assert cfg.sliding_window_pattern == (8, 8, 8, 8, 8, None)
+    assert cfg.qk_norm and cfg.sandwich_norms
+    assert cfg.rope_local_base_freq == 10000.0
+
+    rng = np.random.default_rng(12)
+    prompt = rng.integers(0, cfg.vocab_size, size=24)  # window bites
+
+    with torch.no_grad():
+        ref = hf_model(torch.tensor(prompt[None])).logits[0].numpy()
+
+    block_size, num_blocks = 16, 8
+    kv_cache = make_kv_caches(cfg, num_blocks, block_size)
+    bt = np.arange(2, dtype=np.int32).reshape(1, 2)
+    meta = make_metadata([len(prompt)], [0], bt, block_size)
+    logits, _ = forward(
+        params, cfg,
+        jnp.asarray(prompt, jnp.int32),
+        jnp.arange(len(prompt), dtype=jnp.int32),
+        kv_cache, meta,
+        ForwardExtras(max_query_len=32, max_seq_len=32),
+    )
+    np.testing.assert_allclose(
+        np.asarray(logits), ref, atol=5e-4, rtol=2e-3
+    )

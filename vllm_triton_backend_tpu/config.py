@@ -107,6 +107,10 @@ class ModelConfig:
     # runs over pattern-period blocks so each position keeps a static
     # window. None = uniform (plain ``sliding_window``).
     sliding_window_pattern: tuple | None = None
+    # rope base for SLIDING pattern positions (gemma-3: local layers use
+    # 10k while global layers use rope_theta, typically 1M with scaling
+    # applied to the global layers only). None = rope_theta everywhere.
+    rope_local_base_freq: float | None = None
     # Gemma-family block shape: RMSNorm weights stored as (w - 1) with a
     # unit offset applied at use; sandwich norms (post-attention and
     # post-feedforward norms applied to the SUBLAYER OUTPUT before the

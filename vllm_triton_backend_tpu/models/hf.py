@@ -30,8 +30,20 @@ _SUPPORTED = {
     "MixtralForCausalLM",  # llama + sparse MoE MLP
     "Gemma2ForCausalLM",  # sandwich norms, gelu-tanh, alt. sliding win
     "Qwen3ForCausalLM",  # per-head q/k RMSNorm before rope
+    "Gemma3ForCausalLM",  # gemma-2 block + qk norms + dual rope bases
 }
 _SUPPORTED_SSM = {"MambaForCausalLM"}
+
+
+def _min_pattern(entries: tuple) -> tuple:
+    """Reduce a per-layer pattern to its minimal repeating period so the
+    pattern-scan traces one period, not the whole depth (gemma-3's
+    layer_types list is per-layer; its true period is 6)."""
+    n = len(entries)
+    for period in range(1, n + 1):
+        if n % period == 0 and entries == entries[:period] * (n // period):
+            return entries[:period]
+    return entries
 
 
 def config_from_hf(model_dir: str, **overrides) -> ModelConfig:
@@ -68,10 +80,14 @@ def config_from_hf(model_dir: str, **overrides) -> ModelConfig:
         num_local_experts=int(hf.get("num_local_experts", 0)),
         num_experts_per_tok=int(hf.get("num_experts_per_tok", 2)),
         # Qwen3/Gemma-3 per-head q/k norms
-        qk_norm=arch == "Qwen3ForCausalLM",
-        # gemma-2 block shape
-        sandwich_norms=arch == "Gemma2ForCausalLM",
-        norm_add_unit_offset=arch == "Gemma2ForCausalLM",
+        qk_norm=arch in ("Qwen3ForCausalLM", "Gemma3ForCausalLM"),
+        # gemma block shape
+        sandwich_norms=arch in (
+            "Gemma2ForCausalLM", "Gemma3ForCausalLM"
+        ),
+        norm_add_unit_offset=arch in (
+            "Gemma2ForCausalLM", "Gemma3ForCausalLM"
+        ),
         hidden_act=(
             "gelu_tanh"
             if hf.get("hidden_activation", hf.get("hidden_act"))
@@ -84,16 +100,25 @@ def config_from_hf(model_dir: str, **overrides) -> ModelConfig:
             hf.get("attn_logit_softcapping") or 0.0
         ),
         # gemma-2: EVEN layers slide (HF `not bool(layer_idx % 2)`),
-        # odd layers are full-context
+        # odd layers full; gemma-3: explicit layer_types list
         sliding_window_pattern=(
             (hf["sliding_window"], None)
             if arch == "Gemma2ForCausalLM" and hf.get("sliding_window")
+            else _min_pattern(
+                tuple(
+                    hf["sliding_window"] if t == "sliding_attention"
+                    else None
+                    for t in hf["layer_types"]
+                )
+            )
+            if arch == "Gemma3ForCausalLM" and hf.get("layer_types")
             else None
         ),
+        rope_local_base_freq=hf.get("rope_local_base_freq"),
         # gemma scales embeddings by sqrt(hidden)
         embedding_multiplier=(
             float(hf["hidden_size"]) ** 0.5
-            if arch == "Gemma2ForCausalLM"
+            if arch in ("Gemma2ForCausalLM", "Gemma3ForCausalLM")
             else float(hf.get("embedding_multiplier", 1.0))
         ),
         attention_multiplier=(
@@ -102,8 +127,9 @@ def config_from_hf(model_dir: str, **overrides) -> ModelConfig:
             else hf.get("attention_multiplier")
         ),
         sliding_window=(
-            # gemma-2's window applies via the per-layer pattern only
-            None if arch == "Gemma2ForCausalLM"
+            # gemma's window applies via the per-layer pattern only
+            None
+            if arch in ("Gemma2ForCausalLM", "Gemma3ForCausalLM")
             else hf.get("sliding_window")
         ),
         # granite multipliers (absent for plain llama -> identity)

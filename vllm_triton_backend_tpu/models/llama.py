@@ -227,13 +227,16 @@ def rms_norm(
     return normed.astype(x.dtype) * weight
 
 
-def _rope_inv_freq(cfg: ModelConfig) -> jax.Array:
-    """Rotary inverse frequencies, with optional llama3-style scaling."""
+def _rope_inv_freq(cfg: ModelConfig, base: float | None = None) -> jax.Array:
+    """Rotary inverse frequencies, with optional llama3-style scaling.
+    With ``base`` given (gemma-3 local-layer freq) the scaling config is
+    NOT applied — HF applies rope_scaling to the global rope only."""
     hd = cfg.head_size
     inv_freq = 1.0 / (
-        cfg.rope_theta ** (jnp.arange(0, hd, 2, dtype=jnp.float32) / hd)
+        (base or cfg.rope_theta)
+        ** (jnp.arange(0, hd, 2, dtype=jnp.float32) / hd)
     )
-    rs = cfg.rope_scaling
+    rs = None if base is not None else cfg.rope_scaling
     if rs and rs.get("rope_type", rs.get("type")) == "llama3":
         factor = rs["factor"]
         low = rs["low_freq_factor"]
@@ -362,7 +365,8 @@ def forward_fn(
         QuantizedLinear,
     )
 
-    def layer_body(carry, xs, sw=cfg.sliding_window):
+    def layer_body(carry, xs, sw=cfg.sliding_window, freqs=None):
+        inv = inv_freq if freqs is None else freqs
         h_in, kv = carry
         t = token_ids.shape[0]
         if quantized:
@@ -418,8 +422,8 @@ def forward_fn(
             k = rms_norm(
                 k, lp.k_norm, cfg.rms_norm_eps, cfg.norm_add_unit_offset
             )
-        q = apply_rope(q, positions, inv_freq)
-        k = apply_rope(k, positions, inv_freq)
+        q = apply_rope(q, positions, inv)
+        k = apply_rope(k, positions, inv)
 
         # KV-sharing layers skip the cache write (slot -1 drops the
         # scatter rows; reference backend/triton_attn.py:393-395)
@@ -591,10 +595,24 @@ def forward_fn(
 
         blocked_xs = jax.tree.map(reblock, scan_xs)
 
+        # gemma-3: sliding positions rope with the LOCAL base freq
+        # (no scaling); global positions keep cfg.rope_theta(+scaling)
+        local_freq = (
+            _rope_inv_freq(cfg, base=cfg.rope_local_base_freq)
+            if cfg.rope_local_base_freq is not None else None
+        )
+
         def block_body(carry, xs_block):
             for p_i in range(period):
                 xs_p = jax.tree.map(lambda a: a[p_i], xs_block)
-                carry, _ = layer_body(carry, xs_p, sw=pattern[p_i])
+                carry, _ = layer_body(
+                    carry, xs_p, sw=pattern[p_i],
+                    freqs=(
+                        local_freq
+                        if pattern[p_i] and local_freq is not None
+                        else None
+                    ),
+                )
             return carry, None
 
         (x, kv_cache), _ = jax.lax.scan(
