@@ -427,3 +427,59 @@ def test_gemma3_prefill_logits_match_transformers(tmp_path_factory):
     np.testing.assert_allclose(
         np.asarray(logits), ref, atol=5e-4, rtol=2e-3
     )
+
+
+@pytest.mark.parametrize(
+    "scaling",
+    [
+        {"rope_type": "linear", "factor": 4.0},
+        {
+            "rope_type": "yarn", "factor": 4.0,
+            "original_max_position_embeddings": 32,
+        },
+    ],
+    ids=["linear", "yarn"],
+)
+def test_rope_scaling_matches_transformers(tmp_path_factory, scaling):
+    """Long-context rope scaling parity (linear + YaRN NTK-by-parts;
+    YaRN's attention_factor folds into the attention scale)."""
+    d = tmp_path_factory.mktemp(f"tiny_rope_{scaling['rope_type']}")
+    cfg_hf = transformers.LlamaConfig(
+        vocab_size=256,
+        hidden_size=64,
+        intermediate_size=128,
+        num_hidden_layers=2,
+        num_attention_heads=4,
+        num_key_value_heads=2,
+        max_position_embeddings=128,
+        rope_theta=10000.0,
+        rope_scaling=dict(scaling),
+        tie_word_embeddings=False,
+    )
+    torch.manual_seed(6)
+    hf_model = transformers.LlamaForCausalLM(cfg_hf)
+    hf_model.save_pretrained(str(d), safe_serialization=True)
+
+    cfg, params = load_params(
+        str(d), config_from_hf(str(d), dtype="float32")
+    )
+    rng = np.random.default_rng(13)
+    prompt = rng.integers(0, cfg.vocab_size, size=40)
+
+    with torch.no_grad():
+        ref = hf_model(torch.tensor(prompt[None])).logits[0].numpy()
+
+    block_size, num_blocks = 16, 8
+    kv_cache = make_kv_caches(cfg, num_blocks, block_size)
+    bt = np.arange(4, dtype=np.int32).reshape(1, 4)
+    meta = make_metadata([len(prompt)], [0], bt, block_size)
+    logits, _ = forward(
+        params, cfg,
+        jnp.asarray(prompt, jnp.int32),
+        jnp.arange(len(prompt), dtype=jnp.int32),
+        kv_cache, meta,
+        ForwardExtras(max_query_len=64, max_seq_len=64),
+    )
+    np.testing.assert_allclose(
+        np.asarray(logits), ref, atol=5e-4, rtol=2e-3
+    )

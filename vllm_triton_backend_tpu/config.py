@@ -152,6 +152,20 @@ class ModelConfig:
     mamba_expand: int = 2
     mamba_dt_rank: int = 0  # 0 -> ceil(hidden/16)
 
+    def __post_init__(self):
+        # rope_scaling arrives as a JSON dict (unhashable — ModelConfig
+        # is a jit-static arg); normalize to a sorted item tuple
+        if isinstance(self.rope_scaling, dict):
+            object.__setattr__(
+                self, "rope_scaling",
+                tuple(sorted(self.rope_scaling.items())),
+            )
+        if isinstance(self.sliding_window_pattern, list):
+            object.__setattr__(
+                self, "sliding_window_pattern",
+                tuple(self.sliding_window_pattern),
+            )
+
     @property
     def head_size(self) -> int:
         return self.head_dim if self.head_dim is not None else self.hidden_size // self.num_heads

@@ -46,6 +46,32 @@ def _min_pattern(entries: tuple) -> tuple:
     return entries
 
 
+def _attention_multiplier(hf: dict) -> float | None:
+    """Attention scale from the config, with YaRN's attention_factor
+    folded in (q_rot and k_rot each scale by s -> scores by s^2, so the
+    factor lives entirely in the scale — zero kernel changes)."""
+    import math
+
+    if hf.get("query_pre_attn_scalar"):
+        scale = float(hf["query_pre_attn_scalar"]) ** -0.5
+    elif hf.get("attention_multiplier") is not None:
+        scale = float(hf["attention_multiplier"])
+    else:
+        scale = None
+    rs = hf.get("rope_scaling") or {}
+    if rs.get("rope_type", rs.get("type")) == "yarn":
+        if scale is None:
+            hd = hf.get("head_dim") or (
+                hf["hidden_size"] // hf["num_attention_heads"]
+            )
+            scale = float(hd) ** -0.5
+        s = rs.get("attention_factor")
+        if s is None:
+            s = 0.1 * math.log(rs["factor"]) + 1.0
+        scale *= float(s) ** 2
+    return scale
+
+
 def config_from_hf(model_dir: str, **overrides) -> ModelConfig:
     with open(os.path.join(model_dir, "config.json")) as f:
         hf = json.load(f)
@@ -121,11 +147,7 @@ def config_from_hf(model_dir: str, **overrides) -> ModelConfig:
             if arch in ("Gemma2ForCausalLM", "Gemma3ForCausalLM")
             else float(hf.get("embedding_multiplier", 1.0))
         ),
-        attention_multiplier=(
-            float(hf["query_pre_attn_scalar"]) ** -0.5
-            if hf.get("query_pre_attn_scalar")
-            else hf.get("attention_multiplier")
-        ),
+        attention_multiplier=_attention_multiplier(hf),
         sliding_window=(
             # gemma's window applies via the per-layer pattern only
             None

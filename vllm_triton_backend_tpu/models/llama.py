@@ -237,7 +237,48 @@ def _rope_inv_freq(cfg: ModelConfig, base: float | None = None) -> jax.Array:
         ** (jnp.arange(0, hd, 2, dtype=jnp.float32) / hd)
     )
     rs = None if base is not None else cfg.rope_scaling
-    if rs and rs.get("rope_type", rs.get("type")) == "llama3":
+    if isinstance(rs, tuple):
+        rs = dict(rs)
+    kind = rs and rs.get("rope_type", rs.get("type"))
+    if kind == "linear":
+        inv_freq = inv_freq / rs["factor"]
+    elif kind == "yarn":
+        # NTK-by-parts interpolation (transformers
+        # _compute_yarn_parameters): low-freq dims interpolate by
+        # 1/factor, high-freq dims extrapolate, linear ramp between.
+        # The attention_factor is folded into cfg.attention_multiplier
+        # at config time (hf.py) — scaling both q_rot and k_rot by s
+        # equals scaling the attention scale by s^2.
+        import math
+
+        factor = rs["factor"]
+        dim = hd
+        b_fast = rs.get("beta_fast", 32.0)
+        b_slow = rs.get("beta_slow", 1.0)
+        orig = rs.get(
+            "original_max_position_embeddings",
+            cfg.max_position_embeddings,
+        )
+        theta = base or cfg.rope_theta
+
+        def dim_for(rot):
+            return (
+                dim * math.log(orig / (rot * 2 * math.pi))
+            ) / (2 * math.log(theta))
+
+        low = max(math.floor(dim_for(b_fast)), 0)
+        high = min(math.ceil(dim_for(b_slow)), dim // 2 - 1)
+        ramp = jnp.clip(
+            (jnp.arange(dim // 2, dtype=jnp.float32) - low)
+            / max(high - low, 1e-3),
+            0.0, 1.0,
+        )
+        extrap_mask = 1.0 - ramp
+        inv_freq = (
+            inv_freq / factor * (1.0 - extrap_mask)
+            + inv_freq * extrap_mask
+        )
+    if kind == "llama3":
         factor = rs["factor"]
         low = rs["low_freq_factor"]
         high = rs["high_freq_factor"]
