@@ -483,3 +483,56 @@ def test_rope_scaling_matches_transformers(tmp_path_factory, scaling):
     np.testing.assert_allclose(
         np.asarray(logits), ref, atol=5e-4, rtol=2e-3
     )
+
+
+def test_qwen3_moe_prefill_logits_match_transformers(tmp_path_factory):
+    """Qwen3-MoE = per-head q/k norms + sparse MoE with
+    norm_topk_prob-controlled renormalization and its own expert key
+    layout (mlp.experts.N.gate/up/down_proj, moe_intermediate_size)."""
+    d = tmp_path_factory.mktemp("tiny_qwen3moe_hf")
+    cfg_hf = transformers.Qwen3MoeConfig(
+        vocab_size=256,
+        hidden_size=64,
+        intermediate_size=128,
+        moe_intermediate_size=48,
+        num_hidden_layers=2,
+        num_attention_heads=4,
+        num_key_value_heads=2,
+        head_dim=16,
+        num_experts=4,
+        num_experts_per_tok=2,
+        norm_topk_prob=False,  # exercise the non-renormalized path
+        max_position_embeddings=128,
+        tie_word_embeddings=False,
+    )
+    torch.manual_seed(7)
+    hf_model = transformers.Qwen3MoeForCausalLM(cfg_hf)
+    hf_model.save_pretrained(str(d), safe_serialization=True)
+
+    cfg, params = load_params(
+        str(d), config_from_hf(str(d), dtype="float32")
+    )
+    assert cfg.qk_norm and cfg.num_local_experts == 4
+    assert not cfg.moe_renormalize
+    assert params.layers.moe_gate_up.shape[-1] == 96  # 2 * moe_inter
+
+    rng = np.random.default_rng(14)
+    prompt = rng.integers(0, cfg.vocab_size, size=12)
+
+    with torch.no_grad():
+        ref = hf_model(torch.tensor(prompt[None])).logits[0].numpy()
+
+    block_size, num_blocks = 16, 8
+    kv_cache = make_kv_caches(cfg, num_blocks, block_size)
+    bt = np.arange(2, dtype=np.int32).reshape(1, 2)
+    meta = make_metadata([len(prompt)], [0], bt, block_size)
+    logits, _ = forward(
+        params, cfg,
+        jnp.asarray(prompt, jnp.int32),
+        jnp.arange(len(prompt), dtype=jnp.int32),
+        kv_cache, meta,
+        ForwardExtras(max_query_len=16, max_seq_len=32),
+    )
+    np.testing.assert_allclose(
+        np.asarray(logits), ref, atol=5e-4, rtol=2e-3
+    )

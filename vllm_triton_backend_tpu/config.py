@@ -91,6 +91,9 @@ class ModelConfig:
     # Mixtral semantics).
     num_local_experts: int = 0
     num_experts_per_tok: int = 2
+    # renormalize the top-k routing weights (Mixtral yes; Qwen3-MoE's
+    # norm_topk_prob flag)
+    moe_renormalize: bool = True
     max_position_embeddings: int = 2048
     tie_word_embeddings: bool = False
     dtype: str = "bfloat16"

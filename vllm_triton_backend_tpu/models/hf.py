@@ -31,6 +31,7 @@ _SUPPORTED = {
     "Gemma2ForCausalLM",  # sandwich norms, gelu-tanh, alt. sliding win
     "Qwen3ForCausalLM",  # per-head q/k RMSNorm before rope
     "Gemma3ForCausalLM",  # gemma-2 block + qk norms + dual rope bases
+    "Qwen3MoeForCausalLM",  # qwen3 qk norms + sparse MoE MLP
 }
 _SUPPORTED_SSM = {"MambaForCausalLM"}
 
@@ -102,11 +103,17 @@ def config_from_hf(model_dir: str, **overrides) -> ModelConfig:
                 "attention_bias", arch == "Qwen2ForCausalLM"
             )
         ),
-        # Mixtral-family sparse MoE MLP
-        num_local_experts=int(hf.get("num_local_experts", 0)),
+        # Mixtral-family sparse MoE MLP (qwen3-moe names it num_experts)
+        num_local_experts=int(
+            hf.get("num_local_experts") or hf.get("num_experts") or 0
+        ),
         num_experts_per_tok=int(hf.get("num_experts_per_tok", 2)),
+        moe_renormalize=bool(hf.get("norm_topk_prob", True)),
         # Qwen3/Gemma-3 per-head q/k norms
-        qk_norm=arch in ("Qwen3ForCausalLM", "Gemma3ForCausalLM"),
+        qk_norm=arch in (
+            "Qwen3ForCausalLM", "Qwen3MoeForCausalLM",
+            "Gemma3ForCausalLM",
+        ),
         # gemma block shape
         sandwich_norms=arch in (
             "Gemma2ForCausalLM", "Gemma3ForCausalLM"
@@ -261,7 +268,16 @@ def load_params(
         from vllm_triton_backend_tpu.models.llama import fuse_gate_up
 
         e = cfg.num_local_experts
-        bp = p + "block_sparse_moe."
+        # Mixtral: block_sparse_moe.{gate, experts.N.w1/w3/w2};
+        # Qwen3-MoE: mlp.{gate, experts.N.gate_proj/up_proj/down_proj}
+        if (p.format(0) + "block_sparse_moe.gate.weight") in state:
+            bp = p + "block_sparse_moe."
+            w_gate, w_up, w_down = "w1.weight", "w3.weight", "w2.weight"
+        else:
+            bp = p + "mlp."
+            w_gate, w_up, w_down = (
+                "gate_proj.weight", "up_proj.weight", "down_proj.weight"
+            )
         moe = dict(
             gate_proj=None, up_proj=None, down_proj=None,
             # HF router Linear [E, h] -> [h, E]
@@ -275,14 +291,14 @@ def load_params(
                                 jnp.asarray(
                                     get(
                                         bp.format(i)
-                                        + f"experts.{x}.w1.weight"
+                                        + f"experts.{x}.{w_gate}"
                                     ).T,
                                     dtype=dtype,
                                 ),
                                 jnp.asarray(
                                     get(
                                         bp.format(i)
-                                        + f"experts.{x}.w3.weight"
+                                        + f"experts.{x}.{w_up}"
                                     ).T,
                                     dtype=dtype,
                                 ),
@@ -300,7 +316,7 @@ def load_params(
                             jnp.asarray(
                                 get(
                                     bp.format(i)
-                                    + f"experts.{x}.w2.weight"
+                                    + f"experts.{x}.{w_down}"
                                 ).T,
                                 dtype=dtype,
                             )

@@ -188,7 +188,8 @@ def _moe_mlp(lp, cfg: ModelConfig, x: jax.Array, dtype, tp_axis):
         (x @ lp.moe_router).astype(jnp.float32), axis=-1
     )  # [T, E_global]
     topw, topi = jax.lax.top_k(probs, k)
-    topw = topw / jnp.sum(topw, axis=-1, keepdims=True)
+    if cfg.moe_renormalize:
+        topw = topw / jnp.sum(topw, axis=-1, keepdims=True)
     e_local = lp.moe_gate_up.shape[0]
     off = (
         jax.lax.axis_index(tp_axis) * e_local if tp_axis else 0
