@@ -1,0 +1,137 @@
+"""Speculative decoding: lossless greedy equality with a draft model.
+
+The contract (runtime/spec_decode.py): output tokens are the TARGET's
+own greedy choices regardless of draft quality — a perfect draft only
+makes steps emit more tokens.  Both extremes are pinned: draft == target
+(acceptance ~100%) and an unrelated random draft (low acceptance) must
+both reproduce the draft-free engine exactly.
+"""
+
+import jax
+import numpy as np
+import pytest
+
+from vllm_triton_backend_tpu.config import (
+    CacheConfig,
+    EngineConfig,
+    ModelConfig,
+    SchedulerConfig,
+)
+from vllm_triton_backend_tpu.models.llama import init_params
+from vllm_triton_backend_tpu.runtime.engine import LLMEngine
+from vllm_triton_backend_tpu.runtime.sampler import SamplingParams
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = EngineConfig(
+        model=ModelConfig.tiny(dtype="float32"),
+        cache=CacheConfig(block_size=16, num_blocks=96),
+        scheduler=SchedulerConfig(
+            max_num_seqs=4,
+            max_num_batched_tokens=64,
+            max_model_len=128,
+            token_buckets=(8, 16, 32, 64),
+        ),
+    )
+    params = init_params(cfg.model, jax.random.key(0))
+    return cfg, params
+
+
+def _run(cfg, params, prompts, n_new, **engine_kw):
+    engine = LLMEngine(cfg, params=params, **engine_kw)
+    for p in prompts:
+        engine.add_request(p, SamplingParams(max_tokens=n_new))
+    out = {}
+    steps = 0
+    while engine.has_unfinished():
+        for o in engine.step():
+            out[o.req_id] = o.output_token_ids
+        steps += 1
+        assert steps < 500
+    return out, engine
+
+
+def _prompts(cfg, seed=5):
+    rng = np.random.default_rng(seed)
+    return [
+        rng.integers(0, cfg.model.vocab_size, size=n).tolist()
+        for n in (9, 21, 14)
+    ]
+
+
+def test_spec_decode_same_draft_lossless_and_accepting(setup):
+    cfg, params = setup
+    prompts = _prompts(cfg)
+    base, _ = _run(cfg, params, prompts, n_new=24)
+    spec, eng = _run(
+        cfg, params, prompts, n_new=24,
+        draft_params=params, draft_config=cfg.model, spec_k=4,
+    )
+    assert spec == base, "spec decode changed greedy output"
+    st = eng._spec_stats
+    assert st["rounds"] > 0, "spec path never engaged"
+    # a perfect draft should be accepted nearly always
+    assert st["accepted"] / max(1, st["drafted"]) > 0.9, st
+
+
+def test_spec_decode_bad_draft_still_lossless(setup):
+    cfg, params = setup
+    prompts = _prompts(cfg, seed=6)
+    draft_params = init_params(cfg.model, jax.random.key(999))
+    base, _ = _run(cfg, params, prompts, n_new=16)
+    spec, eng = _run(
+        cfg, params, prompts, n_new=16,
+        draft_params=draft_params, draft_config=cfg.model, spec_k=4,
+    )
+    assert spec == base, "bad draft corrupted greedy output"
+    st = eng._spec_stats
+    assert st["rounds"] > 0
+
+
+def test_spec_decode_smaller_draft_model(setup):
+    """Realistic shape: the draft is a SMALLER model (own hidden size,
+    fewer layers) sharing only the page geometry."""
+    cfg, params = setup
+    import dataclasses as dc
+
+    draft_cfg = dc.replace(
+        ModelConfig.tiny(dtype="float32"),
+        num_layers=1, hidden_size=128, intermediate_size=256,
+        num_heads=2, num_kv_heads=1,
+    )
+    draft_params = init_params(draft_cfg, jax.random.key(3))
+    prompts = _prompts(cfg, seed=7)
+    base, _ = _run(cfg, params, prompts, n_new=16)
+    spec, eng = _run(
+        cfg, params, prompts, n_new=16,
+        draft_params=draft_params, draft_config=draft_cfg, spec_k=3,
+    )
+    assert spec == base
+    assert eng._spec_stats["rounds"] > 0
+
+
+def test_spec_decode_with_stop_tokens(setup):
+    """Stops inside an accepted run must truncate exactly as the
+    baseline does (the _process_chunk budget path)."""
+    cfg, params = setup
+    prompts = _prompts(cfg, seed=8)[:1]
+    base, _ = _run(cfg, params, prompts, n_new=24)
+    stop_tok = base["req-0"][5]  # stop mid-stream
+
+    def run(**kw):
+        engine = LLMEngine(cfg, params=params, **kw)
+        engine.add_request(
+            prompts[0],
+            SamplingParams(max_tokens=24, stop_token_ids=(stop_tok,)),
+        )
+        out = None
+        while engine.has_unfinished():
+            for o in engine.step():
+                out = o
+        return out
+
+    b = run()
+    s = run(draft_params=params, draft_config=cfg.model, spec_k=4)
+    assert s.output_token_ids == b.output_token_ids
+    assert s.finish_reason == "stopped"

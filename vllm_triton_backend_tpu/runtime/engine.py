@@ -132,7 +132,13 @@ class LLMEngine:
         rng_seed: int = 0,
         multistep: int = 32,
         kv_scales: tuple[float, float] | None = None,
+        draft_params=None,
+        draft_config=None,
+        spec_k: int = 4,
     ):
+        """``draft_params``/``draft_config``: enable draft-model
+        speculative decoding (runtime/spec_decode.py) — lossless under
+        greedy; ``spec_k`` tokens per round (1 current + k-1 drafts)."""
         self.config = config
         mc, cc = config.model, config.cache
         # Hybrid/SSM models: per-layer state pools + no prefix caching
@@ -295,6 +301,23 @@ class LLMEngine:
             self.k_scale = self.v_scale = 1.0 / 16.0
         else:
             self.k_scale = self.v_scale = 1.0
+        # ---- speculative decoding (draft model) ----
+        self._spec_stats = {"rounds": 0, "drafted": 0, "accepted": 0}
+        self.draft_params = draft_params
+        self.draft_config = draft_config
+        self.spec_k = spec_k
+        if draft_params is not None:
+            assert draft_config is not None
+            assert (
+                self.tp == 1 and self.dp == 1 and self.pp == 1
+                and self.cp == 1 and not self.is_hybrid
+            ), "speculative decoding: single-chip llama engines (v1)"
+            # the draft shares the scheduler's block tables: same page
+            # geometry, its own cache array sized to the draft model
+            self.draft_cache = llama.make_kv_caches(
+                draft_config, cc.num_blocks, cc.block_size,
+                self._cache_dtype,
+            )
 
     def _hyb_free_slot(self, req_id: str, replica: int) -> None:
         slot = self._slot_of.pop(req_id, None)
@@ -461,6 +484,16 @@ class LLMEngine:
             "kv_blocks_free": free,
             "kv_cache_usage": 1.0 - free / max(1, total_blocks),
             "data_replicas": self.dp,
+            **(
+                {
+                    "spec_rounds": self._spec_stats["rounds"],
+                    "spec_acceptance": (
+                        self._spec_stats["accepted"]
+                        / max(1, self._spec_stats["drafted"])
+                    ),
+                }
+                if self.draft_params is not None else {}
+            ),
         }
 
     # ---------------- step ----------------
@@ -578,6 +611,8 @@ class LLMEngine:
         sched = self.scheduler
         if self.multistep <= 1 or sched.waiting or not sched.running:
             return False
+        if self.draft_params is not None:
+            return False  # spec decode is the steady-state fast path
         if len(sched.running) > sched.config.max_num_seqs:
             return False
         for r in sched.running:
@@ -609,6 +644,128 @@ class LLMEngine:
         if k >= 2:
             k = 1 << (k.bit_length() - 1)
         return k
+
+    # ---------------- speculative decoding ----------------
+
+    def _spec_applies(self) -> bool:
+        """Steady-state greedy decode with a draft model present —
+        the spec round needs every running request one-token-pending
+        and plain greedy (stochastic/penalized/seeded/logprob requests
+        fall back to the regular path; lossless rejection sampling for
+        stochastic requests is a known later phase)."""
+        sched = self.scheduler
+        if self.spec_k < 2 or sched.waiting or not sched.running:
+            return False
+        if len(sched.running) > sched.config.max_num_seqs:
+            return False
+        for r in sched.running:
+            if not r.output_token_ids:
+                return False
+            if r.num_computed_tokens != r.num_tokens - 1:
+                return False
+            sp = r.sampling
+            if (
+                sp.temperature > 0.0
+                or sp.has_penalties
+                or sp.logprobs
+                or sp.seed is not None
+            ):
+                return False
+        return True
+
+    def _step_spec(self) -> list[RequestOutput] | None:
+        """One speculative round: k-1 greedy draft steps + ONE target
+        verify forward emit 1..k tokens per sequence (spec_decode.py).
+        Returns None when pages or model-length headroom are missing —
+        the regular one-token step handles that case."""
+        from vllm_triton_backend_tpu.runtime.multistep import (
+            decode_steps,
+        )
+        from vllm_triton_backend_tpu.runtime.sampler import (
+            SamplingTensors,
+            make_sampling_tensors,
+        )
+        from vllm_triton_backend_tpu.runtime.spec_decode import (
+            verify_step,
+        )
+        from vllm_triton_backend_tpu.utils import cdiv
+
+        sched = self.scheduler
+        reqs = list(sched.running)
+        k = self.spec_k
+        bs = self.config.cache.block_size
+        # page + length headroom for k-1 lookahead positions
+        needed = 0
+        for r in reqs:
+            if r.num_tokens + k - 1 > sched.config.max_model_len:
+                return None
+            target_len = r.num_tokens + k - 1
+            needed += max(
+                0,
+                cdiv(target_len, bs)
+                - len(sched.allocator.block_table(r.req_id)),
+            )
+        if needed > sched.allocator.num_free_blocks:
+            return None
+        for r in reqs:
+            sched.allocator.append_slots(r.req_id, r.num_tokens + k - 1)
+
+        s_pad = sched.config.max_num_seqs
+        tokens = np.zeros(s_pad, np.int32)
+        lens = np.ones(s_pad, np.int32)
+        live = np.zeros(s_pad, bool)
+        tbl = np.zeros((s_pad, sched.max_blocks_per_seq), np.int32)
+        for i, r in enumerate(reqs):
+            tokens[i] = r.output_token_ids[-1]
+            lens[i] = r.num_tokens
+            live[i] = True
+            pages = sched.allocator.block_table(r.req_id)
+            tbl[i, : len(pages)] = pages
+        maxlen_bucket = max(
+            128,
+            next_power_of_2(max(r.num_tokens for r in reqs) + k),
+        )
+        st = SamplingTensors(
+            *(jnp.asarray(a) for a in make_sampling_tensors([], s_pad))
+        )
+        tokens_d, lens_d, live_d, tbl_d = (
+            jnp.asarray(tokens), jnp.asarray(lens),
+            jnp.asarray(live), jnp.asarray(tbl),
+        )
+        extras_d = ForwardExtras(
+            max_query_len=1, max_seq_len=maxlen_bucket,
+            k_scale=self.k_scale, v_scale=self.v_scale,
+        )
+        # k (not k-1) draft steps: the extra step's WRITE matters, not
+        # its token — after a fully-accepted round the next current
+        # token sits at position n+k-1 and the draft must already hold
+        # K/V for position n+k-2, which only the k-th step writes (its
+        # sampled token is discarded).
+        drafts_all, _lp, _t, _l, _key, self.draft_cache = decode_steps(
+            self.draft_params, self.draft_config,
+            tokens_d, lens_d, tbl_d, live_d,
+            jnp.full_like(lens_d, 1 << 30),
+            self.draft_cache, st, self._key,
+            extras_d, k, bs, greedy_only=True,
+        )
+        drafts = drafts_all[: k - 1]
+        extras_v = ForwardExtras(
+            max_query_len=k, max_seq_len=maxlen_bucket,
+            k_scale=self.k_scale, v_scale=self.v_scale,
+        )
+        tgt, n_acc, self.kv_cache = verify_step(
+            self.params, self.config.model,
+            tokens_d, drafts, lens_d, tbl_d, live_d,
+            self.kv_cache, extras_v, k, bs,
+        )
+        tgt = np.asarray(tgt)  # [S, k]
+        n_acc = np.asarray(n_acc)
+        self._spec_stats["rounds"] += 1
+        self._spec_stats["drafted"] += (k - 1) * len(reqs)
+        self._spec_stats["accepted"] += int(n_acc[: len(reqs)].sum())
+        budget = n_acc.astype(np.int64) + 1  # emit t_0..t_{n_acc}
+        finished = self._process_chunk(reqs, tgt.T, budget)
+        return self._outputs(finished)
 
     def _process_chunk(
         self, reqs, sampled: np.ndarray, budget=None, logprobs=None
@@ -1392,6 +1549,10 @@ class LLMEngine:
             return self._step_pp()
         if self.cp > 1:
             return self._step_cp()
+        if self.draft_params is not None and self._spec_applies():
+            out = self._step_spec()
+            if out is not None:
+                return out
         if self._decode_session_applies():
             fast = self._try_multistep()
             if fast is not None:
@@ -1527,6 +1688,23 @@ class LLMEngine:
                 sampled_d, self._key, self.kv_cache = out
                 logprobs = None
             sampled = np.asarray(sampled_d)
+        if self.draft_params is not None:
+            # mirror every regular step into the draft cache so drafts
+            # always see the full context (prefill + fallback decode)
+            _, self.draft_cache = llama.forward(
+                self.draft_params, self.draft_config,
+                jnp.asarray(batch.token_ids),
+                jnp.asarray(batch.positions),
+                self.draft_cache,
+                AttentionMetadata(
+                    query_start_loc=jnp.asarray(batch.query_start_loc),
+                    seq_lens=jnp.asarray(batch.seq_lens),
+                    block_table=jnp.asarray(batch.block_table),
+                    slot_mapping=jnp.asarray(batch.slot_mapping),
+                    num_seqs=jnp.int32(batch.num_seqs),
+                ),
+                extras,
+            )
         finished = self.scheduler.update(
             batch, sampled, self.eos_token_id, logprobs
         )
