@@ -135,3 +135,38 @@ def test_spec_decode_with_stop_tokens(setup):
     s = run(draft_params=params, draft_config=cfg.model, spec_k=4)
     assert s.output_token_ids == b.output_token_ids
     assert s.finish_reason == "stopped"
+
+
+def test_ngram_spec_lossless(setup):
+    """Prompt-lookup (draft-free) speculation: lossless greedy equality;
+    repetitive prompts give real acceptance."""
+    cfg, params = setup
+    # repetitive prompt -> greedy continuation loops -> ngram matches
+    prompts = [[7, 8, 9, 7, 8, 9, 7, 8, 9, 7, 8]]
+    base, _ = _run(cfg, params, prompts, n_new=24)
+    spec, eng = _run(
+        cfg, params, prompts, n_new=24, spec_ngram=True, spec_k=4,
+    )
+    assert spec == base
+    assert eng._spec_stats["rounds"] > 0
+    # random prompts must also stay lossless (acceptance may be ~0)
+    prompts = _prompts(cfg, seed=9)
+    base, _ = _run(cfg, params, prompts, n_new=12)
+    spec, _ = _run(
+        cfg, params, prompts, n_new=12, spec_ngram=True, spec_k=4,
+    )
+    assert spec == base
+
+
+def test_ngram_propose_semantics():
+    from vllm_triton_backend_tpu.runtime.spec_decode import ngram_propose
+
+    # suffix [5, 6] seen earlier; continuation [7, 8]
+    assert ngram_propose([5, 6, 7, 8, 1, 5, 6], k=2) == [7, 8]
+    # longest n-gram wins over shorter, most recent match first
+    toks = [1, 2, 3, 9, 1, 2, 3, 4, 1, 2, 3]
+    assert ngram_propose(toks, k=1) == [4]
+    # no match -> None
+    assert ngram_propose([1, 2, 3], k=2) is None
+    # short continuation pads by repeating the tail
+    assert ngram_propose([4, 4], k=3) == [4, 4, 4]

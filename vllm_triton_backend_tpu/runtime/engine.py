@@ -135,10 +135,15 @@ class LLMEngine:
         draft_params=None,
         draft_config=None,
         spec_k: int = 4,
+        spec_ngram: bool = False,
+        spec_ngram_n: int = 3,
     ):
         """``draft_params``/``draft_config``: enable draft-model
         speculative decoding (runtime/spec_decode.py) — lossless under
-        greedy; ``spec_k`` tokens per round (1 current + k-1 drafts)."""
+        greedy; ``spec_k`` tokens per round (1 current + k-1 drafts).
+        ``spec_ngram``: draft-FREE prompt-lookup speculation (vLLM's
+        ngram speculator) — proposals come from suffix n-gram matches in
+        the request's own tokens, verified by the same target pass."""
         self.config = config
         mc, cc = config.model, config.cache
         # Hybrid/SSM models: per-layer state pools + no prefix caching
@@ -306,12 +311,15 @@ class LLMEngine:
         self.draft_params = draft_params
         self.draft_config = draft_config
         self.spec_k = spec_k
-        if draft_params is not None:
-            assert draft_config is not None
+        self.spec_ngram = spec_ngram
+        self.spec_ngram_n = spec_ngram_n
+        if draft_params is not None or spec_ngram:
             assert (
                 self.tp == 1 and self.dp == 1 and self.pp == 1
                 and self.cp == 1 and not self.is_hybrid
             ), "speculative decoding: single-chip llama engines (v1)"
+        if draft_params is not None:
+            assert draft_config is not None
             # the draft shares the scheduler's block tables: same page
             # geometry, its own cache array sized to the draft model
             self.draft_cache = llama.make_kv_caches(
@@ -611,7 +619,7 @@ class LLMEngine:
         sched = self.scheduler
         if self.multistep <= 1 or sched.waiting or not sched.running:
             return False
-        if self.draft_params is not None:
+        if self.draft_params is not None or self.spec_ngram:
             return False  # spec decode is the steady-state fast path
         if len(sched.running) > sched.config.max_num_seqs:
             return False
@@ -736,19 +744,37 @@ class LLMEngine:
             max_query_len=1, max_seq_len=maxlen_bucket,
             k_scale=self.k_scale, v_scale=self.v_scale,
         )
-        # k (not k-1) draft steps: the extra step's WRITE matters, not
-        # its token — after a fully-accepted round the next current
-        # token sits at position n+k-1 and the draft must already hold
-        # K/V for position n+k-2, which only the k-th step writes (its
-        # sampled token is discarded).
-        drafts_all, _lp, _t, _l, _key, self.draft_cache = decode_steps(
-            self.draft_params, self.draft_config,
-            tokens_d, lens_d, tbl_d, live_d,
-            jnp.full_like(lens_d, 1 << 30),
-            self.draft_cache, st, self._key,
-            extras_d, k, bs, greedy_only=True,
-        )
-        drafts = drafts_all[: k - 1]
+        if self.draft_params is not None:
+            # k (not k-1) draft steps: the extra step's WRITE matters,
+            # not its token — after a fully-accepted round the next
+            # current token sits at position n+k-1 and the draft must
+            # already hold K/V for position n+k-2, which only the k-th
+            # step writes (its sampled token is discarded).
+            drafts_all, _lp, _t, _l, _key, self.draft_cache = (
+                decode_steps(
+                    self.draft_params, self.draft_config,
+                    tokens_d, lens_d, tbl_d, live_d,
+                    jnp.full_like(lens_d, 1 << 30),
+                    self.draft_cache, st, self._key,
+                    extras_d, k, bs, greedy_only=True,
+                )
+            )
+            drafts = drafts_all[: k - 1]
+        else:
+            from vllm_triton_backend_tpu.runtime.spec_decode import (
+                ngram_propose,
+            )
+
+            dr = np.zeros((k - 1, s_pad), np.int32)
+            for i, r in enumerate(reqs):
+                prop = ngram_propose(
+                    r.all_token_ids, k - 1, self.spec_ngram_n
+                )
+                dr[:, i] = (
+                    prop if prop is not None
+                    else [tokens[i]] * (k - 1)
+                )
+            drafts = jnp.asarray(dr)
         extras_v = ForwardExtras(
             max_query_len=k, max_seq_len=maxlen_bucket,
             k_scale=self.k_scale, v_scale=self.v_scale,
@@ -1549,7 +1575,10 @@ class LLMEngine:
             return self._step_pp()
         if self.cp > 1:
             return self._step_cp()
-        if self.draft_params is not None and self._spec_applies():
+        if (
+            (self.draft_params is not None or self.spec_ngram)
+            and self._spec_applies()
+        ):
             out = self._step_spec()
             if out is not None:
                 return out

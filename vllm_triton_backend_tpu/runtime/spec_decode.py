@@ -38,6 +38,27 @@ from vllm_triton_backend_tpu.models.llama import ForwardExtras, forward_fn
 from vllm_triton_backend_tpu.ops.metadata import AttentionMetadata
 
 
+def ngram_propose(
+    tokens: list[int], k: int, max_n: int = 3
+) -> list[int] | None:
+    """Prompt-lookup proposal (vLLM's ngram speculator): find the most
+    recent earlier occurrence of the longest suffix n-gram (n = max_n
+    down to 1) and propose the k tokens that followed it.  Host-side,
+    draft-model-free; a wrong proposal costs nothing but acceptance
+    (the verifier emits the target's own tokens regardless)."""
+    t = len(tokens)
+    for n in range(min(max_n, t - 1), 0, -1):
+        suffix = tokens[t - n:]
+        # most recent match first
+        for start in range(t - n - 1, -1, -1):
+            if tokens[start : start + n] == suffix:
+                cont = tokens[start + n : start + n + k]
+                if cont:
+                    # pad short continuations by repeating the last
+                    return (cont + [cont[-1]] * k)[:k]
+    return None
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("cfg", "extras", "k", "block_size"),
