@@ -21,6 +21,11 @@ def main() -> None:
     ap.add_argument("--max-tokens", type=int, default=20)
     ap.add_argument("--temperature", type=float, default=0.0)
     ap.add_argument("--profile", action="store_true")
+    # speculative decoding: a small draft checkpoint, or draft-free
+    # prompt-lookup (both lossless under greedy)
+    ap.add_argument("--draft-dir", default=None)
+    ap.add_argument("--spec-ngram", action="store_true")
+    ap.add_argument("--spec-k", type=int, default=4)
     args = ap.parse_args()
 
     import jax
@@ -39,8 +44,13 @@ def main() -> None:
     sampling = SamplingParams(
         temperature=args.temperature, max_tokens=args.max_tokens
     )
+    spec_kw = dict(
+        draft_dir=args.draft_dir,
+        spec_ngram=args.spec_ngram,
+        spec_k=args.spec_k,
+    )
     if args.model_dir:
-        llm = LLM(model_dir=args.model_dir)
+        llm = LLM(model_dir=args.model_dir, **spec_kw)
         prompts = [
             "Hello, my name is",
             "The capital of France is",
@@ -51,7 +61,7 @@ def main() -> None:
             cache=CacheConfig(block_size=16, num_blocks=256),
             scheduler=SchedulerConfig(max_model_len=256),
         )
-        llm = LLM(config=cfg)
+        llm = LLM(config=cfg, **spec_kw)
         prompts = [[1, 2, 3, 4, 5], [10, 11, 12]]
 
     if args.profile:
@@ -69,6 +79,12 @@ def main() -> None:
         text = out.text if out.text is not None else out.output_token_ids
         print(f"prompt: {p!r}\n  -> {text!r} ({out.finish_reason})")
     print(f"{total_tokens} tokens in {dt:.2f}s ({total_tokens/dt:.1f} tok/s)")
+    stats = llm.engine.stats()
+    if "spec_rounds" in stats:
+        print(
+            f"spec rounds: {stats['spec_rounds']} "
+            f"acceptance: {stats['spec_acceptance']:.2f}"
+        )
 
 
 if __name__ == "__main__":

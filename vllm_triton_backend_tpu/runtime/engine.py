@@ -1751,9 +1751,17 @@ class LLM:
         config: EngineConfig | None = None,
         model_dir: str | None = None,
         tokenizer=None,
+        draft_dir: str | None = None,
+        spec_ngram: bool = False,
+        spec_k: int = 4,
         **config_kw,
     ):
         params = None
+        draft_params = draft_cfg = None
+        if draft_dir is not None:
+            from vllm_triton_backend_tpu.models.hf import load_params
+
+            draft_cfg, draft_params = load_params(draft_dir)
         if model_dir is not None:
             from vllm_triton_backend_tpu.models.hf import (
                 config_from_hf,
@@ -1778,7 +1786,11 @@ class LLM:
         eos = None
         if tokenizer is not None:
             eos = tokenizer.token_to_id("</s>")
-        self.engine = LLMEngine(config, params=params, eos_token_id=eos)
+        self.engine = LLMEngine(
+            config, params=params, eos_token_id=eos,
+            draft_params=draft_params, draft_config=draft_cfg,
+            spec_ngram=spec_ngram, spec_k=spec_k,
+        )
 
     def generate(
         self,

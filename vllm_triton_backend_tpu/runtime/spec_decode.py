@@ -24,6 +24,15 @@ every fed position; the emitted tokens are the target's own choices
 (t_0..t_a where a = accepted-draft prefix length), so output is
 token-identical to running the target alone — the draft only changes
 how many tokens each step yields (1..k).
+
+Numerics caveat (the standard batch-variance caveat every spec-decode
+implementation carries): "the target's own argmax" is computed by the
+qlen=k verify executable, while the non-spec baseline uses the qlen=1
+decode executable.  In exact arithmetic they agree identically (the
+f32 test suite pins this); under bf16, near-tied logits can argmax
+differently between the two executables — outputs then differ from the
+non-spec run the way any batching/bucketing change can, while remaining
+the target model's own greedy choices.
 """
 
 from __future__ import annotations
