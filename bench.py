@@ -314,5 +314,30 @@ def main() -> None:
     )
 
 
+def _main_guarded() -> None:
+    """The driver records this script's ONE JSON line; never die without
+    printing it.  On a partial failure (e.g. a kernel that stops
+    compiling after a code change, or a flaky device tunnel) emit
+    whatever was measured plus the error, instead of nothing."""
+    try:
+        main()
+    except BaseException as e:  # noqa: BLE001
+        import traceback
+
+        traceback.print_exc()
+        print(
+            json.dumps(
+                {
+                    "metric": "decode_tokens_per_s_per_chip",
+                    "value": 0.0,
+                    "unit": "tok/s",
+                    "vs_baseline": 0.0,
+                    "error": f"{type(e).__name__}: {e}"[:300],
+                }
+            )
+        )
+        raise SystemExit(1)
+
+
 if __name__ == "__main__":
-    main()
+    _main_guarded()
