@@ -170,3 +170,87 @@ def test_ngram_propose_semantics():
     assert ngram_propose([1, 2, 3], k=2) is None
     # short continuation pads by repeating the tail
     assert ngram_propose([4, 4], k=3) == [4, 4, 4]
+
+
+def test_rejection_accept_marginal_is_target_dist():
+    """The emitted FIRST token's marginal must be exactly p_0 regardless
+    of the proposal q (lossless-in-distribution contract), measured
+    empirically over many fixed seeds."""
+    import jax.numpy as jnp
+
+    from vllm_triton_backend_tpu.runtime.spec_decode import (
+        rejection_accept,
+    )
+
+    v, k = 4, 3
+    p0 = np.array([0.5, 0.25, 0.125, 0.125], np.float32)
+    p = jnp.asarray(np.tile(p0, (1, k, 1)))
+    q0 = np.array([0.1, 0.2, 0.3, 0.4], np.float32)  # very wrong draft
+    q = jnp.asarray(np.tile(q0, (1, k - 1, 1)))
+
+    counts = np.zeros(v)
+    n = 3000
+    rng = np.random.default_rng(0)
+    for s in range(n):
+        d = rng.choice(v, size=(1, k - 1), p=q0).astype(np.int32)
+        toks, n_acc = rejection_accept(
+            p, q, jnp.asarray(d), jax.random.key(s)
+        )
+        counts[int(np.asarray(toks)[0, 0])] += 1
+    emp = counts / n
+    np.testing.assert_allclose(emp, p0, atol=0.03)
+
+
+def test_rejection_accept_perfect_draft_accepts():
+    import jax.numpy as jnp
+
+    from vllm_triton_backend_tpu.runtime.spec_decode import (
+        rejection_accept,
+    )
+
+    v, k = 8, 4
+    dist = np.full(v, 1.0 / v, np.float32)
+    p = jnp.asarray(np.tile(dist, (1, k, 1)))
+    q = jnp.asarray(np.tile(dist, (1, k - 1, 1)))
+    acc = 0
+    for s in range(200):
+        d = np.random.default_rng(s).integers(
+            0, v, (1, k - 1)
+        ).astype(np.int32)
+        _, n_acc = rejection_accept(p, q, jnp.asarray(d), jax.random.key(s))
+        acc += int(np.asarray(n_acc)[0])
+    # p == q -> ratio 1 -> always accept
+    assert acc == 200 * (k - 1)
+
+
+def test_spec_decode_stochastic_runs_and_near_greedy_matches(setup):
+    """temperature ~0 stochastic spec == greedy baseline (rejection
+    sampling degenerates to argmax); a real temperature run completes
+    with the spec path engaged and respects max_tokens."""
+    cfg, params = setup
+    prompts = _prompts(cfg, seed=10)
+    base, _ = _run(cfg, params, prompts, n_new=16)
+
+    def run_t(t, **kw):
+        engine = LLMEngine(cfg, params=params, **kw)
+        for p in prompts:
+            engine.add_request(
+                p, SamplingParams(temperature=t, max_tokens=16)
+            )
+        out = {}
+        while engine.has_unfinished():
+            for o in engine.step():
+                out[o.req_id] = o.output_token_ids
+        return out, engine
+
+    near, eng = run_t(
+        1e-6, draft_params=params, draft_config=cfg.model, spec_k=4
+    )
+    assert near == base
+    assert eng._spec_stats["rounds"] > 0
+
+    hot, eng2 = run_t(
+        0.8, draft_params=params, draft_config=cfg.model, spec_k=4
+    )
+    assert eng2._spec_stats["rounds"] > 0
+    assert all(len(v) == 16 for v in hot.values())

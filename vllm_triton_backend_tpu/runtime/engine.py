@@ -673,10 +673,14 @@ class LLMEngine:
                 return False
             sp = r.sampling
             if (
-                sp.temperature > 0.0
-                or sp.has_penalties
+                sp.has_penalties
                 or sp.logprobs
                 or sp.seed is not None
+                # plain temperature sampling is rejection-sampled
+                # losslessly; support-filtered dists are a later phase
+                or sp.top_p < 1.0
+                or sp.top_k > 0
+                or sp.min_p > 0.0
             ):
                 return False
         return True
@@ -744,7 +748,14 @@ class LLMEngine:
             max_query_len=1, max_seq_len=maxlen_bucket,
             k_scale=self.k_scale, v_scale=self.v_scale,
         )
-        if self.draft_params is not None:
+        stochastic = any(
+            r.sampling.temperature > 0.0 for r in reqs
+        )
+        temp = np.zeros(s_pad, np.float32)
+        for i, r in enumerate(reqs):
+            temp[i] = r.sampling.temperature
+        q_dists = None
+        if self.draft_params is not None and not stochastic:
             # k (not k-1) draft steps: the extra step's WRITE matters,
             # not its token — after a fully-accepted round the next
             # current token sits at position n+k-1 and the draft must
@@ -760,6 +771,22 @@ class LLMEngine:
                 )
             )
             drafts = drafts_all[: k - 1]
+        elif self.draft_params is not None:
+            from vllm_triton_backend_tpu.runtime.spec_decode import (
+                draft_steps_stochastic,
+            )
+
+            self._key, sub = jax.random.split(self._key)
+            drafts_all, q_all, self.draft_cache = (
+                draft_steps_stochastic(
+                    self.draft_params, self.draft_config,
+                    tokens_d, lens_d, tbl_d, live_d,
+                    self.draft_cache, jnp.asarray(temp), sub,
+                    extras_d, k, bs,
+                )
+            )
+            drafts = drafts_all[: k - 1]
+            q_dists = q_all[: k - 1]
         else:
             from vllm_triton_backend_tpu.runtime.spec_decode import (
                 ngram_propose,
@@ -775,15 +802,36 @@ class LLMEngine:
                     else [tokens[i]] * (k - 1)
                 )
             drafts = jnp.asarray(dr)
+            if stochastic:
+                # prompt-lookup proposals are deterministic: q is the
+                # proposal's one-hot (accept w.p. p(d), residual keeps
+                # the emitted marginal exactly p)
+                q_dists = jax.nn.one_hot(
+                    drafts, self.config.model.vocab_size,
+                    dtype=jnp.float32,
+                )
         extras_v = ForwardExtras(
             max_query_len=k, max_seq_len=maxlen_bucket,
             k_scale=self.k_scale, v_scale=self.v_scale,
         )
-        tgt, n_acc, self.kv_cache = verify_step(
-            self.params, self.config.model,
-            tokens_d, drafts, lens_d, tbl_d, live_d,
-            self.kv_cache, extras_v, k, bs,
-        )
+        if stochastic:
+            from vllm_triton_backend_tpu.runtime.spec_decode import (
+                verify_step_stochastic,
+            )
+
+            self._key, sub = jax.random.split(self._key)
+            tgt, n_acc, self.kv_cache = verify_step_stochastic(
+                self.params, self.config.model,
+                tokens_d, drafts, q_dists, jnp.asarray(temp),
+                lens_d, tbl_d, live_d,
+                self.kv_cache, sub, extras_v, k, bs,
+            )
+        else:
+            tgt, n_acc, self.kv_cache = verify_step(
+                self.params, self.config.model,
+                tokens_d, drafts, lens_d, tbl_d, live_d,
+                self.kv_cache, extras_v, k, bs,
+            )
         tgt = np.asarray(tgt)  # [S, k]
         n_acc = np.asarray(n_acc)
         self._spec_stats["rounds"] += 1

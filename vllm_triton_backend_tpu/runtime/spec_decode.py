@@ -126,3 +126,193 @@ def verify_step(
         jnp.cumprod(match.astype(jnp.int32), axis=1), axis=1
     )
     return tgt, n_acc, kv_cache
+
+
+def rejection_accept(
+    p: jax.Array,  # [S, k, V] target dist at each fed position
+    q: jax.Array,  # [S, k-1, V] draft PROPOSAL dist at each position
+    drafts: jax.Array,  # [S, k-1] proposed tokens (sampled from q)
+    key: jax.Array,
+):
+    """Lossless-in-distribution speculative acceptance (Leviathan et
+    al.): accept d_j with prob min(1, p_j(d_j)/q_j(d_j)); at the first
+    rejection sample from the residual ``normalize(max(p - q, 0))``;
+    when every draft is accepted, the bonus token samples from the last
+    target dist directly (residual with q = 0).  Returns
+    (tokens [S, k] — column j < n_acc holds d_j, column n_acc the
+    resampled/bonus token — and n_acc [S]).
+
+    Marginal of the emitted token at every position is EXACTLY p_j —
+    the draft only changes how many tokens a round yields.
+    """
+    s, k, v = p.shape
+    ku, kr = jax.random.split(key)
+    u = jax.random.uniform(ku, (s, k - 1))
+    p_d = jnp.take_along_axis(
+        p[:, : k - 1], drafts[..., None], axis=-1
+    )[..., 0]
+    q_d = jnp.take_along_axis(q, drafts[..., None], axis=-1)[..., 0]
+    ok = u * jnp.maximum(q_d, 1e-20) < p_d
+    n_acc = jnp.sum(
+        jnp.cumprod(ok.astype(jnp.int32), axis=1), axis=1
+    )  # [S]
+    # residual dist at the first-rejected position (or bonus at k-1)
+    idx = jnp.minimum(n_acc, k - 1)
+    p_at = jnp.take_along_axis(p, idx[:, None, None], axis=1)[:, 0]
+    q_pad = jnp.concatenate(
+        [q, jnp.zeros((s, 1, v), q.dtype)], axis=1
+    )
+    q_at = jnp.take_along_axis(q_pad, idx[:, None, None], axis=1)[:, 0]
+    resid = jnp.maximum(p_at - q_at, 0.0)
+    # all-rejected-by-construction guard: if resid sums to ~0 (p == q
+    # exactly), fall back to p itself
+    rs = jnp.sum(resid, axis=-1, keepdims=True)
+    resid = jnp.where(rs > 1e-20, resid / jnp.maximum(rs, 1e-20), p_at)
+    final = jax.random.categorical(
+        kr, jnp.log(jnp.maximum(resid, 1e-30)), axis=-1
+    ).astype(jnp.int32)
+    cols = jnp.arange(k, dtype=jnp.int32)[None, :]
+    d_pad = jnp.concatenate(
+        [drafts, jnp.zeros((s, 1), jnp.int32)], axis=1
+    )
+    tokens = jnp.where(
+        cols < n_acc[:, None], d_pad,
+        jnp.where(cols == n_acc[:, None], final[:, None], 0),
+    )
+    return tokens, n_acc
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "extras", "k", "block_size"),
+    donate_argnames=("kv_cache",),
+)
+def verify_step_stochastic(
+    params,
+    cfg: ModelConfig,
+    cur_tokens: jax.Array,  # [S]
+    drafts: jax.Array,  # [k-1, S]
+    q_dists: jax.Array,  # [k-1, S, V] draft proposal dists
+    temperature: jax.Array,  # [S] (0 = greedy row)
+    seq_lens: jax.Array,
+    block_table: jax.Array,
+    live: jax.Array,
+    kv_cache: jax.Array,
+    rng_key: jax.Array,
+    extras: ForwardExtras,
+    k: int,
+    block_size: int,
+):
+    """Stochastic verify: target forward over the fed tokens, tempered
+    target dists, rejection acceptance.  Greedy rows (t == 0) use a
+    one-hot target dist — the rejection rule then degenerates to exact
+    argmax-prefix matching, so mixed greedy/stochastic batches share
+    this one executable."""
+    s = cur_tokens.shape[0]
+    fed = jnp.concatenate([cur_tokens[None], drafts], axis=0)
+    tokens = fed.T.reshape(-1)
+    offs = jnp.arange(k, dtype=jnp.int32)
+    positions = ((seq_lens - 1)[:, None] + offs[None, :]).reshape(-1)
+    qsl = jnp.arange(s + 1, dtype=jnp.int32) * k
+    vis_lens = jnp.where(live, seq_lens + (k - 1), seq_lens)
+    page = jnp.take_along_axis(
+        block_table, positions.reshape(s, k) // block_size, axis=1
+    )
+    slots = jnp.where(
+        live[:, None],
+        page * block_size + positions.reshape(s, k) % block_size,
+        -1,
+    ).reshape(-1).astype(jnp.int32)
+    meta = AttentionMetadata(
+        query_start_loc=qsl,
+        seq_lens=vis_lens,
+        block_table=block_table,
+        slot_mapping=slots,
+        num_seqs=jnp.int32(s),
+    )
+    logits, kv_cache = forward_fn(
+        params, cfg, tokens, positions, kv_cache, meta, extras
+    )
+    v = logits.shape[-1]
+    logits = logits.reshape(s, k, v)
+    t = jnp.maximum(temperature, 1e-6)[:, None, None]
+    p = jax.nn.softmax(logits.astype(jnp.float32) / t, axis=-1)
+    greedy_rows = (temperature <= 0.0)[:, None, None]
+    one_hot = jax.nn.one_hot(
+        jnp.argmax(logits, axis=-1), v, dtype=jnp.float32
+    )
+    p = jnp.where(greedy_rows, one_hot, p)
+    tokens_out, n_acc = rejection_accept(
+        p, q_dists.transpose(1, 0, 2), drafts.T, rng_key
+    )
+    return tokens_out, n_acc, kv_cache
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "extras", "num_steps", "block_size"),
+    donate_argnames=("kv_cache",),
+)
+def draft_steps_stochastic(
+    params,
+    cfg: ModelConfig,
+    tokens: jax.Array,  # [S]
+    seq_lens: jax.Array,  # [S]
+    block_table: jax.Array,
+    live: jax.Array,
+    kv_cache: jax.Array,
+    temperature: jax.Array,  # [S]
+    rng_key: jax.Array,
+    extras: ForwardExtras,
+    num_steps: int,  # k: k-1 proposals + 1 write-only lookahead step
+    block_size: int,
+):
+    """Draft proposal scan that also CAPTURES the proposal distribution
+    q_j per step (rejection sampling needs p/q and the residual).
+    Greedy rows propose their argmax with a one-hot q.  Returns
+    (sampled [K, S], dists [K, S, V] f32, kv_cache)."""
+    num_seqs = tokens.shape[0]
+    qsl = jnp.arange(num_seqs + 1, dtype=jnp.int32)
+    t3 = jnp.maximum(temperature, 1e-6)[:, None]
+    greedy_rows = (temperature <= 0.0)[:, None]
+
+    def body(carry, _):
+        toks, lens, kv, key = carry
+        key, sub = jax.random.split(key)
+        pos = lens - 1
+        page = jnp.take_along_axis(
+            block_table, (pos // block_size)[:, None], axis=1
+        )[:, 0]
+        slots = jnp.where(
+            live, page * block_size + pos % block_size, -1
+        ).astype(jnp.int32)
+        meta = AttentionMetadata(
+            query_start_loc=qsl,
+            seq_lens=lens,
+            block_table=block_table,
+            slot_mapping=slots,
+            num_seqs=jnp.int32(num_seqs),
+        )
+        logits, kv = forward_fn(
+            params, cfg, toks, pos, kv, meta, extras
+        )
+        v = logits.shape[-1]
+        q = jax.nn.softmax(logits.astype(jnp.float32) / t3, axis=-1)
+        one_hot = jax.nn.one_hot(
+            jnp.argmax(logits, axis=-1), v, dtype=jnp.float32
+        )
+        q = jnp.where(greedy_rows, one_hot, q)
+        nxt = jax.random.categorical(
+            sub, jnp.log(jnp.maximum(q, 1e-30)), axis=-1
+        ).astype(jnp.int32)
+        nxt = jnp.where(live, nxt, toks)
+        lens = jnp.where(live, lens + 1, lens)
+        return (nxt, lens, kv, key), (nxt, q)
+
+    (tokens, seq_lens, kv_cache, rng_key), (sampled, dists) = (
+        jax.lax.scan(
+            body, (tokens, seq_lens, kv_cache, rng_key), None,
+            length=num_steps,
+        )
+    )
+    return sampled, dists, kv_cache
