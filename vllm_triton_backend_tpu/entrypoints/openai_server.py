@@ -484,17 +484,76 @@ def main() -> None:
     ap.add_argument("--model-dir", default=None)
     ap.add_argument("--host", default="127.0.0.1")
     ap.add_argument("--port", type=int, default=8000)
+    # engine shape
+    ap.add_argument("--tensor-parallel", type=int, default=1)
+    ap.add_argument("--data-parallel", type=int, default=1)
+    ap.add_argument("--pipeline-parallel", type=int, default=1)
+    ap.add_argument("--max-num-seqs", type=int, default=None)
+    ap.add_argument("--max-model-len", type=int, default=None)
+    # memory formats
+    ap.add_argument(
+        "--cache-dtype", default=None,
+        choices=[None, "auto", "fp8", "int8"],
+    )
+    ap.add_argument(
+        "--quantization", default=None, choices=[None, "int8", "fp8"],
+    )
+    # speculative decoding (lossless; see runtime/spec_decode.py)
+    ap.add_argument("--draft-dir", default=None)
+    ap.add_argument("--spec-ngram", action="store_true")
+    ap.add_argument("--spec-k", type=int, default=4)
     args = ap.parse_args()
 
-    from vllm_triton_backend_tpu.config import EngineConfig, ModelConfig
+    import dataclasses as dc
+
+    from vllm_triton_backend_tpu.config import (
+        EngineConfig,
+        ModelConfig,
+        ParallelConfig,
+    )
+
+    def shape_config(cfg: EngineConfig) -> EngineConfig:
+        cfg = cfg.replace(
+            parallel=ParallelConfig(
+                tensor_parallel=args.tensor_parallel,
+                data_parallel=args.data_parallel,
+                pipeline_parallel=args.pipeline_parallel,
+            )
+        )
+        sched = cfg.scheduler
+        if args.max_num_seqs:
+            sched = dc.replace(sched, max_num_seqs=args.max_num_seqs)
+        if args.max_model_len:
+            sched = dc.replace(sched, max_model_len=args.max_model_len)
+        cfg = cfg.replace(scheduler=sched)
+        if args.cache_dtype:
+            cfg = cfg.replace(
+                cache=dc.replace(cfg.cache, cache_dtype=args.cache_dtype)
+            )
+        return cfg
+
+    spec_kw = dict(spec_ngram=args.spec_ngram, spec_k=args.spec_k)
+    if args.draft_dir:
+        from vllm_triton_backend_tpu.models.hf import load_params
+
+        draft_cfg, draft_params = load_params(args.draft_dir)
+        spec_kw.update(
+            draft_config=draft_cfg, draft_params=draft_params
+        )
 
     tokenizer = None
     if args.model_dir:
         from vllm_triton_backend_tpu.models.hf import load_params
 
         mc, params = load_params(args.model_dir)
-        cfg = EngineConfig().replace(model=mc)
-        engine = LLMEngine(cfg, params=params)
+        if args.quantization:
+            from vllm_triton_backend_tpu.models.llama import (
+                quantize_params,
+            )
+
+            params = quantize_params(params, args.quantization, mc)
+        cfg = shape_config(EngineConfig().replace(model=mc))
+        engine = LLMEngine(cfg, params=params, **spec_kw)
         try:
             from tokenizers import Tokenizer
 
@@ -504,7 +563,10 @@ def main() -> None:
         except Exception:
             pass
     else:
-        engine = LLMEngine(EngineConfig(model=ModelConfig.tiny()))
+        engine = LLMEngine(
+            shape_config(EngineConfig(model=ModelConfig.tiny())),
+            **spec_kw,
+        )
 
     worker = EngineWorker(engine, tokenizer)
     worker.start()
