@@ -217,3 +217,27 @@ def test_priority_scheduling_order(setup):
     # all three queued before step 1: the priority -1 request jumps the
     # whole queue; FCFS breaks the 0-vs-5 tie in favor of req-0
     assert order == ["req-2", "req-0", "req-1"], order
+
+
+def test_allowed_token_ids_restricts_output(setup):
+    cfg, params = setup
+    prompts = _prompts(cfg, n=2)
+    allowed = (5, 7, 11)
+    outs = _run(
+        cfg, params, prompts,
+        SamplingParams(
+            temperature=1.0, allowed_token_ids=allowed, max_tokens=8
+        ),
+    )
+    for o in outs:
+        assert set(o.output_token_ids) <= set(allowed), o.output_token_ids
+
+
+def test_logit_bias_forces_token(setup):
+    cfg, params = setup
+    prompts = _prompts(cfg, n=1)
+    out = _run(
+        cfg, params, prompts,
+        SamplingParams(logit_bias=((9, 1e9),), max_tokens=5),
+    )[0]
+    assert out.output_token_ids == [9] * 5

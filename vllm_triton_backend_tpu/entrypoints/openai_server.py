@@ -212,6 +212,13 @@ def build_app(worker: EngineWorker, model_name: str = "vtb-model"):
             max_tokens=int(body.get("max_tokens", 128)),
             stop=tuple(str(s) for s in stop),
             stop_token_ids=tuple(body.get("stop_token_ids", ())),
+            allowed_token_ids=tuple(
+                body.get("allowed_token_ids", ())
+            ),
+            logit_bias=tuple(
+                (int(t), float(b))
+                for t, b in (body.get("logit_bias") or {}).items()
+            ),
             logprobs=bool(body.get("logprobs", False)),
             seed=(
                 int(body["seed"]) if body.get("seed") is not None

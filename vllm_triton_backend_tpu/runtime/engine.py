@@ -516,6 +516,7 @@ class LLMEngine:
         from vllm_triton_backend_tpu.runtime.sampler import (
             PenaltyTensors,
             SamplingTensors,
+            make_logit_adjustments,
             make_penalty_tensors,
             make_sampling_tensors,
         )
@@ -565,12 +566,22 @@ class LLMEngine:
                 )
             return cls(*(jnp.asarray(a) for a in rows[0]))
 
+        adj_d = None
+        if any(r.sampling.has_logit_adjustments for r in flat):
+            vocab = self.config.model.vocab_size
+            rows = [
+                make_logit_adjustments(g, pad_to, vocab) for g in groups
+            ]
+            adj_d = jnp.asarray(
+                np.stack(rows) if stacked else rows[0]
+            )
         return (
             bundle(st_rows, SamplingTensors),
             bundle(pt_rows, PenaltyTensors),
             greedy_only,
             with_logprob,
             with_seeds,
+            adj_d,
         )
 
     def _outputs(self, finished) -> list[RequestOutput]:
@@ -590,7 +601,7 @@ class LLMEngine:
 
     def _sample_rows(
         self, rows, st_d, pt_d, sub, greedy_only, with_logprob,
-        with_seeds=False, seed_ctr=None,
+        with_seeds=False, seed_ctr=None, adj_d=None,
     ):
         """Penalize + sample per-seq logits rows; returns host
         (sampled [S], logprobs [S] | None)."""
@@ -598,6 +609,9 @@ class LLMEngine:
             apply_penalties,
         )
 
+        if adj_d is not None:
+            # allowed-token masks / logit biases (dense [S, V] addend)
+            rows = rows + adj_d
         if pt_d is not None:
             rows = apply_penalties(rows, pt_d)
         res = sample(
@@ -628,10 +642,14 @@ class LLMEngine:
                 return False
             if r.num_computed_tokens != r.num_tokens - 1:
                 return False
-            if r.sampling.has_penalties or r.sampling.seed is not None:
-                # penalties need per-step token-history updates, and
-                # seeded draws per-row keys; the per-step loop handles
-                # both (sampler.apply_penalties / with_seeds)
+            if (
+                r.sampling.has_penalties
+                or r.sampling.seed is not None
+                or r.sampling.has_logit_adjustments
+            ):
+                # penalties need per-step token-history updates, seeded
+                # draws per-row keys, and logit masks a dense [S, V]
+                # addend; the per-step loop handles all three
                 return False
         return True
 
@@ -676,6 +694,7 @@ class LLMEngine:
                 sp.has_penalties
                 or sp.logprobs
                 or sp.seed is not None
+                or sp.has_logit_adjustments
                 # plain temperature sampling is rejection-sampled
                 # losslessly; support-filtered dists are a later phase
                 or sp.top_p < 1.0
@@ -1151,6 +1170,7 @@ class LLMEngine:
                 if (
                     r.sampling.has_penalties
                     or r.sampling.seed is not None
+                    or r.sampling.has_logit_adjustments
                 ):
                     return False
         return any_running
@@ -1381,7 +1401,7 @@ class LLMEngine:
             for di, b in enumerate(batches)
         ]
         (
-            st_d, pt_d, greedy, with_logprob, with_seeds,
+            st_d, pt_d, greedy, with_logprob, with_seeds, adj_d,
         ) = self._sampling_inputs(req_groups, s_max, stacked=True)
 
         if self.is_hybrid:
@@ -1430,6 +1450,7 @@ class LLMEngine:
             greedy_only=greedy, with_logprob=with_logprob, pt=pt_d,
             with_seeds=with_seeds,
             seed_ctr=jnp.asarray(sl) if with_seeds else None,
+            logit_adj=adj_d,
         )
         if with_logprob:
             sampled, lp = np.asarray(res[0]), np.asarray(res[1])
@@ -1525,7 +1546,7 @@ class LLMEngine:
             [reqs[int(i)] for i in group] for group in seq_groups
         ]
         (
-            st_d, pt_d, greedy, with_logprob, with_seeds,
+            st_d, pt_d, greedy, with_logprob, with_seeds, adj_d,
         ) = self._sampling_inputs(req_groups, s_max, stacked=True)
         self._key, sub = jax.random.split(self._key)
         res = sample_replicas(
@@ -1533,6 +1554,7 @@ class LLMEngine:
             greedy_only=greedy, with_logprob=with_logprob, pt=pt_d,
             with_seeds=with_seeds,
             seed_ctr=jnp.asarray(sl) if with_seeds else None,
+            logit_adj=adj_d,
         )
         if with_logprob:
             sampled_m, lp_m = np.asarray(res[0]), np.asarray(res[1])
@@ -1587,7 +1609,7 @@ class LLMEngine:
         )
         reqs = [self.scheduler.requests[r] for r in batch.req_ids]
         (
-            st_d, pt_d, greedy_only, with_logprob, with_seeds,
+            st_d, pt_d, greedy_only, with_logprob, with_seeds, adj_d,
         ) = self._sampling_inputs(reqs, batch.logits_indices.shape[0])
         self._key, sub = jax.random.split(self._key)
         sampled, logprobs = self._sample_rows(
@@ -1595,6 +1617,7 @@ class LLMEngine:
             st_d, pt_d, sub, greedy_only, with_logprob,
             with_seeds,
             jnp.asarray(batch.seq_lens) if with_seeds else None,
+            adj_d,
         )
         finished = self.scheduler.update(
             batch, sampled, self.eos_token_id, logprobs
@@ -1645,7 +1668,7 @@ class LLMEngine:
         )
         reqs = [self.scheduler.requests[r] for r in batch.req_ids]
         (
-            st_d, pt_d, greedy_only, with_logprob, with_seeds,
+            st_d, pt_d, greedy_only, with_logprob, with_seeds, adj_d,
         ) = self._sampling_inputs(reqs, batch.logits_indices.shape[0])
         seed_ctr = (
             jnp.asarray(batch.seq_lens) if with_seeds else None
@@ -1676,7 +1699,7 @@ class LLMEngine:
             sampled, logprobs = self._sample_rows(
                 logits[0][jnp.asarray(batch.logits_indices)],
                 st_d, pt_d, sub, greedy_only, with_logprob,
-                with_seeds, seed_ctr,
+                with_seeds, seed_ctr, adj_d,
             )
         elif self.is_hybrid:
             state_idx = np.full(
@@ -1736,7 +1759,7 @@ class LLMEngine:
             sampled, logprobs = self._sample_rows(
                 logits[jnp.asarray(batch.logits_indices)],
                 st_d, pt_d, sub, greedy_only, with_logprob,
-                with_seeds, seed_ctr,
+                with_seeds, seed_ctr, adj_d,
             )
         else:
             out = engine_step(
@@ -1757,6 +1780,7 @@ class LLMEngine:
                 with_logprob,
                 pt_d,
                 with_seeds,
+                adj_d,
             )
             if with_logprob:
                 sampled_d, lp_d, self._key, self.kv_cache = out

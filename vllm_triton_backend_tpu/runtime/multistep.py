@@ -59,6 +59,7 @@ def engine_step(
     with_logprob: bool = False,
     pt=None,  # PenaltyTensors [S] | None
     with_seeds: bool = False,
+    logit_adj=None,  # [S, vocab] additive (allowed-ids mask / biases)
 ):
     """One fully-fused engine step: forward + last-token gather + sample.
 
@@ -79,6 +80,8 @@ def engine_step(
         params, cfg, token_ids, positions, kv_cache, meta, extras,
         logits_indices=logits_indices,
     )
+    if logit_adj is not None:
+        logits = logits + logit_adj
     if pt is not None:
         from vllm_triton_backend_tpu.runtime.sampler import (
             apply_penalties,

@@ -45,6 +45,12 @@ class SamplingParams:
     presence_penalty: float = 0.0
     frequency_penalty: float = 0.0
     max_tokens: int = 128
+    # restrict sampling to this token set (vLLM allowed_token_ids)
+    allowed_token_ids: tuple[int, ...] = field(default_factory=tuple)
+    # additive per-token logit biases (OpenAI logit_bias)
+    logit_bias: tuple[tuple[int, float], ...] = field(
+        default_factory=tuple
+    )
     stop_token_ids: tuple[int, ...] = field(default_factory=tuple)
     stop: tuple[str, ...] = field(default_factory=tuple)  # stop strings
     ignore_eos: bool = False
@@ -58,6 +64,10 @@ class SamplingParams:
             or self.presence_penalty != 0.0
             or self.frequency_penalty != 0.0
         )
+
+    @property
+    def has_logit_adjustments(self) -> bool:
+        return bool(self.allowed_token_ids) or bool(self.logit_bias)
 
 
 class SamplingTensors(NamedTuple):
@@ -290,6 +300,25 @@ def apply_penalties(
     return logits
 
 
+def make_logit_adjustments(reqs, pad_to: int, vocab: int):
+    """Host-side dense [S, vocab] additive adjustment from
+    allowed_token_ids (disallowed -> -inf) and logit_bias — applied to
+    logits before sampling (and before the greedy argmax)."""
+    import numpy as np
+
+    adj = np.zeros((pad_to, vocab), np.float32)
+    for i, r in enumerate(reqs):
+        sp = r.sampling
+        if sp.allowed_token_ids:
+            adj[i] = -np.inf
+            ids = [t for t in sp.allowed_token_ids if 0 <= t < vocab]
+            adj[i, ids] = 0.0
+        for t, b in sp.logit_bias:
+            if 0 <= t < vocab:
+                adj[i, t] += b
+    return adj
+
+
 @functools.partial(
     jax.jit, static_argnames=("greedy_only", "with_logprob", "with_seeds")
 )
@@ -303,6 +332,7 @@ def sample_replicas(
     pt: PenaltyTensors | None = None,  # [D, S] / [D, S, N] leaves
     with_seeds: bool = False,
     seed_ctr: jax.Array | None = None,  # [D, S]
+    logit_adj: jax.Array | None = None,  # [D, S, vocab] additive
 ):
     """Sample across stacked data-replica batches in ONE device call
     (per-replica host loops would pay a D2H round trip each)."""
@@ -312,6 +342,8 @@ def sample_replicas(
         logits, logits_indices[:, :, None], axis=1
     )  # [D, S, vocab]
     rows = gathered.reshape(d * s, vocab)
+    if logit_adj is not None:
+        rows = rows + logit_adj.reshape(d * s, vocab)
     if pt is not None:
         rows = apply_penalties(
             rows,
