@@ -254,3 +254,31 @@ def test_spec_decode_stochastic_runs_and_near_greedy_matches(setup):
     )
     assert eng2._spec_stats["rounds"] > 0
     assert all(len(v) == 16 for v in hot.values())
+
+
+def test_spec_decode_tp_lossless(setup):
+    """Spec decode on a TP=2 engine: sharded verify via the TP prefill
+    executable, replicated draft — exact greedy equality vs the TP
+    baseline, and stochastic rounds engage."""
+    from vllm_triton_backend_tpu.config import ParallelConfig
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs 2 devices")
+    cfg, params = setup
+    tp_cfg = cfg.replace(parallel=ParallelConfig(tensor_parallel=2))
+    prompts = _prompts(cfg, seed=11)
+    base, _ = _run(tp_cfg, params, prompts, n_new=16)
+    spec, eng = _run(
+        tp_cfg, params, prompts, n_new=16,
+        draft_params=params, draft_config=cfg.model, spec_k=4,
+    )
+    assert spec == base
+    st = eng._spec_stats
+    assert st["rounds"] > 0
+    assert st["accepted"] / max(1, st["drafted"]) > 0.9, st
+    # ngram + TP also lossless
+    spec2, eng2 = _run(
+        tp_cfg, params, prompts, n_new=16, spec_ngram=True, spec_k=3,
+    )
+    assert spec2 == base
+    assert eng2._spec_stats["rounds"] > 0

@@ -314,10 +314,12 @@ class LLMEngine:
         self.spec_ngram = spec_ngram
         self.spec_ngram_n = spec_ngram_n
         if draft_params is not None or spec_ngram:
+            # TP targets verify through the sharded prefill step; the
+            # (small) draft stays replicated.  dp/pp/cp: later phase.
             assert (
-                self.tp == 1 and self.dp == 1 and self.pp == 1
+                self.dp == 1 and self.pp == 1
                 and self.cp == 1 and not self.is_hybrid
-            ), "speculative decoding: single-chip llama engines (v1)"
+            ), "speculative decoding: TP/single-chip llama engines"
         if draft_params is not None:
             assert draft_config is not None
             # the draft shares the scheduler's block tables: same page
@@ -833,7 +835,51 @@ class LLMEngine:
             max_query_len=k, max_seq_len=maxlen_bucket,
             k_scale=self.k_scale, v_scale=self.v_scale,
         )
-        if stochastic:
+        if self.tp > 1:
+            # TP verify: the sharded prefill executable computes the
+            # logits; acceptance runs in a small standalone jit
+            from vllm_triton_backend_tpu.parallel import (
+                make_sharded_forward,
+            )
+            from vllm_triton_backend_tpu.runtime.spec_decode import (
+                spec_accept,
+            )
+
+            step_fn = self._tp_steps.get(extras_v)
+            if step_fn is None:
+                step_fn = make_sharded_forward(
+                    self.config.model, self.mesh, extras_v,
+                    tp_overlap=self.config.parallel.overlap_collectives,
+                )
+                self._tp_steps[extras_v] = step_fn
+            fed = np.concatenate(
+                [np.asarray(tokens)[None], np.asarray(drafts)], axis=0
+            )  # [k, S]
+            flat_tokens = fed.T.reshape(-1)
+            offs = np.arange(k, dtype=np.int32)
+            positions = ((lens - 1)[:, None] + offs[None, :])
+            qsl = np.arange(s_pad + 1, dtype=np.int32) * k
+            vis = np.where(live, lens + (k - 1), lens).astype(np.int32)
+            page = np.take_along_axis(tbl, positions // bs, axis=1)
+            slots = np.where(
+                live[:, None], page * bs + positions % bs, -1
+            ).reshape(-1).astype(np.int32)
+            logits, self.kv_cache = step_fn(
+                self.params,
+                jnp.asarray(flat_tokens)[None],
+                jnp.asarray(positions.reshape(-1))[None],
+                self.kv_cache,
+                jnp.asarray(qsl)[None],
+                jnp.asarray(vis)[None],
+                tbl_d[None],
+                jnp.asarray(slots)[None],
+            )
+            self._key, sub = jax.random.split(self._key)
+            tgt, n_acc = spec_accept(
+                logits[0], drafts, jnp.asarray(temp), q_dists, sub,
+                k, stochastic=stochastic,
+            )
+        elif stochastic:
             from vllm_triton_backend_tpu.runtime.spec_decode import (
                 verify_step_stochastic,
             )

@@ -233,6 +233,21 @@ def verify_step_stochastic(
     logits, kv_cache = forward_fn(
         params, cfg, tokens, positions, kv_cache, meta, extras
     )
+    tokens_out, n_acc = _accept_from_logits(
+        logits, drafts, temperature, q_dists, rng_key, k
+    )
+    return tokens_out, n_acc, kv_cache
+
+
+def _accept_from_logits(
+    logits: jax.Array,  # [S*k, V] verify-pass logits, per-seq contiguous
+    drafts: jax.Array,  # [k-1, S]
+    temperature: jax.Array,  # [S]
+    q_dists: jax.Array,  # [k-1, S, V]
+    rng_key: jax.Array,
+    k: int,
+):
+    s = drafts.shape[1]
     v = logits.shape[-1]
     logits = logits.reshape(s, k, v)
     t = jnp.maximum(temperature, 1e-6)[:, None, None]
@@ -242,10 +257,35 @@ def verify_step_stochastic(
         jnp.argmax(logits, axis=-1), v, dtype=jnp.float32
     )
     p = jnp.where(greedy_rows, one_hot, p)
-    tokens_out, n_acc = rejection_accept(
+    return rejection_accept(
         p, q_dists.transpose(1, 0, 2), drafts.T, rng_key
     )
-    return tokens_out, n_acc, kv_cache
+
+
+@functools.partial(jax.jit, static_argnames=("k", "stochastic"))
+def spec_accept(
+    logits: jax.Array,  # [S*k, V] from ANY verify forward (e.g. TP)
+    drafts: jax.Array,  # [k-1, S]
+    temperature: jax.Array,  # [S]
+    q_dists: jax.Array | None,  # [k-1, S, V]; None for pure greedy
+    rng_key: jax.Array,
+    k: int,
+    stochastic: bool = False,
+):
+    """Acceptance as a standalone jit, for engine paths whose verify
+    forward lives elsewhere (TP shard_map): greedy prefix-match or
+    rejection sampling on the verify logits."""
+    if stochastic:
+        return _accept_from_logits(
+            logits, drafts, temperature, q_dists, rng_key, k
+        )
+    s = drafts.shape[1]
+    tgt = jnp.argmax(logits, axis=-1).astype(jnp.int32).reshape(s, k)
+    match = drafts.T == tgt[:, : k - 1]
+    n_acc = jnp.sum(
+        jnp.cumprod(match.astype(jnp.int32), axis=1), axis=1
+    )
+    return tgt, n_acc
 
 
 @functools.partial(
