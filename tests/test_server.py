@@ -198,3 +198,44 @@ def test_chat_streaming(worker):
             await client.close()
 
     asyncio.run(run())
+
+
+def test_chat_template_rendering():
+    """/v1/chat/completions uses the tokenizer's own chat template when
+    present (transformers apply_chat_template), else the plain
+    transcript fallback."""
+    import transformers
+    from tokenizers import Tokenizer as RawTok
+    from tokenizers.models import WordLevel
+    from tokenizers.pre_tokenizers import Whitespace
+
+    from vllm_triton_backend_tpu.entrypoints.openai_server import (
+        _render_chat,
+    )
+
+    vocab = {w: i for i, w in enumerate(
+        ["[UNK]", "user", "assistant", "hi", "there", "yo"]
+    )}
+    raw = RawTok(WordLevel(vocab, unk_token="[UNK]"))
+    raw.pre_tokenizer = Whitespace()
+    tok = transformers.PreTrainedTokenizerFast(
+        tokenizer_object=raw,
+        unk_token="[UNK]",
+        chat_template=(
+            "{% for m in messages %}{{ m['role'] }} {{ m['content'] }}"
+            " {% endfor %}{% if add_generation_prompt %}assistant"
+            "{% endif %}"
+        ),
+    )
+    msgs = [{"role": "user", "content": "hi there"}]
+    ids = _render_chat(tok, msgs)
+    # "user hi there assistant"
+    assert ids == [vocab["user"], vocab["hi"], vocab["there"],
+                   vocab["assistant"]]
+    # without a template: transcript fallback through the tokenizer
+    tok_plain = transformers.PreTrainedTokenizerFast(
+        tokenizer_object=raw, unk_token="[UNK]"
+    )
+    tok_plain.chat_template = None
+    ids2 = _render_chat(tok_plain, msgs)
+    assert vocab["hi"] in ids2 and vocab["there"] in ids2

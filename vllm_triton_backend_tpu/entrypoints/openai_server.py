@@ -187,7 +187,29 @@ def _encode(tokenizer, text: str) -> list[int]:
                     int.from_bytes(t.encode()[:4].ljust(4, b"\0")) % 32000
                 )
         return ids or [1]
-    return tokenizer.encode(text).ids
+    enc = tokenizer.encode(text)
+    # tokenizers.Tokenizer returns an Encoding; transformers tokenizers
+    # return the id list directly
+    return enc.ids if hasattr(enc, "ids") else enc
+
+
+def _render_chat(tokenizer, messages: list[dict]) -> list[int]:
+    """Token ids for a chat conversation: the model's own chat
+    template when the tokenizer carries one (transformers
+    ``apply_chat_template``), else a plain role-prefixed transcript."""
+    if (
+        tokenizer is not None
+        and getattr(tokenizer, "chat_template", None)
+        and hasattr(tokenizer, "apply_chat_template")
+    ):
+        return tokenizer.apply_chat_template(
+            messages, add_generation_prompt=True, tokenize=True
+        )
+    text = "\n".join(
+        f"{m.get('role', 'user')}: {m.get('content', '')}"
+        for m in messages
+    ) + "\nassistant:"
+    return _encode(tokenizer, text)
 
 
 def build_app(worker: EngineWorker, model_name: str = "vtb-model"):
@@ -376,11 +398,7 @@ def build_app(worker: EngineWorker, model_name: str = "vtb-model"):
     async def chat_completions(request: web.Request):
         body = await request.json()
         messages = body.get("messages", [])
-        text = "\n".join(
-            f"{m.get('role', 'user')}: {m.get('content', '')}"
-            for m in messages
-        ) + "\nassistant:"
-        ids = _encode(worker.tokenizer, text)
+        ids = _render_chat(worker.tokenizer, messages)
         sp = sampling_from(body)
         req_id, out_q = worker.submit(ids, sp)
         created = int(time.time())
@@ -561,14 +579,21 @@ def main() -> None:
             params = quantize_params(params, args.quantization, mc)
         cfg = shape_config(EngineConfig().replace(model=mc))
         engine = LLMEngine(cfg, params=params, **spec_kw)
+        # prefer transformers' tokenizer: it carries the model's chat
+        # template (used by /v1/chat/completions)
         try:
-            from tokenizers import Tokenizer
+            from transformers import AutoTokenizer
 
-            tokenizer = Tokenizer.from_file(
-                f"{args.model_dir}/tokenizer.json"
-            )
+            tokenizer = AutoTokenizer.from_pretrained(args.model_dir)
         except Exception:
-            pass
+            try:
+                from tokenizers import Tokenizer
+
+                tokenizer = Tokenizer.from_file(
+                    f"{args.model_dir}/tokenizer.json"
+                )
+            except Exception:
+                pass
     else:
         engine = LLMEngine(
             shape_config(EngineConfig(model=ModelConfig.tiny())),
