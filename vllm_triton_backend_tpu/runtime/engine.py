@@ -1890,20 +1890,45 @@ class LLM:
             config = (config or EngineConfig()).replace(model=mc)
             if tokenizer is None:
                 try:
-                    from tokenizers import Tokenizer
+                    from transformers import AutoTokenizer
 
-                    tokenizer = Tokenizer.from_file(
-                        f"{model_dir}/tokenizer.json"
-                    )
+                    tokenizer = AutoTokenizer.from_pretrained(model_dir)
                 except Exception:
-                    tokenizer = None
+                    try:
+                        from tokenizers import Tokenizer
+
+                        tokenizer = Tokenizer.from_file(
+                            f"{model_dir}/tokenizer.json"
+                        )
+                    except Exception:
+                        tokenizer = None
         config = config or EngineConfig()
         if config_kw:
             config = config.replace(**config_kw)
         self.tokenizer = tokenizer
         eos = None
         if tokenizer is not None:
-            eos = tokenizer.token_to_id("</s>")
+            # transformers tokenizers expose eos_token_id directly;
+            # raw tokenizers fall back to the llama sentinel
+            eos = getattr(tokenizer, "eos_token_id", None)
+            if eos is None and hasattr(tokenizer, "token_to_id"):
+                eos = tokenizer.token_to_id("</s>")
+        if eos is None and model_dir is not None:
+            # generation_config.json / config.json carry it too
+            import json as _json
+            import os as _os
+
+            for f in ("generation_config.json", "config.json"):
+                try:
+                    with open(_os.path.join(model_dir, f)) as fh:
+                        e = _json.load(fh).get("eos_token_id")
+                    if isinstance(e, list):
+                        e = e[0] if e else None
+                    if e is not None:
+                        eos = int(e)
+                        break
+                except Exception:
+                    continue
         self.engine = LLMEngine(
             config, params=params, eos_token_id=eos,
             draft_params=draft_params, draft_config=draft_cfg,
@@ -1917,7 +1942,12 @@ class LLM:
     ) -> list[RequestOutput]:
         if prompts and isinstance(prompts[0], str):
             assert self.tokenizer is not None, "string prompts need tokenizer"
-            prompts = [self.tokenizer.encode(p).ids for p in prompts]
+
+            def enc(p):
+                e = self.tokenizer.encode(p)
+                return e.ids if hasattr(e, "ids") else e
+
+            prompts = [enc(p) for p in prompts]
         if not isinstance(sampling, list):
             sampling = [sampling] * len(prompts)
         order = {}
