@@ -488,13 +488,26 @@ def build_app(worker: EngineWorker, model_name: str = "vtb-model"):
         return web.json_response({"status": "ok"})
 
     async def metrics(request: web.Request):
+        """Prometheus exposition format (text/plain; version=0.0.4):
+        HELP/TYPE headers + one sample per metric; *_total names are
+        counters, the rest gauges."""
         merged = dict(worker.metrics)
         try:
             merged.update(worker.engine.stats())
         except Exception:
             pass
-        lines = [f"vtb_{k} {v}" for k, v in merged.items()]
-        return web.Response(text="\n".join(lines) + "\n")
+        lines = []
+        for k, v in merged.items():
+            if not isinstance(v, (int, float)):
+                continue
+            name = f"vtb_{k}"
+            kind = "counter" if k.endswith("_total") else "gauge"
+            lines.append(f"# TYPE {name} {kind}")
+            lines.append(f"{name} {v}")
+        return web.Response(
+            text="\n".join(lines) + "\n",
+            content_type="text/plain",
+        )
 
     app.router.add_post("/v1/completions", completions)
     app.router.add_post("/v1/chat/completions", chat_completions)
