@@ -2,10 +2,18 @@
 
 PY ?= python
 
-.PHONY: test test-fast bench microbench serve offline native clean format
+.PHONY: test test-fast smoke bench microbench serve offline native clean format
 
 test:
 	$(PY) -m pytest tests/ -q
+
+# The hardware gate (VERDICT r2 #2): every kernel x dtype must (a) lower
+# through the real Mosaic pipeline and (b) match its oracle on the chip.
+# Run before EVERY snapshot — interpret-mode CPU tests cannot see Mosaic
+# tiling/layout constraints.
+smoke:
+	$(PY) tools/tpu_lower_check.py
+	$(PY) tools/tpu_smoke.py
 
 test-fast:
 	$(PY) -m pytest tests/ -q -x -k "not hf and not ppl"

@@ -228,6 +228,17 @@ def run_e2e(cfg, params, n_seqs, prompt_len, n_new, vocab):
     return ttft_p50, decode_tps, step_ms
 
 
+# Partial-measurement record: main() fills this in as results land, so a
+# failure mid-run still emits everything measured so far (VERDICT r2 #4 —
+# the r02 run lost its completed microbench rows when the engine failed).
+RECORD: dict = {
+    "metric": "decode_tokens_per_s_per_chip",
+    "value": 0.0,
+    "unit": "tok/s",
+    "vs_baseline": 0.0,
+}
+
+
 def main() -> None:
     import jax
 
@@ -241,7 +252,13 @@ def main() -> None:
     from vllm_triton_backend_tpu.models import llama
 
     peaks = chip_peaks()
+    RECORD["chip"] = peaks.name
     vs_baseline, t_kernel, util_bytes = kernel_microbench(peaks)
+    RECORD.update(
+        vs_baseline=round(vs_baseline, 3),
+        paged_attn_kernel_us=round(t_kernel * 1e6, 1),
+        paged_attn_util_bytes_pct=round(100 * util_bytes, 1),
+    )
 
     # ---------------- granite-3.1-8B INT8-weights + FP8-KV ----------------
     mc = ModelConfig.granite_3_1_8b()
@@ -277,6 +294,13 @@ def main() -> None:
         cfg, params, n_seqs, prompt_len, n_new, mc.vocab_size
     )
     del params
+    RECORD.update(
+        value=round(decode_tps, 1),
+        model="granite-3.1-8b-int8w-int8kv",
+        batch=n_seqs,
+        ttft_p50_ms=round(ttft_p50 * 1e3, 1),
+        decode_step_ms=round(step_ms, 2),
+    )
 
     # ---------------- TinyLlama bf16 (round-1 continuity) ----------------
     mc_t = ModelConfig.tinyllama_1_1b()
@@ -293,49 +317,25 @@ def main() -> None:
     )
     run_e2e(cfg_t, params_t, 16, 128, 256, mc_t.vocab_size)
     _, tiny_tps, _ = run_e2e(cfg_t, params_t, 16, 128, 256, mc_t.vocab_size)
+    RECORD["tinyllama_decode_tps"] = round(tiny_tps, 1)
 
-    print(
-        json.dumps(
-            {
-                "metric": "decode_tokens_per_s_per_chip",
-                "value": round(decode_tps, 1),
-                "unit": "tok/s",
-                "vs_baseline": round(vs_baseline, 3),
-                "model": "granite-3.1-8b-int8w-int8kv",
-                "batch": n_seqs,
-                "ttft_p50_ms": round(ttft_p50 * 1e3, 1),
-                "decode_step_ms": round(step_ms, 2),
-                "paged_attn_kernel_us": round(t_kernel * 1e6, 1),
-                "paged_attn_util_bytes_pct": round(100 * util_bytes, 1),
-                "chip": peaks.name,
-                "tinyllama_decode_tps": round(tiny_tps, 1),
-            }
-        )
-    )
+    print(json.dumps(RECORD))
 
 
 def _main_guarded() -> None:
     """The driver records this script's ONE JSON line; never die without
     printing it.  On a partial failure (e.g. a kernel that stops
     compiling after a code change, or a flaky device tunnel) emit
-    whatever was measured plus the error, instead of nothing."""
+    everything measured so far (RECORD) plus the error, instead of
+    nothing."""
     try:
         main()
     except BaseException as e:  # noqa: BLE001
         import traceback
 
         traceback.print_exc()
-        print(
-            json.dumps(
-                {
-                    "metric": "decode_tokens_per_s_per_chip",
-                    "value": 0.0,
-                    "unit": "tok/s",
-                    "vs_baseline": 0.0,
-                    "error": f"{type(e).__name__}: {e}"[:300],
-                }
-            )
-        )
+        RECORD["error"] = f"{type(e).__name__}: {e}"[:300]
+        print(json.dumps(RECORD))
         raise SystemExit(1)
 
 

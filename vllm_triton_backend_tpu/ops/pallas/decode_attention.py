@@ -88,7 +88,7 @@ def _ragged_decode_kernel(
     tbl_ref,  # [S, max_pages] int32 (SMEM)
     # then (append mode) slots [S] int32; inputs
     # q_ref [1, Hkv, qpk_pad, hd] (VMEM, per-seq block);
-    # (append) kvnew [1, 2, Hkv, 1, hd] cache dtype;
+    # (append) kvnew [1, 2, Hkv, block_size, hd] cache dtype (replicated);
     # kv_hbm [L, num_blocks, 2, Hkv, bs, hd] cache dtype (stays in HBM);
     # optionally alibi [Hkv, qpk_pad, 128]; outputs; scratch
     *rest,
@@ -118,7 +118,10 @@ def _ragged_decode_kernel(
     if return_partials:
         m_out, l_out = rest.pop(0), rest.pop(0)
     kv_buf, sems = rest.pop(0), rest.pop(0)
-    wsem = rest.pop(0) if append_kv else None
+    if append_kv:
+        wbuf = rest.pop(0)  # [2, Hkv, pack, head_pad] cache dtype
+        rsem = rest.pop(0)
+        wsem = rest.pop(0)
     m_scr, l_scr, acc_scr = rest
 
     s = pl.program_id(0)
@@ -364,40 +367,61 @@ def _ragged_decode_kernel(
     def _finish():
         if append_kv:
             # ---- fused append: attend the current token in-register and
-            # DMA its K/V row to the cache slot.  All of this sequence's
-            # page reads completed at their compute steps, so the write
-            # cannot race a read of the same page within this sequence;
-            # cross-sequence pages are disjoint (the write page is a tail
-            # page, never a shared full prefix page).
+            # write its K/V row to the cache slot via a PACK-ALIGNED
+            # read-merge-write window (Mosaic rejects singleton-sublane
+            # DMA slices on packed dtypes — the round-2 regression).  All
+            # of this sequence's page reads completed at their compute
+            # steps, so the write cannot race a read of the same page
+            # within this sequence; cross-sequence pages are disjoint
+            # (the write page is a tail page, never a shared full prefix
+            # page; dead slots redirect to the trash page and the RMW
+            # there is serialized by the wait chain below).
             owns = layer_ref[1]
             trash = kv_hbm.shape[1] - 1
             slot = slots_ref[s]
             w_valid = slot >= 0
             w_page = jnp.where(w_valid, slot // block_size, trash)
             w_off = jnp.where(w_valid, jax.lax.rem(slot, block_size), 0)
-            wcopy = pltpu.make_async_copy(
-                kvnew_ref.at[0],
-                cache_out.at[lyr, w_page, :, :, pl.ds(w_off, 1), :],
-                wsem,
-            )
+
+            def _win():
+                # whole-page window: only the (layer, page) dims are
+                # sliced, so the copy is tile-aligned for every cache
+                # dtype and memory space (sub-page sublane slices are
+                # rejected by Mosaic on packed dtypes)
+                return cache_out.at[lyr, w_page]
 
             @pl.when(s > 0)
             def _wait_prev_write():
                 # all writes are the same byte count: waiting with this
                 # step's descriptor drains the previous sequence's write
-                wcopy.wait()
+                # (required before reusing wbuf below)
+                pltpu.make_async_copy(wbuf, _win(), wsem).wait()
 
-            wcopy.start()
+            rcopy = pltpu.make_async_copy(
+                kv_hbm.at[lyr, w_page], wbuf, rsem
+            )
+            rcopy.start()
+            rcopy.wait()
+            # merge: block row w_off <- the new token row (kvnew is
+            # replicated across the block_size dim, so a lane-wise select
+            # does the job with no dynamic sub-tile indexing)
+            sub = jax.lax.broadcasted_iota(jnp.int32, wbuf.shape, 2)
+            wbuf[...] = jnp.where(sub == w_off, kvnew_ref[0], wbuf[...])
+            pltpu.make_async_copy(wbuf, _win(), wsem).start()
 
             @pl.when(s == num_seqs - 1)
             def _wait_last_write():
-                wcopy.wait()
+                pltpu.make_async_copy(wbuf, _win(), wsem).wait()
 
             # current-token score column (bias-free: ALiBi distance is 0,
-            # sliding window/local chunk always include the last position)
+            # sliding window/local chunk always include the last position).
+            # Load the full pack tile and slice AFTER the f32 cast — a
+            # packed-dtype singleton-sublane load would hit the same
+            # Mosaic constraint the write did.
             q = q_ref[0]
-            kn = _dequant(kvnew_ref[0, 0, :, 0, :], k_scale, jnp.float32)
-            vn = _dequant(kvnew_ref[0, 1, :, 0, :], v_scale, jnp.float32)
+            kvn = kvnew_ref[0]  # [2, Hkv, pack, head_pad]
+            kn = _dequant(kvn[0], k_scale, jnp.float32)[:, 0, :]
+            vn = _dequant(kvn[1], v_scale, jnp.float32)[:, 0, :]
             s_cur = jnp.sum(
                 q.astype(jnp.float32) * kn[:, None, :], axis=2,
                 keepdims=True,
@@ -572,18 +596,24 @@ def _paged_decode_impl(
     kvnew_in = ()
     kvnew_specs = []
     if append_kv:
-        # [S, 2, Hkv, 1, head_pad] in the cache dtype — the DMA source
-        # block for each sequence's slot write
+        # [S, 2, Hkv, block_size, head_pad] in the cache dtype: the token
+        # row replicated across the block dim, so the VMEM block, the
+        # whole-page RMW window, and the in-kernel select are all
+        # tile-aligned for every cache dtype
         kvn = kv_new.astype(kv_cache.dtype)
         if kvn.shape[-1] != head_pad:
             kvn = jnp.pad(
                 kvn,
                 ((0, 0), (0, 0), (0, 0), (0, head_pad - kvn.shape[-1])),
             )
-        kvnew_in = (kvn[:, :, :, None, :],)
+        kvn = jnp.broadcast_to(
+            kvn[:, :, :, None, :],
+            (num_seqs, 2, num_kv_heads, block_size, head_pad),
+        )
+        kvnew_in = (kvn,)
         kvnew_specs = [
             pl.BlockSpec(
-                (1, 2, num_kv_heads, 1, head_pad),
+                (1, 2, num_kv_heads, block_size, head_pad),
                 lambda s, c, *prefetch: (s, 0, 0, 0, 0),
             )
         ]
@@ -609,7 +639,15 @@ def _paged_decode_impl(
             ),
             pltpu.SemaphoreType.DMA((pipeline_depth, chunk_pages)),
         ] + (
-            [pltpu.SemaphoreType.DMA] if append_kv else []
+            [
+                pltpu.VMEM(
+                    (2, num_kv_heads, block_size, head_pad),
+                    kv_cache.dtype,
+                ),
+                pltpu.SemaphoreType.DMA,
+                pltpu.SemaphoreType.DMA,
+            ]
+            if append_kv else []
         ) + [
             pltpu.VMEM((num_kv_heads, qpk_pad, 128), jnp.float32),
             pltpu.VMEM((num_kv_heads, qpk_pad, 128), jnp.float32),
