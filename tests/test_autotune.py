@@ -250,3 +250,65 @@ def test_bo_autotuner_end_to_end(storage):
     assert db["cache"][list(db["cache"].keys())[0]] == {
         "block": 32, "stages": 2,
     }
+
+
+def test_invalid_configs_persisted_and_skipped(storage):
+    """A config that crashes during tuning is recorded as invalid in the
+    DB and never retried (VERDICT r2 #9: known-bug-guard role)."""
+    calls = []
+
+    def make(calls):
+        space = ConfigSpace(space={"block": [8, 16, 32]})
+
+        @autotune(
+            config_space=space, key=["n"], name="poisoned_kernel",
+            warmup=0, rep=1,
+        )
+        def launcher(x, *, n, block):
+            calls.append(block)
+            if block == 16:
+                raise RuntimeError("simulated Mosaic rejection")
+            return jnp.sum(x[:block])
+
+        return launcher
+
+    tuner = make(calls)
+    x = jnp.arange(64, dtype=jnp.float32)
+    tuner(x, n=64)
+    assert 16 in calls  # tried once during tuning
+    # persisted to the DB
+    db_file = tuner._db_path()
+    with open(db_file) as f:
+        db = json.load(f)
+    assert any("16" in c for cfgs in db["invalid"].values() for c in cfgs)
+    # a fresh instance (new process analog) never retries the poisoned one
+    calls2 = []
+    tuner2 = make(calls2)
+    tuner2._load_db()
+    assert any(tuner2._invalid.values())  # poisoned set survives reload
+    # even with the cache/heuristic pointing elsewhere, a direct pick for
+    # an unseen key never lands on the recorded-invalid config
+    tuner2._mem.clear()
+    cfg = tuner2._pick_fallback((64,))
+    assert cfg["block"] != 16
+
+
+def test_fallback_degrades_past_poisoned_entry(storage):
+    """A poisoned fallback entry degrades to the next-best config with a
+    warning instead of being served (VERDICT r2 #9)."""
+    space = ConfigSpace(space={"block": [8, 16, 32]})
+
+    def fallback(key):
+        return {"block": 16}  # heuristic names the poisoned config
+
+    @autotune(
+        config_space=space, key=["n"], name="degrade_kernel",
+        warmup=0, rep=1, fallback_heuristic=fallback,
+    )
+    def launcher(x, *, n, block):
+        return jnp.sum(x[:block])
+
+    launcher._load_db()
+    launcher._invalid[(64,)] = {json.dumps({"block": 16}, sort_keys=True)}
+    cfg = launcher._pick_fallback((64,))
+    assert cfg["block"] != 16  # degraded past the poisoned entry

@@ -290,6 +290,12 @@ class Autotuner:
         # CUDA-graph timing fidelity concern, SURVEY.md §7 hard-part 5)
         self.trace_pattern = trace_pattern
         self._mem: dict[tuple, dict] = {}
+        # configs rejected by the compiler (Mosaic/VMEM) per key — the
+        # reference's kwarg_conditions/known-bug-guard role (SURVEY.md §4;
+        # triton_flash_attention.py:744-751).  Persisted so a poisoned
+        # point is never retried and fallbacks degrade past it.
+        self._invalid: dict[tuple, set] = {}
+        self._screen_done: set = set()  # keys whose fallback was screened
         self._db_loaded = False
         self._mu = threading.Lock()
         try:
@@ -339,6 +345,10 @@ class Autotuner:
                     db = json.load(f)
                 for k, v in db.get("cache", {}).items():
                     self._mem[tuple(json.loads(k))] = v
+                for k, cfgs in db.get("invalid", {}).items():
+                    self._invalid.setdefault(
+                        tuple(json.loads(k)), set()
+                    ).update(cfgs)
                 _debug(f"loaded {len(self._mem)} entries from {path}")
             except (OSError, json.JSONDecodeError) as e:
                 _debug("db load failed:", e)
@@ -362,6 +372,11 @@ class Autotuner:
             + bench_time,
             "cache": {
                 json.dumps(list(k)): v for k, v in self._mem.items()
+            },
+            "invalid": {
+                json.dumps(list(k)): sorted(v)
+                for k, v in self._invalid.items()
+                if v
             },
             "timings": {**prev.get("timings", {}), **(timings or {})},
         }
@@ -389,16 +404,85 @@ class Autotuner:
                 best, best_d = k, d
         return best
 
-    def _pick_fallback(self, key: tuple) -> dict:
+    def _fallback_candidates(self, key: tuple):
+        """Fallback configs in preference order (informed -> heuristic ->
+        the full space) — consumed until one is not known-invalid."""
         if self._mem:
             near = self._nearest_key(key)
             if near is not None:
                 _debug(f"informed fallback {key} -> {near}")
-                return dict(self._mem[near])
+                yield dict(self._mem[near])
         if self.fallback_heuristic is not None:
-            return self.fallback_heuristic(key)
+            yield self.fallback_heuristic(key)
         configs = self.space.configs()
-        return configs[len(configs) // 2]  # arbitrary-but-stable default
+        mid = len(configs) // 2
+        yield configs[mid]  # arbitrary-but-stable default
+        for cfg in configs[:mid] + configs[mid + 1:]:
+            yield cfg
+
+    def _pick_fallback(
+        self, key: tuple, args=(), kwargs=None, screen: bool = False
+    ) -> dict:
+        """First fallback candidate that is not a known-poisoned config.
+
+        With ``screen`` (and concrete args on a compiled backend) each
+        candidate is additionally AOT compile-checked before being
+        accepted, so a Mosaic-rejected point degrades to the next-best
+        config instead of crashing at serve time (VERDICT r2 #9; the
+        reference's kwarg_conditions role)."""
+        seen = set()
+        last = None
+        for cfg in self._fallback_candidates(key):
+            cj = json.dumps(cfg, sort_keys=True)
+            if cj in seen:
+                continue
+            seen.add(cj)
+            last = cfg
+            if cj in self._invalid.get(key, ()):
+                print(
+                    f"[dejavu {self.name}] skipping known-invalid config "
+                    f"{cfg} for key={key}"
+                )
+                continue
+            if screen and not self._compile_ok(cfg, args, kwargs or {}):
+                self._mark_invalid(key, cj)
+                print(
+                    f"[dejavu {self.name}] config {cfg} fails to compile "
+                    f"for key={key}; degrading to next-best"
+                )
+                continue
+            return cfg
+        return last if last is not None else {}
+
+    def _mark_invalid(self, key: tuple, cfg_json: str) -> None:
+        with self._mu:
+            self._invalid.setdefault(key, set()).add(cfg_json)
+            try:
+                self._save_db()
+            except OSError as e:
+                _debug("invalid-config persist failed:", e)
+
+    def _compile_ok(self, cfg: dict, args, kwargs) -> bool:
+        """AOT-compile the launcher with this config on abstract avals —
+        True when the backend accepts it (no execution, no data)."""
+        import jax
+
+        if jax.default_backend() == "cpu":
+            return True  # interpret mode has no Mosaic constraints
+        try:
+            avals = jax.tree_util.tree_map(
+                lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype)
+                if hasattr(x, "shape") and hasattr(x, "dtype")
+                else x,
+                args,
+            )
+            jax.jit(
+                functools.partial(self.fn, **kwargs, **cfg)
+            ).lower(*avals).compile()
+            return True
+        except Exception as e:  # noqa: BLE001 — any compile failure
+            _debug(f"compile screen failed for {cfg}:", type(e).__name__)
+            return False
 
     def _bench_config(self, cfg: dict, args, kwargs) -> float:
         import jax
@@ -473,10 +557,14 @@ class Autotuner:
             use_bo = len(configs) >= 32 and not self.use_random_search
 
         def bench_one(cfg) -> float | None:
+            cj = json.dumps(cfg, sort_keys=True)
+            if cj in self._invalid.get(key, ()):
+                return None  # known-poisoned: never retried
             try:
                 t = self._bench_config(cfg, args, kwargs)
             except Exception as e:  # invalid config (e.g. VMEM overflow)
                 _debug(f"config {cfg} failed: {type(e).__name__}")
+                self._invalid.setdefault(key, set()).add(cj)
                 return None
             timings[json.dumps(cfg)] = t
             if os.environ.get("VTB_PRINT_AUTOTUNING"):
@@ -557,7 +645,14 @@ class Autotuner:
             if tuning_allowed:
                 cfg = self.tune(*args, **kwargs)
             else:
-                cfg = self._pick_fallback(key)
+                # compile-screen the fallback once per (key, cfg): a
+                # poisoned point degrades here instead of crashing the
+                # enclosing step compile (VERDICT r2 #9)
+                cfg = self._pick_fallback(
+                    key, args, kwargs,
+                    screen=(key not in self._screen_done),
+                )
+                self._screen_done.add(key)
         return self.fn(*args, **kwargs, **cfg)
 
 
