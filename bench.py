@@ -147,7 +147,8 @@ def kernel_microbench(peaks):
             o = _paged_decode_impl(
                 q, kv, l % n_bench_layers, lens, tbl, scale=scale,
                 max_seq_len=max_seq,
-                k_scale=k_scale, v_scale=v_scale, chunk_pages=8,
+                k_scale=k_scale, v_scale=v_scale,
+                chunk_pages=512 // block_size, pipeline_depth=3,
             )
             return c + o.astype(jnp.float32).sum(), None
         c, _ = jax.lax.scan(
@@ -187,7 +188,15 @@ def kernel_microbench(peaks):
         -(-seq_len // block_size) * block_size
     ) * 2 * num_kv_heads * hd * 1  # int8: 1 B/elem
     util_bytes = kv_bytes / t_kernel / peaks.hbm_bytes
-    return t_xla / t_pallas, t_kernel, util_bytes
+    # utilization vs the MEASURED speed-of-light (pure-DMA probe): the
+    # nominal HBM figure is unattainable by any access pattern on this
+    # deployment, so this is the honest "what's left on the table" number
+    from benchmarks.roofline import measure_practical_hbm
+
+    bw = measure_practical_hbm()
+    util_practical = kv_bytes / t_kernel / bw if bw else None
+    RECORD["hbm_practical_gbps"] = round(bw / 1e9) if bw else None
+    return t_xla / t_pallas, t_kernel, util_bytes, util_practical
 
 
 def run_e2e(cfg, params, n_seqs, prompt_len, n_new, vocab):
@@ -253,12 +262,18 @@ def main() -> None:
 
     peaks = chip_peaks()
     RECORD["chip"] = peaks.name
-    vs_baseline, t_kernel, util_bytes = kernel_microbench(peaks)
+    vs_baseline, t_kernel, util_bytes, util_practical = (
+        kernel_microbench(peaks)
+    )
     RECORD.update(
         vs_baseline=round(vs_baseline, 3),
         paged_attn_kernel_us=round(t_kernel * 1e6, 1),
         paged_attn_util_bytes_pct=round(100 * util_bytes, 1),
     )
+    if util_practical is not None:
+        RECORD["paged_attn_util_practical_pct"] = round(
+            100 * util_practical, 1
+        )
 
     # ---------------- granite-3.1-8B INT8-weights + FP8-KV ----------------
     mc = ModelConfig.granite_3_1_8b()

@@ -1,0 +1,213 @@
+"""Quantization-accuracy table — serving-numerics deltas vs bf16.
+
+BASELINE.md's accuracy bar is "match FP16 reference perplexity within the
+quantized-KV delta".  **Blocker, stated plainly:** this environment holds
+no real model checkpoints (zero egress; no ``*.safetensors`` anywhere on
+the image), so an absolute WikiText-style PPL cannot be produced here.
+What CAN be measured — and is exactly the quantity the bar constrains —
+is the *delta* the quantized serving numerics introduce relative to the
+same model served in bf16:
+
+  * ``d_nll``: mean per-token NLL shift (teacher-forced through the
+    engine's own prefill path: paged cache, unified attention kernel,
+    quantize-on-write — the numbers reflect serving numerics, not an
+    idealized dense forward),
+  * ``kl``: mean KL(bf16 || quantized) of the next-token distributions,
+  * ``max_dlp``: worst per-token log-prob shift of the true next token.
+
+Measured on TinyLlama-1.1B-shape weights (random init, realistic scale)
+over a fixed synthetic corpus.  With a real checkpoint the same driver
+produces the absolute table: ``--model-dir PATH`` (HF layout) runs the
+identical sweep; the harness role mirrors the reference's lm-eval
+install (reference Dockerfile:240-243).
+
+Writes ``docs/accuracy_table.md`` and prints one JSON line.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+import numpy as np
+
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if REPO_ROOT not in sys.path:
+    sys.path.insert(0, REPO_ROOT)
+
+
+def chunk_logprobs(cfg, params, chunk, cache_dtype, k_scale, v_scale):
+    """Teacher-forced log-probs [t-1, vocab] through the engine prefill."""
+    import jax
+    import jax.numpy as jnp
+
+    from vllm_triton_backend_tpu.models.llama import (
+        ForwardExtras,
+        forward,
+        make_kv_caches,
+    )
+    from vllm_triton_backend_tpu.ops.metadata import make_metadata
+    from vllm_triton_backend_tpu.utils import get_dtype, next_power_of_2
+
+    t = len(chunk)
+    bucket = next_power_of_2(t)
+    block_size = 16
+    nb = bucket // block_size + 2
+    dtype = (
+        jnp.dtype(cfg.dtype) if cache_dtype == "auto"
+        else get_dtype(cache_dtype)
+    )
+    kv_cache = make_kv_caches(cfg, nb, block_size, dtype)
+    bt = np.arange(nb, dtype=np.int32).reshape(1, nb)
+    padded = np.zeros(bucket, np.int32)
+    padded[:t] = chunk
+    meta = make_metadata([t], [0], bt, block_size, num_token_bucket=bucket)
+    logits, _ = forward(
+        params, cfg, jnp.asarray(padded),
+        jnp.arange(bucket, dtype=jnp.int32), kv_cache, meta,
+        ForwardExtras(
+            max_query_len=bucket, max_seq_len=bucket,
+            k_scale=k_scale, v_scale=v_scale,
+        ),
+    )
+    return np.asarray(
+        jax.nn.log_softmax(logits[: t - 1].astype(jnp.float32), axis=-1)
+    )
+
+
+def main(argv=None) -> dict:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--model-dir", default=None)
+    ap.add_argument("--seq-len", type=int, default=512)
+    ap.add_argument("--max-seqs", type=int, default=4)
+    ap.add_argument("--out", default=os.path.join(
+        REPO_ROOT, "docs", "accuracy_table.md"))
+    args = ap.parse_args(argv)
+
+    import jax
+
+    if args.model_dir:
+        from vllm_triton_backend_tpu.models.hf import load_params
+
+        cfg, params_bf16 = load_params(args.model_dir)
+        model_name = os.path.basename(args.model_dir.rstrip("/"))
+    else:
+        from vllm_triton_backend_tpu.config import ModelConfig
+        from vllm_triton_backend_tpu.models.llama import init_params
+
+        cfg = ModelConfig.tinyllama_1_1b()
+        params_bf16 = init_params(cfg, jax.random.key(0))
+        model_name = "tinyllama-1.1b-shape (random init — see blocker)"
+
+    from vllm_triton_backend_tpu.models.llama import quantize_params
+    from vllm_triton_backend_tpu.runtime.calibration import (
+        calibrate_kv_scales,
+    )
+
+    rng = np.random.default_rng(0)
+    chunks = [
+        rng.integers(1, cfg.vocab_size, size=args.seq_len).astype(np.int32)
+        for _ in range(args.max_seqs)
+    ]
+
+    # calibrated KV scales from a short bf16 pass (runtime/calibration)
+    calib = [chunks[0][: min(256, args.seq_len)]]
+    k8, v8 = calibrate_kv_scales(cfg, params_bf16, calib, "int8")
+    kf, vf = calibrate_kv_scales(cfg, params_bf16, calib, "fp8")
+    k_scale, v_scale = k8, v8
+
+    configs = [
+        ("bf16-W / bf16-KV (baseline)", params_bf16, "auto", 1.0, 1.0),
+        ("bf16-W / int8-KV", params_bf16, "int8", k8, v8),
+        ("bf16-W / fp8-e4m3-KV", params_bf16, "fp8", kf, vf),
+    ]
+    params_q = quantize_params(params_bf16, "int8", cfg)
+    configs += [
+        ("int8-W / bf16-KV", params_q, "auto", 1.0, 1.0),
+        ("int8-W / int8-KV", params_q, "int8", k8, v8),
+    ]
+
+    base_lps = None
+    rows = []
+    for name, params, cdt, ks, vs in configs:
+        nll_sum, tok = 0.0, 0
+        kl_sum, max_dlp = 0.0, 0.0
+        lps_all = []
+        for chunk in chunks:
+            lps = chunk_logprobs(cfg, params, chunk, cdt, ks, vs)
+            lps_all.append(lps)
+            lbl = chunk[1:, None].astype(np.int64)
+            nll_sum += -np.take_along_axis(lps, lbl, axis=-1).sum()
+            tok += len(chunk) - 1
+        nll = nll_sum / tok
+        if base_lps is None:
+            base_lps = lps_all
+            d_nll, kl, max_dlp = 0.0, 0.0, 0.0
+        else:
+            d_nll = nll - rows[0]["nll"]
+            kls, dl = [], 0.0
+            for b, q, chunk in zip(base_lps, lps_all, chunks):
+                kls.append(np.sum(np.exp(b) * (b - q), axis=-1).mean())
+                lbl = chunk[1:, None].astype(np.int64)
+                dl = max(dl, float(np.abs(
+                    np.take_along_axis(b, lbl, -1)
+                    - np.take_along_axis(q, lbl, -1)
+                ).max()))
+            kl, max_dlp = float(np.mean(kls)), dl
+        rows.append(dict(
+            name=name, nll=float(nll), ppl=float(np.exp(nll)),
+            d_nll=float(d_nll), kl=float(kl), max_dlp=float(max_dlp),
+        ))
+        print(f"{name:28s} nll={nll:.5f} d_nll={d_nll:+.5f} "
+              f"kl={kl:.2e} max_dlp={max_dlp:.4f}", flush=True)
+
+    lines = [
+        "# Quantization accuracy table (serving numerics)",
+        "",
+        f"Model: **{model_name}** — corpus: {args.max_seqs} x "
+        f"{args.seq_len} synthetic tokens, teacher-forced through the",
+        "engine's own prefill path (paged cache + unified attention + "
+        "quantize-on-write),",
+        f"calibrated KV scales k={k_scale:.4f} v={v_scale:.4f} "
+        "(runtime/calibration.py).",
+        "",
+        "**Blocker for an absolute PPL:** this environment ships no real "
+        "checkpoints",
+        "(zero egress; no safetensors on the image).  The deltas below "
+        "measure exactly",
+        "what BASELINE.md's bar constrains — the shift the quantized "
+        "serving numerics",
+        "introduce vs the same model in bf16.  With weights available: "
+        "`python benchmarks/accuracy_table.py --model-dir PATH`.",
+        "",
+        "| config | mean NLL | ΔNLL vs bf16 | KL(bf16‖q) | max Δlogprob |",
+        "|---|---:|---:|---:|---:|",
+    ]
+    for r in rows:
+        lines.append(
+            f"| {r['name']} | {r['nll']:.5f} | {r['d_nll']:+.5f} | "
+            f"{r['kl']:.2e} | {r['max_dlp']:.4f} |"
+        )
+    lines += [
+        "",
+        "Reading: ΔNLL is the per-token log-perplexity shift "
+        "(`ppl_q = ppl_bf16 * exp(ΔNLL)`);",
+        "KL is the mean next-token distribution divergence.  The "
+        "reference's relaxed-atol",
+        "discipline (test.py:312-316: fp8 at 1e-2) corresponds to "
+        "ΔNLL ~ 1e-2 scale.",
+        "",
+    ]
+    os.makedirs(os.path.dirname(args.out), exist_ok=True)
+    with open(args.out, "w") as f:
+        f.write("\n".join(lines))
+    result = {"model": model_name, "rows": rows,
+              "k_scale": float(k_scale), "v_scale": float(v_scale)}
+    print(json.dumps(result))
+    return result
+
+
+if __name__ == "__main__":
+    main()

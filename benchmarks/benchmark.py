@@ -345,6 +345,15 @@ def run(setup: BenchSetup, out_stream=sys.stdout) -> list[dict]:
                     "block_size": bs,
                     "pattern": pattern,
                     "composition": comp if mode == "mixed" else "",
+                    # timing discipline provenance (reference modes
+                    # CUDA_EVENTS/CUDA_GRAPHS/END2END, benchmark.py:
+                    # 1708-1750): fenced = per-call wall clock;
+                    # end2end-flush additionally streams 256 MB between
+                    # reps (torch_utils.py:35-73 L2-flush analog)
+                    "timing": (
+                        "end2end-flush" if setup.flush_between_reps
+                        else "fenced"
+                    ),
                     "kv_dtype": kvd,
                     "ms": qs[0] * 1e3,
                     "min_ms": qs[1] * 1e3,

@@ -114,14 +114,18 @@ def main() -> None:
     st = SamplingTensors(
         jnp.zeros(S, jnp.float32), jnp.ones(S, jnp.float32),
         jnp.zeros(S, jnp.int32), jnp.zeros(S, jnp.float32),
+        jnp.full(S, -1, jnp.int32),
     )
     key = jax.random.key(0)
 
     def chunk(kv):
+        # greedy_only matches the engine's all-greedy fast path (the
+        # stochastic path's full-vocab sort is 1.9 ms/step at batch 32
+        # and would misattribute the step profile)
         sampled, _lp, _t, _l, _k, kv = decode_steps(
             params, cfg, tokens, lens_d, bt_d, live,
             jnp.full_like(lens_d, 1 << 30), kv,
-            st, key, extras, K, bs)
+            st, key, extras, K, bs, greedy_only=True)
         return sampled, kv
 
     out, kv_cache = chunk(kv_cache)  # compile

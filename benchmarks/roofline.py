@@ -92,3 +92,110 @@ def attention_cost(
         + 2.0 * num_tokens_q * num_q_heads * head_size * q_bytes  # q + out
     )
     return flops, bytes_accessed
+
+
+def measure_practical_hbm(
+    mbytes: int = 512, reps: int = 16
+) -> float | None:
+    """Measured speed-of-light HBM read bandwidth (B/s) via a pure-DMA
+    Pallas kernel — no compute, page-sized HBM->VMEM copies only.
+
+    The paper peak (``chip_peaks().hbm_bytes``) is not attainable by any
+    access pattern on some deployments (measured 640 GB/s vs the 819
+    nominal on this round's tunneled v5e, identical for sequential and
+    random pages and for 128 KB vs 1.25 MB descriptors) — utilization
+    against THIS number says how much of the achievable machine a kernel
+    leaves on the table.  The reference's analog derives peaks from
+    device info (proton_viewer.py:101-115); TPU device info does not
+    expose HBM clocks, so we measure.  Returns None off-TPU.
+    """
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    if jax.default_backend() == "cpu":
+        return None
+
+    page = 128 * 1024  # one KV page
+    pages = mbytes * 1024 * 1024 // page
+    src = jnp.zeros((pages, 8, page // 8 // 128, 128), jnp.int8)
+    group, depth = 8, 2
+
+    def kern(hbm, o_ref, buf, sems):
+        g = pl.program_id(0)
+        n = pl.num_programs(0)
+
+        def start(gi, slot):
+            pltpu.make_async_copy(
+                hbm.at[pl.ds(gi * group, group)], buf.at[slot],
+                sems.at[slot],
+            ).start()
+
+        def wait(gi, slot):
+            pltpu.make_async_copy(
+                hbm.at[pl.ds(gi * group, group)], buf.at[slot],
+                sems.at[slot],
+            ).wait()
+
+        @pl.when(g == 0)
+        def _():
+            start(0, 0)
+
+        @pl.when(g + 1 < n)
+        def _():
+            start(g + 1, jax.lax.rem(g + 1, depth))
+
+        wait(g, jax.lax.rem(g, depth))
+        o_ref[0, :] = buf[jax.lax.rem(g, depth), 0, 0, 0, :].astype(
+            jnp.float32
+        )
+
+    f = pl.pallas_call(
+        kern,
+        grid=(pages // group,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=pl.BlockSpec((1, 128), lambda g: (0, 0)),
+        out_shape=jax.ShapeDtypeStruct((1, 128), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM(
+                (depth, group) + src.shape[1:], jnp.int8
+            ),
+            pltpu.SemaphoreType.DMA((depth,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+    )
+
+    @jax.jit
+    def loop(x):
+        def body(c, _):
+            return c + f(x)[0, 0], None
+        c, _ = jax.lax.scan(body, jnp.float32(0), jnp.arange(reps))
+        return c
+
+    try:
+        out = loop(src)
+        np.asarray(jax.device_get(out))
+        import shutil
+        import tempfile
+
+        from vllm_triton_backend_tpu.utils.xplane import (
+            matched_kernel_time,
+        )
+
+        d = tempfile.mkdtemp(prefix="hbm_probe_")
+        try:
+            with jax.profiler.trace(d):
+                out = loop(src)
+                np.asarray(jax.device_get(out))
+            kt = matched_kernel_time(d, "kern|custom-call|closed_call")
+            if kt and kt.count:
+                return src.nbytes / (kt.total_s / kt.count)
+        finally:
+            shutil.rmtree(d, ignore_errors=True)
+    except Exception:
+        return None
+    return None

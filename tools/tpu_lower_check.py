@@ -56,6 +56,7 @@ def main() -> int:
     )
     from vllm_triton_backend_tpu.ops.pallas.decode_attention import (
         _paged_decode_impl,
+        paged_decode_append_attention,
         stickbreaking_decode_attention,
     )
     from vllm_triton_backend_tpu.ops.pallas.mamba import (
@@ -93,11 +94,11 @@ def main() -> int:
         check(
             f"append-decode {dn}",
             functools.partial(
-                _paged_decode_impl, scale=0.08, max_seq_len=1024,
-                k_scale=0.03, v_scale=0.03,
+                paged_decode_append_attention, scale=0.08,
+                max_seq_len=1024, k_scale=0.03, v_scale=0.03,
             ),
-            q, kv, lyr, lens, tbl,
-            S((ns, 2, hkv, hd), dt), slots, S((), jnp.int32),
+            q, kv_row, kv_row, kv, lyr, S((), jnp.int32), lens, tbl,
+            slots,
         )
         check(
             f"decode-sliding {dn}", _paged_decode_impl, q, kv, lyr, lens,

@@ -166,21 +166,24 @@ def run_quant():
         assert err < ref.std() * 0.2, f"{dt} err {err}"
 
 
-def run_append_decode():
+def run_append_decode(cache_dtype=jnp.bfloat16, scale_kv=1.0, atol=1e-2):
     """Fused append-attend on hardware: (a) output matches the two-op
     write-then-attend path; (b) the kernel's slot-write DMA landed at the
     right address — proven by re-reading the cache through a plain decode
-    at the same lengths."""
+    at the same lengths.  Slots cover every RMW window group (off 0, 4,
+    7, 8, 31) plus a dead slot (-1) and cross page boundaries."""
     from vllm_triton_backend_tpu.ops.pallas.decode_attention import (
         paged_decode_append_attention,
         paged_decode_attention,
     )
 
-    nb, bs, hkv, hq, hd, S = 64, 32, 2, 8, 128, 4
-    # seq_lens INCLUDE the current token; mix page-boundary (64+1 -> new
-    # page has off 0? 64 % 32 == 0 -> fresh page) and mid-page slots
-    lens = np.asarray([41, 8, 101, 65], np.int32)
-    tbl = rng.permutation(nb)[: S * 4].reshape(S, 4).astype(np.int32)
+    nb, bs, hkv, hq, hd, S = 64, 32, 2, 8, 128, 5
+    # seq_lens INCLUDE the current token; w_off = (len-1) % 32 hits
+    # window bases 8, 0, 4, 0(new page), 24.  The LAST page is the
+    # kernel's reserved trash page (dead-slot target) — engine block
+    # tables never reference it, so neither may this one.
+    lens = np.asarray([41, 8, 101, 65, 121], np.int32)
+    tbl = rng.permutation(nb - 1)[: S * 4].reshape(S, 4).astype(np.int32)
     kvh = random_cache(rng, hkv, nb, bs, hd, num_layers=1)
     q = rng.standard_normal((S, hq, hd)).astype(np.float32) * 0.5
     kn = rng.standard_normal((S, hkv, hd)).astype(np.float32) * 0.5
@@ -189,15 +192,19 @@ def run_append_decode():
     page = np.take_along_axis(tbl, (pos // bs)[:, None], 1)[:, 0]
     slots = (page * bs + pos % bs).astype(np.int32)
 
-    kv0 = jnp.asarray(kvh, jnp.bfloat16)
+    kv0 = jnp.asarray(kvh / scale_kv).astype(cache_dtype)
     args = (
         jnp.asarray(q, jnp.bfloat16), jnp.asarray(kn, jnp.bfloat16),
         jnp.asarray(vn, jnp.bfloat16),
     )
-    common = dict(scale=hd ** -0.5, max_seq_len=128)
+    common = dict(
+        scale=hd ** -0.5, max_seq_len=128,
+        k_scale=scale_kv, v_scale=scale_kv,
+    )
     # two-op reference path
     kv_ref = reshape_and_cache(
-        kv0, jnp.int32(0), args[1], args[2], jnp.asarray(slots)
+        kv0, jnp.int32(0), args[1], args[2], jnp.asarray(slots),
+        scale_kv, scale_kv,
     )
     out_ref = paged_decode_attention(
         args[0], kv_ref, jnp.int32(0), jnp.asarray(lens),
@@ -211,7 +218,7 @@ def run_append_decode():
     err = np.max(np.abs(
         np.asarray(out, np.float32) - np.asarray(out_ref, np.float32)
     ))
-    assert err < 1e-2, f"fused vs two-op max err {err}"
+    assert err < atol, f"fused vs two-op max err {err}"
     # read-back: plain decode over the kernel-written cache must agree
     out_rb = paged_decode_attention(
         args[0], kv1, jnp.int32(0), jnp.asarray(lens),
@@ -220,7 +227,69 @@ def run_append_decode():
     err = np.max(np.abs(
         np.asarray(out_rb, np.float32) - np.asarray(out_ref, np.float32)
     ))
-    assert err < 1e-2, f"cache read-back max err {err}"
+    assert err < atol, f"cache read-back max err {err}"
+    # dead slots (-1, preempted rows) must not write any live page
+    out2, kv2 = paged_decode_append_attention(
+        args[0], args[1], args[2], kv1, jnp.int32(0), jnp.int32(1),
+        jnp.asarray(lens), jnp.asarray(tbl),
+        jnp.full(S, -1, jnp.int32), **common,
+    )
+    same = np.asarray(
+        kv2[0, np.sort(page)].astype(jnp.float32)
+    ) == np.asarray(kv1[0, np.sort(page)].astype(jnp.float32))
+    assert same.all(), "dead slot leaked a write into a live page"
+
+
+def run_append_decode_steps(cache_dtype=jnp.bfloat16, scale_kv=1.0,
+                            atol=2e-2):
+    """Multi-step appends: 8 consecutive fused steps growing each
+    sequence by one token must equal 8 write-then-attend steps — catches
+    stale RMW-window reads and cross-step write ordering."""
+    from vllm_triton_backend_tpu.ops.pallas.decode_attention import (
+        paged_decode_append_attention,
+        paged_decode_attention,
+    )
+
+    nb, bs, hkv, hq, hd, S = 64, 16, 2, 4, 128, 3
+    lens0 = np.asarray([13, 30, 5], np.int32)
+    tbl = rng.permutation(nb - 1)[: S * 8].reshape(S, 8).astype(np.int32)
+    kvh = random_cache(rng, hkv, nb, bs, hd, num_layers=1)
+    kv_f = jnp.asarray(kvh / scale_kv).astype(cache_dtype)
+    kv_r = kv_f
+    common = dict(
+        scale=hd ** -0.5, max_seq_len=128,
+        k_scale=scale_kv, v_scale=scale_kv,
+    )
+    for step in range(8):
+        lens = lens0 + step + 1  # incl. current token
+        pos = lens - 1
+        page = np.take_along_axis(tbl, (pos // bs)[:, None], 1)[:, 0]
+        slots = jnp.asarray((page * bs + pos % bs).astype(np.int32))
+        q = jnp.asarray(
+            rng.standard_normal((S, hq, hd)) * 0.5, jnp.bfloat16
+        )
+        kn = jnp.asarray(
+            rng.standard_normal((S, hkv, hd)) * 0.5, jnp.bfloat16
+        )
+        vn = jnp.asarray(
+            rng.standard_normal((S, hkv, hd)) * 0.5, jnp.bfloat16
+        )
+        lens_d = jnp.asarray(lens)
+        tbl_d = jnp.asarray(tbl)
+        out_f, kv_f = paged_decode_append_attention(
+            q, kn, vn, kv_f, jnp.int32(0), jnp.int32(1),
+            lens_d, tbl_d, slots, **common,
+        )
+        kv_r = reshape_and_cache(
+            kv_r, jnp.int32(0), kn, vn, slots, scale_kv, scale_kv
+        )
+        out_r = paged_decode_attention(
+            q, kv_r, jnp.int32(0), lens_d, tbl_d, **common,
+        )
+        err = np.max(np.abs(
+            np.asarray(out_f, np.float32) - np.asarray(out_r, np.float32)
+        ))
+        assert err < atol, f"step {step}: fused vs two-op max err {err}"
 
 
 def main():
@@ -257,6 +326,13 @@ def main():
     check("prefill long", lambda: run_attn([512], [1024]))
     check("cache write->read", run_cache_write_read)
     check("append decode fused", run_append_decode)
+    check("append decode fused int8", lambda: run_append_decode(
+        jnp.int8, scale_kv=0.05, atol=5e-2))
+    check("append decode fused fp8", lambda: run_append_decode(
+        jnp.float8_e4m3fn, scale_kv=0.05, atol=6e-2))
+    check("append decode multi-step", run_append_decode_steps)
+    check("append decode multi-step int8", lambda: run_append_decode_steps(
+        jnp.int8, scale_kv=0.05, atol=6e-2))
     check("mamba selective_state_update", run_mamba)
     check("quant linear int8/fp8", run_quant)
     print(f"\n{len(failures)} failures: {failures}", flush=True)

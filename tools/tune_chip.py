@@ -326,8 +326,9 @@ def main(
         os.environ["VTB_DEJAVU_STORAGE"], "tuned_vs_fallback.tsv"
     )
     os.makedirs(os.path.dirname(tsv), exist_ok=True)
-    # --qmm-only appends to the attention rows already on disk
-    mode = "a" if (qmm_only and os.path.exists(tsv)) else "w"
+    # partial sweeps (--qmm-only / --b32) append to the rows already on
+    # disk instead of discarding the earlier full-sweep evidence
+    mode = "a" if ((qmm_only or b32) and os.path.exists(tsv)) else "w"
     with open(tsv, mode) as f:
         if mode == "w":
             f.write(

@@ -40,8 +40,12 @@ the write a pure store (no read-modify-select per token).
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 
 def quantize_kv(x: jax.Array, scale, dtype) -> jax.Array:
@@ -177,3 +181,168 @@ def reshape_and_cache(
         lambda st: st[0] < n_runs, apply_run, (jnp.int32(0), kv_cache)
     )
     return kv_cache
+
+
+# ---------------------------------------------------------------------------
+# Pallas window-scatter: the decode-step cache write as ONE kernel launch.
+# ---------------------------------------------------------------------------
+
+
+def _scatter_kernel(
+    # scalar prefetch
+    layer_ref,  # [1] int32
+    slots_ref,  # [S_pad] int32 (-1 = dead -> trash page)
+    # inputs
+    kvnew_ref,  # [G, 2, H, W, head_pad] VMEM block (token row replicated)
+    cache_in,  # [L, P, 2, H, bs, head_pad] ANY (aliased to the output)
+    # outputs
+    cache_out,
+    # scratch
+    wbuf,  # [G, 2, H, W, head_pad] cache dtype
+    rsem,  # [G] DMA
+    wsem,  # [G] DMA
+    *,
+    block_size: int,
+    group: int,
+):
+    g = pl.program_id(0)
+    lyr = layer_ref[0]
+    trash = cache_in.shape[1] - 1
+    w_rows = wbuf.shape[3]
+
+    def wslot(i):
+        sl = slots_ref[g * group + i]
+        valid = sl >= 0
+        pg = jnp.where(valid, sl // block_size, trash)
+        off = jnp.where(valid, jax.lax.rem(sl, block_size), 0)
+        base = off // w_rows * w_rows
+        return pg, base, off - base
+
+    def win(ref, pg, base):
+        return ref.at[lyr, pg, :, :, pl.ds(base, w_rows), :]
+
+    # drain the previous group's writes before reusing wbuf (the windows
+    # all share one byte count, so this step's descriptors drain them)
+    @pl.when(g > 0)
+    def _drain_prev():
+        for i in range(group):
+            pg, base, _ = wslot(i)
+            pltpu.make_async_copy(
+                wbuf.at[i], win(cache_out, pg, base), wsem.at[i]
+            ).wait()
+
+    for i in range(group):  # burst-issue all window reads
+        pg, base, _ = wslot(i)
+        pltpu.make_async_copy(
+            win(cache_in, pg, base), wbuf.at[i], rsem.at[i]
+        ).start()
+    for i in range(group):
+        pg, base, sub = wslot(i)
+        pltpu.make_async_copy(
+            win(cache_in, pg, base), wbuf.at[i], rsem.at[i]
+        ).wait()
+        rows = jax.lax.broadcasted_iota(jnp.int32, wbuf.shape[1:], 2)
+        wbuf[i] = jnp.where(rows == sub, kvnew_ref[i], wbuf[i])
+        pltpu.make_async_copy(
+            wbuf.at[i], win(cache_out, pg, base), wsem.at[i]
+        ).start()
+
+    @pl.when(g == pl.num_programs(0) - 1)
+    def _drain_last():
+        for i in range(group):
+            pg, base, _ = wslot(i)
+            pltpu.make_async_copy(
+                wbuf.at[i], win(cache_out, pg, base), wsem.at[i]
+            ).wait()
+
+
+@functools.partial(jax.jit, static_argnames=("k_scale", "v_scale"))
+def scatter_kv_windows(
+    kv_cache: jax.Array,  # [L, num_blocks + 1, 2, H, bs, head_pad]
+    layer_idx: jax.Array,  # scalar int32
+    key: jax.Array,  # [S, H, head_size]
+    value: jax.Array,  # [S, H, head_size]
+    slot_mapping: jax.Array,  # [S] int32; -1 = dead (trash page)
+    k_scale: float = 1.0,
+    v_scale: float = 1.0,
+) -> jax.Array:
+    """Decode-step cache write as ONE Pallas launch (replaces S per-token
+    DUS chains): each token's K/V row is read-merge-written into a
+    tile-aligned W-row window of its page.  Windows are read in one burst,
+    merged with a lane-wise select, and written back — ~2 x S x W-row
+    bytes total, microseconds at decode batch sizes.
+
+    Kept OUT of the attention kernel on purpose: an aliased HBM output
+    makes Mosaic serialize a kernel's cross-grid-step DMA overlap
+    (measured 2x on the decode kernel — 95 us vs 48 us at batch 32), so
+    the alias is confined to this tiny kernel and the attention kernel
+    stays pure.  Reference semantics: reshape_and_cache_flash
+    (backend/triton_attn.py:393-405) with quantize-on-write.
+    """
+    n_layers, n_pages, _, num_kv_heads, block_size, head_pad = (
+        kv_cache.shape
+    )
+    num_tokens = key.shape[0]
+    dtype = kv_cache.dtype
+    if key.shape[-1] != head_pad:
+        pad = ((0, 0), (0, 0), (0, head_pad - key.shape[-1]))
+        key = jnp.pad(key, pad)
+        value = jnp.pad(value, pad)
+    kvn = jnp.stack(
+        (quantize_kv(key, k_scale, dtype), quantize_kv(value, v_scale, dtype)),
+        axis=1,
+    )  # [S, 2, H, head_pad]
+    w_rows = 8 if block_size % 8 == 0 else block_size
+    group = min(num_tokens, 32)
+    s_pad = -(-num_tokens // group) * group
+    slots = slot_mapping.astype(jnp.int32)
+    if s_pad != num_tokens:
+        slots = jnp.pad(slots, (0, s_pad - num_tokens), constant_values=-1)
+        kvn = jnp.pad(kvn, ((0, s_pad - num_tokens), (0, 0), (0, 0), (0, 0)))
+    kvn = jnp.broadcast_to(
+        kvn[:, :, :, None, :],
+        (s_pad, 2, num_kv_heads, w_rows, head_pad),
+    )
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(s_pad // group,),
+        in_specs=[
+            pl.BlockSpec(
+                (group, 2, num_kv_heads, w_rows, head_pad),
+                lambda g, *prefetch: (g, 0, 0, 0, 0),
+            ),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        scratch_shapes=[
+            pltpu.VMEM(
+                (group, 2, num_kv_heads, w_rows, head_pad), dtype
+            ),
+            pltpu.SemaphoreType.DMA((group,)),
+            pltpu.SemaphoreType.DMA((group,)),
+        ],
+    )
+    return pl.pallas_call(
+        functools.partial(
+            _scatter_kernel, block_size=block_size, group=group
+        ),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(kv_cache.shape, dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        input_output_aliases={3: 0},  # 2 scalars + kvnew + cache
+        interpret=_use_interpret(),
+    )(
+        jnp.asarray(layer_idx, jnp.int32).reshape(1),
+        slots,
+        kvn,
+        kv_cache,
+    )
+
+
+def _use_interpret():
+    from vllm_triton_backend_tpu.ops.pallas.common import use_interpret
+
+    return use_interpret()

