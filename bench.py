@@ -285,7 +285,12 @@ def main() -> None:
     # 1->128, bench_vllm_user_range.py:44)
     import os
 
-    n_seqs = int(os.environ.get("VTB_BENCH_BATCH", "32"))
+    # batch 64 is the max-throughput headline (weights dominate the step,
+    # so tok/s scales with batch until KV reads catch up; 64 x 1024-token
+    # int8 KV = 5.3 GB beside the 8.6 GB weights — reference protocol
+    # sweeps concurrency 1->128, bench_vllm_user_range.py:44); batch 32
+    # is re-measured below as the latency-balanced context row
+    n_seqs = int(os.environ.get("VTB_BENCH_BATCH", "64"))
     max_len = int(os.environ.get("VTB_BENCH_MAX_LEN", "1024"))
     cfg = EngineConfig(
         model=mc,
@@ -308,7 +313,6 @@ def main() -> None:
     ttft_p50, decode_tps, step_ms = run_e2e(
         cfg, params, n_seqs, prompt_len, n_new, mc.vocab_size
     )
-    del params
     RECORD.update(
         value=round(decode_tps, 1),
         model="granite-3.1-8b-int8w-int8kv",
@@ -316,6 +320,30 @@ def main() -> None:
         ttft_p50_ms=round(ttft_p50 * 1e3, 1),
         decode_step_ms=round(step_ms, 2),
     )
+
+    # latency-balanced context row: same model at batch 32
+    if n_seqs != 32 and not os.environ.get("VTB_BENCH_BATCH"):
+        cfg32 = cfg.replace(
+            cache=CacheConfig(
+                block_size=64, num_blocks=32 * (max_len // 64) + 8,
+                cache_dtype="int8",
+            ),
+            scheduler=SchedulerConfig(
+                max_num_seqs=32,
+                max_num_batched_tokens=2048,
+                max_model_len=max_len,
+                token_buckets=(32, 512, 1024, 2048),
+            ),
+        )
+        run_e2e(cfg32, params, 32, prompt_len, n_new, mc.vocab_size)
+        ttft32, tps32, _ = run_e2e(
+            cfg32, params, 32, prompt_len, n_new, mc.vocab_size
+        )
+        RECORD.update(
+            decode_tps_batch32=round(tps32, 1),
+            ttft_p50_ms_batch32=round(ttft32 * 1e3, 1),
+        )
+    del params
 
     # ---------------- TinyLlama bf16 (round-1 continuity) ----------------
     mc_t = ModelConfig.tinyllama_1_1b()

@@ -124,24 +124,72 @@ def main(argv=None) -> list[dict]:
     ap.add_argument("--num-prompts", type=int, default=32)
     ap.add_argument("--concurrency", default="1,2,4,8")
     ap.add_argument("--result-path", default=None)
+    ap.add_argument(
+        "--model", default="tiny",
+        choices=["tiny", "tinyllama", "granite-int8"],
+        help="in-process server model (random weights; granite-int8 = "
+        "the bench.py headline config)",
+    )
+    ap.add_argument("--in-len", default=None, help="min,max prompt tokens")
+    ap.add_argument("--out-len", default=None, help="min,max new tokens")
     args = ap.parse_args(argv)
 
     worker = None
     base_url = args.base_url
     if base_url is None:
-        # in-process smoke server (tiny random model)
+        # in-process server (random weights at the requested scale)
         from aiohttp.test_utils import TestServer
 
-        from vllm_triton_backend_tpu.config import EngineConfig, ModelConfig
+        import jax
+
+        from vllm_triton_backend_tpu.config import (
+            CacheConfig,
+            EngineConfig,
+            ModelConfig,
+            SchedulerConfig,
+        )
         from vllm_triton_backend_tpu.entrypoints.openai_server import (
             EngineWorker,
             build_app,
         )
+        from vllm_triton_backend_tpu.models import llama
         from vllm_triton_backend_tpu.runtime.engine import LLMEngine
 
-        worker = EngineWorker(
-            LLMEngine(EngineConfig(model=ModelConfig.tiny()))
-        )
+        if args.model == "tiny":
+            engine = LLMEngine(EngineConfig(model=ModelConfig.tiny()))
+            in_len, out_len = (4, 16), (4, 12)
+        else:
+            if args.model == "tinyllama":
+                mc = ModelConfig.tinyllama_1_1b()
+                params = llama.init_params(mc, jax.random.key(0))
+                cache_dtype = "auto"
+            else:
+                mc = ModelConfig.granite_3_1_8b()
+                params = llama.init_quantized_params(
+                    mc, jax.random.key(0), "int8"
+                )
+                cache_dtype = "int8"
+            cfg = EngineConfig(
+                model=mc,
+                cache=CacheConfig(
+                    block_size=64, num_blocks=32 * 16 + 8,
+                    cache_dtype=cache_dtype,
+                ),
+                scheduler=SchedulerConfig(
+                    max_num_seqs=32,
+                    max_num_batched_tokens=2048,
+                    max_model_len=1024,
+                    token_buckets=(32, 512, 1024, 2048),
+                ),
+            )
+            engine = LLMEngine(cfg, params=params)
+            in_len, out_len = (64, 512), (16, 96)
+        if args.in_len:
+            in_len = tuple(map(int, args.in_len.split(",")))
+        if args.out_len:
+            out_len = tuple(map(int, args.out_len.split(",")))
+
+        worker = EngineWorker(engine)
         worker.start()
         app = build_app(worker)
 
@@ -153,7 +201,7 @@ def main(argv=None) -> list[dict]:
             recs = []
             for c in map(int, args.concurrency.split(",")):
                 prompts = synth_prompts(
-                    args.num_prompts, rng, in_len=(4, 16), out_len=(4, 12)
+                    args.num_prompts, rng, in_len=in_len, out_len=out_len
                 )
                 rec = await run_sweep(url, prompts, c)
                 if rec:

@@ -312,3 +312,27 @@ def test_fallback_degrades_past_poisoned_entry(storage):
     launcher._invalid[(64,)] = {json.dumps({"block": 16}, sort_keys=True)}
     cfg = launcher._pick_fallback((64,))
     assert cfg["block"] != 16  # degraded past the poisoned entry
+
+
+def test_informed_fallback_requires_dtype_match(storage):
+    """Nearest-key fallback never crosses dtype boundaries: configs are
+    not transferable across cache dtypes (round 3: a batch-64 int8 key
+    tie-broke onto a bfloat16-tuned config, 2.3x slower)."""
+    space = ConfigSpace(space={"block": [8, 16, 32]})
+
+    @autotune(
+        config_space=space, key=["n", "dtype"], name="dtype_key_kernel",
+        warmup=0, rep=1,
+    )
+    def launcher(x, *, n, dtype, block):
+        return jnp.sum(x[:block])
+
+    launcher._load_db()
+    launcher._mem[(64, "bfloat16")] = {"block": 8}
+    launcher._mem[(128, "int8")] = {"block": 32}
+    # int8 query: the numerically-nearest key is bf16@64 (dist 0 on n) —
+    # must be skipped in favor of the int8 key
+    near = launcher._nearest_key((64, "int8"))
+    assert near == (128, "int8")
+    # no same-dtype key at all -> informed fallback yields nothing
+    assert launcher._nearest_key((64, "fp8")) is None

@@ -71,8 +71,9 @@ def main(
         jnp.bfloat16, jnp.int8, jnp.float8_e4m3fn
     ]
     batch, bs = 16, 64
-    if b32:  # fill the batch-32 decode keys (bench batch grew 16 -> 32)
-        batch = 32
+    batches = [None]
+    if b32:  # fill the batch-32/64 decode keys (bench sweeps 32 and 64)
+        batches = [32, 64]
         head_cfgs = [(32, 8, 128)]
         seq_lens = [512, 1024, 2048]
         dtypes = [jnp.bfloat16, jnp.int8]
@@ -101,7 +102,11 @@ def main(
 
     for (hq, hkv, hd) in head_cfgs if not qmm_only else []:
         for dtype in dtypes:
-            for max_seq in seq_lens:
+            for max_seq, bcur in (
+                (sq, bt) for sq in seq_lens for bt in batches
+            ):
+                if bcur is not None:
+                    batch = bcur
                 pages = max_seq // bs
                 nb = batch * pages + 1
                 kv = jnp.zeros((1, nb, 2, hkv, bs, max(hd, 128)), dtype)
@@ -162,7 +167,7 @@ def main(
                     "paged_decode",
                 )
                 rows.append(
-                    ("decode", f"{hq}/{hkv}h hd{hd}",
+                    ("decode", f"{hq}/{hkv}h hd{hd} b{batch}",
                      str(jnp.dtype(dtype)), max_seq,
                      fb_cfg, t_fb, won, t_tuned)
                 )

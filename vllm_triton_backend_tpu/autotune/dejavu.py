@@ -298,8 +298,16 @@ class Autotuner:
         self._screen_done: set = set()  # keys whose fallback was screened
         self._db_loaded = False
         self._mu = threading.Lock()
+        # hash the launcher's whole MODULE, not just the launcher: the
+        # kernel body lives in sibling functions, and a body change with
+        # an unchanged launcher silently reused stale tuned configs
+        # (found round 3 — twice).  The reference keys on kernel code
+        # hash for the same reason (SURVEY.md §2.2 dejavu_data scheme).
         try:
-            src = inspect.getsource(fn)
+            mod = inspect.getmodule(fn)
+            src = inspect.getsource(mod) if mod is not None else (
+                inspect.getsource(fn)
+            )
         except OSError:
             src = self.name
         self._code_hash = hashlib.sha256(src.encode()).hexdigest()[:16]
@@ -392,9 +400,23 @@ class Autotuner:
 
     def _nearest_key(self, key: tuple) -> tuple | None:
         """Informed fallback: cached key minimizing L1 distance over the
-        numeric key elements (reference informed_fallback_next)."""
+        numeric key elements (reference informed_fallback_next).
+
+        Non-numeric elements (dtype strings) must match EXACTLY: configs
+        are not transferable across dtypes — found round 3, where a
+        batch-64 int8 lookup tie-broke onto a bfloat16-tuned config and
+        ran the decode kernel 2.3x slower than the right one."""
         best, best_d = None, None
         for k in self._mem:
+            if any(
+                a != b
+                for a, b in zip(k, key)
+                if not (
+                    isinstance(a, (int, float))
+                    and isinstance(b, (int, float))
+                )
+            ):
+                continue
             d = sum(
                 abs(a - b)
                 for a, b in zip(k, key)

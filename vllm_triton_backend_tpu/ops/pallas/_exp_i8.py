@@ -333,25 +333,16 @@ def _ragged_decode_kernel(
         q = q_ref[0]  # [H, qpk_pad, hd] compute dtype
         hkv, qpk_pad, hd = q.shape
         cdt = q.dtype
-        # INT8 MXU fast path: the dequant of K/V to f32 was the kernel's
-        # bottleneck, not HBM (measured: bf16 caches stream 736 GB/s
-        # while int8 managed 491 — the VPU astype on 2 x [H, chunk, hd]
-        # dominated).  Quantize q in-register (per-block absmax) and run
-        # q8 @ k8 on the int8 MXU; only the [H, qpk, chunk] SCORES are
-        # dequantized — 16x less VPU work.  Same trick on the PV side
-        # below (p in [0,1] quantized to 1/127 steps — the reference
-        # ships the same option as quantize_p, legacy/fused_gqa_paged/
-        # fused_gqa_paged_splitkv.py:438-444).  Measured: 85 -> 58 us at
-        # batch 32 / ctx 577 (724 GB/s = 96% of the measured ceiling),
-        # max abs error vs the dequant path 2.4e-4.
         int8_fast = kv_buf.dtype == jnp.int8
         if int8_fast:
             qf = q.astype(jnp.float32)
-            qs = jnp.maximum(jnp.max(jnp.abs(qf)), 1e-9) / 127.0
+            qmax = jnp.maximum(jnp.max(jnp.abs(qf)), 1e-9)
+            qs = qmax / 127.0
             q8 = jnp.round(qf / qs).astype(jnp.int8)
+            k8 = kv_buf[slot, 0]
             v8 = kv_buf[slot, 1]
             s_blk = jax.lax.dot_general(
-                q8, kv_buf[slot, 0], (((2,), (2,)), ((0,), (0,))),
+                q8, k8, (((2,), (2,)), ((0,), (0,))),
                 preferred_element_type=jnp.int32,
             ).astype(jnp.float32) * (qs * k_scale * scale)
         else:
@@ -422,12 +413,11 @@ def _default_chunk_pages(
 ) -> int:
     """Chunk sizing heuristic: big enough to amortize per-step overhead,
     small enough that all ``pipeline_depth`` in-flight chunk buffers fit
-    ~8 MB of VMEM (v5e has 128 MB; measured, whole-sequence 1024-token
-    chunks beat 512 at batch 32-64)."""
-    budget = 8 * 1024 * 1024
+    ~4 MB of VMEM."""
+    budget = 4 * 1024 * 1024
     bytes_per_token = pipeline_depth * 2 * num_kv_heads * head_size * itemsize
     max_tokens = max(block_size, budget // max(1, bytes_per_token))
-    target = min(1024, max_tokens, round_up(max_seq_len, block_size))
+    target = min(512, max_tokens, round_up(max_seq_len, block_size))
     return max(1, target // block_size)
 
 
