@@ -87,9 +87,9 @@ def main(
             leaf = jax.tree_util.tree_leaves(r)[0]
             np.asarray(jax.device_get(leaf.ravel()[:1]))
 
-        fence(fn())
         d = tempfile.mkdtemp(prefix="tune_tsv_")
         try:
+            fence(fn())
             with jax.profiler.trace(d):
                 r = None
                 for _ in range(reps):
@@ -97,6 +97,9 @@ def main(
                 fence(r)
             kt = matched_kernel_time(d, pattern)
             return kt.total_s / kt.count if kt and kt.count else None
+        except Exception as e:  # config fails to compile (e.g. VMEM OOM)
+            print(f"  measure failed: {type(e).__name__}", flush=True)
+            return None
         finally:
             shutil.rmtree(d, ignore_errors=True)
 
