@@ -321,8 +321,14 @@ def main() -> None:
         decode_step_ms=round(step_ms, 2),
     )
 
-    # latency-balanced context row: same model at batch 32
-    if n_seqs != 32 and not os.environ.get("VTB_BENCH_BATCH"):
+    # latency-balanced context row: same model at batch 32 (opt-in: it
+    # adds ~12 min of compile+run; last measured 1,688 tok/s / TTFT p50
+    # 2.0 s — README table)
+    if (
+        os.environ.get("VTB_BENCH_BATCH32_ROW")
+        and n_seqs != 32
+        and not os.environ.get("VTB_BENCH_BATCH")
+    ):
         cfg32 = cfg.replace(
             cache=CacheConfig(
                 block_size=64, num_blocks=32 * (max_len // 64) + 8,
