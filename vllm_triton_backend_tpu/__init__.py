@@ -34,10 +34,17 @@ def _enable_compilation_cache() -> None:
     try:
         import jax
 
+        # Separate cache dirs per JAX platform: a CPU test run and a
+        # TPU bench/smoke run executing concurrently share no entries
+        # (keys embed the platform anyway) but DO race on directory-level
+        # LRU eviction and timestamp updates — observed as a segfault in
+        # put_executable_and_time during a concurrent suite + smoke run.
+        plat = _os.environ.get("JAX_PLATFORMS", "") or "default"
         path = _os.environ.get(
             "VTB_COMPILE_CACHE_DIR",
             _os.path.join(
-                _os.path.expanduser("~"), ".cache", "vtb_jax_cache"
+                _os.path.expanduser("~"), ".cache",
+                f"vtb_jax_cache-{plat.split(',')[0]}",
             ),
         )
         _os.makedirs(path, exist_ok=True)

@@ -656,13 +656,25 @@ class LLMEngine:
         return True
 
     def _session_chunk_budget(self, reqs) -> int:
+        """Chunk size K, gated by the LEAST-advanced request's headroom.
+
+        Continuous batching leaves rows unevenly advanced (early-
+        prefilled rows decode while later prompts prefill), so gating K
+        by the *most*-advanced row collapses it to 1-2 once any row
+        nears its max_tokens — measured: a batch-64 decode ran as 11
+        sessions of shrinking K, each paying the ~30 ms session-boundary
+        cost, instead of one.  Over-launching past a leader's budget is
+        safe by design: the device freezes each row at its own
+        ``max_lens`` (no cache write, no length advance) and the host
+        discards tokens past ``max_tokens``."""
         sched = self.scheduler
-        max_len = max(r.num_tokens for r in reqs)
         k = min(
             self.multistep,
-            sched.config.max_model_len - max_len,
-            min(
-                r.sampling.max_tokens - len(r.output_token_ids)
+            max(
+                min(
+                    r.sampling.max_tokens - len(r.output_token_ids),
+                    sched.config.max_model_len - r.num_tokens,
+                )
                 for r in reqs
             )
             + 1,
@@ -1151,17 +1163,20 @@ class LLMEngine:
         launched_total = 0  # monotone: tokens launched this session
         chunks_launched = 0
         while True:
+            # No horizon gate on the leader here: each row's device-side
+            # ``max_lens`` (capped at horizon and at its reserved pages)
+            # freezes it individually, so a chunk that would overshoot
+            # the most-advanced row still safely advances the laggards.
             launch = (
                 not sched.waiting
                 and not any(r.is_finished for r in reqs)
                 and any(
                     len(r.output_token_ids) + inflight
                     < r.sampling.max_tokens
+                    and r.num_tokens + inflight < horizon
                     for r in reqs
                 )
                 and launched_total + k <= reserved
-                and max(r.num_tokens for r in reqs) + inflight + k
-                <= horizon
             )
             if launch:
                 (
@@ -1352,17 +1367,18 @@ class LLMEngine:
         launched_total = 0
         chunks_launched = 0
         while True:
+            # per-row max_lens freezing makes a leader-overshooting
+            # chunk safe — see _try_multistep's launch condition
             launch = (
                 not any(s.waiting for s in scheds)
                 and not any(r.is_finished for r in all_reqs)
                 and any(
                     len(r.output_token_ids) + inflight
                     < r.sampling.max_tokens
+                    and r.num_tokens + inflight < horizon
                     for r in all_reqs
                 )
                 and launched_total + k <= reserved
-                and max(r.num_tokens for r in all_reqs) + inflight + k
-                <= horizon
             )
             if launch:
                 if self.is_hybrid:
