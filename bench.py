@@ -285,13 +285,15 @@ def main() -> None:
     # 1->128, bench_vllm_user_range.py:44)
     import os
 
-    # batch 64 is the max-throughput headline (weights dominate the step,
-    # so tok/s scales with batch until KV reads catch up; 64 x 1024-token
-    # int8 KV = 5.3 GB beside the 8.6 GB weights — reference protocol
-    # sweeps concurrency 1->128, bench_vllm_user_range.py:44); batch 32
-    # is re-measured below as the latency-balanced context row
-    n_seqs = int(os.environ.get("VTB_BENCH_BATCH", "64"))
-    max_len = int(os.environ.get("VTB_BENCH_MAX_LEN", "1024"))
+    # batch 128 is the max-throughput headline (weights dominate the
+    # step, so tok/s scales with batch until KV reads catch up; 128 x
+    # 640-token int8 KV = 6.6 GB beside the 8.6 GB weights — the top of
+    # the reference protocol's concurrency sweep 1->128,
+    # bench_vllm_user_range.py:44).  Measured sweep on this chip (512
+    # prompt + 96 new): 64 -> 3,038 tok/s, 96 -> 3,630, 128 -> 3,794.
+    # batch 32 is re-measured below as the latency-balanced context row
+    n_seqs = int(os.environ.get("VTB_BENCH_BATCH", "128"))
+    max_len = int(os.environ.get("VTB_BENCH_MAX_LEN", "640"))
     cfg = EngineConfig(
         model=mc,
         cache=CacheConfig(
