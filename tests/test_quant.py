@@ -115,6 +115,74 @@ def test_autotuned_linear_matches_dense(t, k, n, monkeypatch):
     np.testing.assert_allclose(out, expect, atol=5e-3, rtol=1e-3)
 
 
+@pytest.mark.parametrize("t,k,n", [(256, 512, 640), (512, 512, 512)])
+def test_a8_matmul_close_to_dequant_path(t, k, n):
+    """INT8-MXU activation-quantized path vs the bf16 dequant path.
+
+    Tolerance sized to per-tile int8 activation error: each activation
+    row is quantized to int8 against its per-K-tile absmax, so the
+    relative error per dot product is bounded by ~(1/127) * sqrt(k/bk)
+    noise accumulation — a few percent of the output scale."""
+    rng = np.random.default_rng(4)
+    x = jnp.asarray(rng.standard_normal((t, k)) * 0.5, jnp.bfloat16)
+    w = rng.standard_normal((k, n)).astype(np.float32) * 0.1
+    qw = quantize_weights(jnp.asarray(w), "int8")
+    base = np.asarray(
+        quant_matmul(x, qw, block_n=256, block_k=256, a8=False), np.float32
+    )
+    a8 = np.asarray(
+        quant_matmul(x, qw, block_n=256, block_k=256, a8=True), np.float32
+    )
+    rel = np.abs(a8 - base).max() / (np.abs(base).max() + 1e-9)
+    assert rel < 0.03, f"a8 relative error {rel}"
+
+
+def test_a8_linear_entry_and_decode_guard():
+    """``linear(..., a8=True)`` engages only for int8 weights x bf16
+    activations; f32 activations silently keep exact bf16/f32 math."""
+    from vllm_triton_backend_tpu.ops.pallas.quant_linear import linear
+
+    rng = np.random.default_rng(5)
+    w = rng.standard_normal((256, 256)).astype(np.float32) * 0.1
+    qw = quantize_weights(jnp.asarray(w), "int8")
+    x32 = jnp.asarray(rng.standard_normal((16, 256)), jnp.float32)
+    exact = np.asarray(linear(x32, qw, a8=False))
+    guarded = np.asarray(linear(x32, qw, a8=True))
+    np.testing.assert_array_equal(exact, guarded)  # a8 ignored on f32
+
+    xb = x32.astype(jnp.bfloat16)
+    base = np.asarray(linear(xb, qw, a8=False), np.float32)
+    a8 = np.asarray(linear(xb, qw, a8=True), np.float32)
+    rel = np.abs(a8 - base).max() / (np.abs(base).max() + 1e-9)
+    assert rel < 0.03
+
+
+def test_w8a8_model_forward_close_to_weight_only():
+    """End-to-end: ForwardExtras.w8a8 on a quantized model stays close to
+    the weight-only forward (engine plumbing for quantization="int8-w8a8")."""
+    cfg = ModelConfig.tiny(dtype="bfloat16")
+    params = init_params(cfg, jax.random.key(0))
+    qparams = quantize_params(params, "int8", cfg=cfg)
+
+    prompt = np.random.default_rng(6).integers(0, cfg.vocab_size, 16)
+    bt = np.arange(2, dtype=np.int32).reshape(1, 2)
+    meta = make_metadata([16], [0], bt, 16)
+
+    def run(w8a8):
+        kv = make_kv_caches(cfg, 16, 16)
+        logits, _ = forward(
+            qparams, cfg, jnp.asarray(prompt, jnp.int32),
+            jnp.arange(16, dtype=jnp.int32), kv, meta,
+            ForwardExtras(max_query_len=16, max_seq_len=32, w8a8=w8a8),
+        )
+        return np.asarray(logits, np.float32)
+
+    base = run(False)
+    a8 = run(True)
+    agree = (base.argmax(-1) == a8.argmax(-1)).mean()
+    assert agree >= 0.85, f"top-1 agreement {agree}"
+
+
 def test_quantize_pad_to_zero_columns():
     rng = np.random.default_rng(3)
     w = rng.standard_normal((64, 130)).astype(np.float32)

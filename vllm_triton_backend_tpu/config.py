@@ -141,7 +141,9 @@ class ModelConfig:
     # owner layer.  None = every layer owns its KV.  The cache is sized to
     # the number of OWNER layers only.
     kv_sharing: tuple[int, ...] | None = None
-    # Weight quantization: "none" | "int8" | "fp8" (weight-only linears).
+    # Quantization: "none" | "int8" | "fp8" (weight-only linears) |
+    # "int8-w8a8" (int8 weights + int8-MXU activation quantization on
+    # prefill/mixed steps; decode stays weight-only — ForwardExtras.w8a8).
     quantization: str = "none"
     # Architecture family: "llama" (covers granite via multipliers) |
     # "mamba" (pure SSM) | "hybrid" (per-layer mix, see layers_block_type).

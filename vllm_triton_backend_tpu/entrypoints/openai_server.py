@@ -590,6 +590,11 @@ def main() -> None:
             )
 
             params = quantize_params(params, args.quantization, mc)
+            # record the mode so the engine can enable the W8A8 prefill
+            # path (ForwardExtras.w8a8) when "int8-w8a8" was requested
+            import dataclasses
+
+            mc = dataclasses.replace(mc, quantization=args.quantization)
         cfg = shape_config(EngineConfig().replace(model=mc))
         engine = LLMEngine(cfg, params=params, **spec_kw)
         # prefer transformers' tokenizer: it carries the model's chat

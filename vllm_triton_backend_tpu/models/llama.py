@@ -319,6 +319,13 @@ class ForwardExtras(NamedTuple):
     max_seq_len: int
     k_scale: float = 1.0
     v_scale: float = 1.0
+    # W8A8: run the layer projections' matmuls on the INT8 MXU with
+    # in-kernel per-token/per-K-tile activation quantization (2x the bf16
+    # rate on v5e).  The engine sets this only on prefill/mixed steps of
+    # a model configured with quantization="int8-w8a8" — decode stays on
+    # the bf16 dequant path (weight-read-bound; a8 buys nothing there).
+    # The lm_head is never a8-quantized (logit numerics).
+    w8a8: bool = False
 
 
 def forward_fn(
@@ -416,11 +423,13 @@ def forward_fn(
             lp = layers._replace(
                 input_norm=in_norm, post_attn_norm=post_norm
             )
-            lin = functools.partial(linear_at, layer_idx=lidx)
+            lin = functools.partial(
+                linear_at, layer_idx=lidx, a8=extras.w8a8
+            )
         else:
             # LayerParams slice, cache slot of this layer's KV, owner flag
             lp, slot, owns_kv = xs
-            lin = linear
+            lin = functools.partial(linear, a8=extras.w8a8)
 
         normed = rms_norm(
             h_in, lp.input_norm, cfg.rms_norm_eps,

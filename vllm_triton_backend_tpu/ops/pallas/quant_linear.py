@@ -54,6 +54,8 @@ def quantize_weights(
         )
     wf = w.astype(jnp.float32)
     absmax = jnp.max(jnp.abs(wf), axis=0)  # [N]
+    if dtype == "int8-w8a8":
+        dtype = "int8"  # same int8 weights; a8 is a runtime step flag
     if dtype == "int8":
         scales = jnp.maximum(absmax / 127.0, 1e-8)
         q = jnp.clip(jnp.round(wf / scales), -127, 127).astype(jnp.int8)
@@ -66,29 +68,23 @@ def quantize_weights(
 
 
 def _mm_body(x_tile, w_tile, acc_ref, a8: bool):
-    """One K-step of the accumulation: bf16-dequant MXU matmul, or —
-    when ``a8`` — per-token/per-K-tile activation quantization feeding
-    the INT8 MXU (2x the bf16 rate on v5e: 394 vs 197 T(FL)OPS).
+    """One K-step of the accumulation.
 
-    The a8 scales are per (token row, K tile): x8 = round(x / sx) with
-    sx = rowmax(|x|)/127 over THIS tile, so the int32 partial rescales
-    by sx before the f32 accumulate — finer granularity than vLLM's
-    per-token W8A8 (one scale per whole row), because the K-loop gives
-    the per-tile absmax for free.  The reference's analog of compute-
-    side quantization is its Q-side fp8 path (triton_attn.py:407-421).
+    ``a8`` (W8A8): ``x_tile`` is ALREADY int8 (pre-quantized once per
+    call by :func:`_prequant_tokens` — quantizing inside the K-loop
+    would redo the VPU work once per N block).  The int8 x int8 dot
+    runs on the INT8 MXU (2x the bf16 rate on v5e: 394 vs 197
+    T(FL)OPS) and accumulates exactly in int32; the per-token scale is
+    applied once at the end (it distributes over the K sum).  The
+    reference's analog of compute-side quantization is its Q-side fp8
+    path (triton_attn.py:407-421).
     """
     if a8:
-        xf = x_tile.astype(jnp.float32)
-        sx = jnp.maximum(
-            jnp.max(jnp.abs(xf), axis=1, keepdims=True), 1e-6
-        ) * (1.0 / 127.0)
-        x8 = jnp.round(xf / sx).astype(jnp.int8)
-        p = jax.lax.dot_general(
-            x8, w_tile,
+        acc_ref[...] += jax.lax.dot_general(
+            x_tile, w_tile,
             (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.int32,
         )
-        acc_ref[...] += sx * p.astype(jnp.float32)
         return
     # dequant cast int8/fp8 -> the activation compute dtype: with bf16
     # activations (the production path), integers up to 256 and every
@@ -103,7 +99,25 @@ def _mm_body(x_tile, w_tile, acc_ref, a8: bool):
     )
 
 
-def _qmm_kernel(x_ref, w_ref, s_ref, o_ref, acc_ref, *, n_k: int, a8: bool):
+def _prequant_tokens(x: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Per-token symmetric int8 quantization of activations [T, K] ->
+    (x8 [T, K] int8, sx [T, 1] f32).  One cheap XLA pass per matmul call
+    (reads x once) instead of once per (N block x K tile) inside the
+    kernel; per-token granularity is the standard W8A8 choice (vLLM's
+    per-token dynamic scheme)."""
+    xf = x.astype(jnp.float32)
+    sx = jnp.maximum(
+        jnp.max(jnp.abs(xf), axis=1, keepdims=True), 1e-6
+    ) * (1.0 / 127.0)
+    x8 = jnp.round(xf / sx).astype(jnp.int8)
+    return x8, sx
+
+
+def _qmm_kernel(*refs, n_k: int, a8: bool):
+    if a8:
+        x_ref, sx_ref, w_ref, s_ref, o_ref, acc_ref = refs
+    else:
+        x_ref, w_ref, s_ref, o_ref, acc_ref = refs
     k = pl.program_id(1)
 
     @pl.when(k == 0)
@@ -114,7 +128,12 @@ def _qmm_kernel(x_ref, w_ref, s_ref, o_ref, acc_ref, *, n_k: int, a8: bool):
 
     @pl.when(k == n_k - 1)
     def _finish():
-        o_ref[...] = (acc_ref[...] * s_ref[0]).astype(o_ref.dtype)
+        if a8:
+            o_ref[...] = (
+                acc_ref[...].astype(jnp.float32) * sx_ref[...] * s_ref[0]
+            ).astype(o_ref.dtype)
+        else:
+            o_ref[...] = (acc_ref[...] * s_ref[0]).astype(o_ref.dtype)
 
 
 @functools.partial(
@@ -137,6 +156,7 @@ def quant_matmul(
     k_pad = round_up(k_dim, block_k)
     t_pad = round_up(t, 8)
 
+    a8 = a8 and _a8_supported(str(qw.w_q.dtype), str(x.dtype))
     xp = x
     if t_pad != t or k_pad != k_dim:
         xp = jnp.pad(x, ((0, t_pad - t), (0, k_pad - k_dim)))
@@ -150,17 +170,32 @@ def quant_matmul(
     n_k = k_pad // block_k
     grid = (n_pad // block_n, n_k)
 
+    in_specs = [pl.BlockSpec((t_pad, block_k), lambda i, k: (0, k))]
+    inputs = [xp]
+    if a8:
+        xp, sx = _prequant_tokens(xp)
+        in_specs = [
+            pl.BlockSpec((t_pad, block_k), lambda i, k: (0, k)),
+            pl.BlockSpec((t_pad, 1), lambda i, k: (0, 0)),
+        ]
+        inputs = [xp, sx]
+    in_specs += [
+        pl.BlockSpec((block_k, block_n), lambda i, k: (k, i)),
+        pl.BlockSpec((1, block_n), lambda i, k: (0, i)),
+    ]
+    inputs += [wp, sp]
+
     out = pl.pallas_call(
         functools.partial(_qmm_kernel, n_k=n_k, a8=a8),
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((t_pad, block_k), lambda i, k: (0, k)),
-            pl.BlockSpec((block_k, block_n), lambda i, k: (k, i)),
-            pl.BlockSpec((1, block_n), lambda i, k: (0, i)),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((t_pad, block_n), lambda i, k: (0, i)),
         out_shape=jax.ShapeDtypeStruct((t_pad, n_pad), x.dtype),
-        scratch_shapes=[pltpu.VMEM((t_pad, block_n), jnp.float32)],
+        scratch_shapes=[
+            pltpu.VMEM(
+                (t_pad, block_n), jnp.int32 if a8 else jnp.float32
+            )
+        ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
         ),
@@ -174,14 +209,16 @@ def quant_matmul(
             transcendentals=0,
         ),
         interpret=use_interpret(),
-    )(xp, wp, sp)
+    )(*inputs)
     return out[:t, :n]
 
 
-def _qmm_stacked_kernel(
-    lyr_ref, x_ref, w_ref, s_ref, o_ref, acc_ref, *, n_k: int, a8: bool
-):
+def _qmm_stacked_kernel(lyr_ref, *refs, n_k: int, a8: bool):
     del lyr_ref  # consumed by the index maps
+    if a8:
+        x_ref, sx_ref, w_ref, s_ref, o_ref, acc_ref = refs
+    else:
+        x_ref, w_ref, s_ref, o_ref, acc_ref = refs
     k = pl.program_id(1)
 
     @pl.when(k == 0)
@@ -192,7 +229,12 @@ def _qmm_stacked_kernel(
 
     @pl.when(k == n_k - 1)
     def _finish():
-        o_ref[...] = (acc_ref[...] * s_ref[0]).astype(o_ref.dtype)
+        if a8:
+            o_ref[...] = (
+                acc_ref[...].astype(jnp.float32) * sx_ref[...] * s_ref[0]
+            ).astype(o_ref.dtype)
+        else:
+            o_ref[...] = (acc_ref[...] * s_ref[0]).astype(o_ref.dtype)
 
 
 @functools.partial(
@@ -221,6 +263,7 @@ def quant_matmul_stacked(
     t, k_dim = x.shape
     n_layers, k2, n = qw.w_q.shape
     assert k_dim == k2
+    a8 = a8 and _a8_supported(str(qw.w_q.dtype), str(x.dtype))
     block_n = min(block_n, n)
     block_k = min(block_k, k_dim)
     assert n % block_n == 0 and k_dim % block_k == 0
@@ -231,23 +274,38 @@ def quant_matmul_stacked(
     n_k = k_dim // block_k
     grid = (n // block_n, n_k)
 
+    in_specs = [pl.BlockSpec((t_pad, block_k), lambda i, k, lyr: (0, k))]
+    inputs = [xp]
+    if a8:
+        xp, sx = _prequant_tokens(xp)
+        in_specs = [
+            pl.BlockSpec((t_pad, block_k), lambda i, k, lyr: (0, k)),
+            pl.BlockSpec((t_pad, 1), lambda i, k, lyr: (0, 0)),
+        ]
+        inputs = [xp, sx]
+    in_specs += [
+        pl.BlockSpec(
+            (1, block_k, block_n),
+            lambda i, k, lyr: (lyr[0], k, i),
+        ),
+        pl.BlockSpec(
+            (1, 1, block_n), lambda i, k, lyr: (lyr[0], 0, i)
+        ),
+    ]
+    inputs += [qw.w_q, sp]
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((t_pad, block_k), lambda i, k, lyr: (0, k)),
-            pl.BlockSpec(
-                (1, block_k, block_n),
-                lambda i, k, lyr: (lyr[0], k, i),
-            ),
-            pl.BlockSpec(
-                (1, 1, block_n), lambda i, k, lyr: (lyr[0], 0, i)
-            ),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec(
             (t_pad, block_n), lambda i, k, lyr: (0, i)
         ),
-        scratch_shapes=[pltpu.VMEM((t_pad, block_n), jnp.float32)],
+        scratch_shapes=[
+            pltpu.VMEM(
+                (t_pad, block_n), jnp.int32 if a8 else jnp.float32
+            )
+        ],
     )
     out = pl.pallas_call(
         functools.partial(_qmm_stacked_kernel, n_k=n_k, a8=a8),
@@ -267,7 +325,7 @@ def quant_matmul_stacked(
         ),
         interpret=use_interpret(),
     )(
-        jnp.asarray(layer_idx, jnp.int32).reshape(1), xp, qw.w_q, sp
+        jnp.asarray(layer_idx, jnp.int32).reshape(1), *inputs
     )
     return out[:t]
 
@@ -343,25 +401,21 @@ def _fit_blocks(
     return bn, bk
 
 
-import os  # noqa: E402
-
-# W8A8 prefill: quantize activations per-token/per-K-tile in-kernel and
-# run the matmul on the INT8 MXU (394 TOPS on v5e vs 197 bf16 TFLOPS).
-# Only engaged for prefill-sized token counts (decode is weight-
-# bandwidth-bound — the int8 weight READ already sets its floor, so a8
-# buys nothing there and the bf16 path keeps decode numerics identical).
-# Opt-in via VTB_W8A8_PREFILL=1 (engine: quantization="int8-w8a8");
-# accuracy delta measured in docs/accuracy_table.md.
-_A8_MIN_TOKENS = 256
+# W8A8: quantize activations per-token/per-K-tile in-kernel and run the
+# matmul on the INT8 MXU (394 TOPS on v5e vs 197 bf16 TFLOPS).  The
+# decision is an EXPLICIT caller flag (``a8=`` on ``linear``/
+# ``linear_at``), threaded from the engine via ForwardExtras.w8a8: the
+# engine enables it only for prefill/mixed steps of a model configured
+# with quantization="int8-w8a8" — decode is weight-bandwidth-bound (the
+# int8 weight READ already sets its floor, so a8 buys nothing there) and
+# stays on the bf16 dequant path with identical numerics.
 
 
-def _use_a8(t_pad: int, w_dtype: str, x_dtype: str) -> bool:
-    return (
-        os.environ.get("VTB_W8A8_PREFILL", "") not in ("", "0")
-        and t_pad >= _A8_MIN_TOKENS
-        and w_dtype == "int8"
-        and x_dtype == "bfloat16"
-    )
+def _a8_supported(w_dtype: str, x_dtype: str) -> bool:
+    """a8 needs int8 weights (shares the int8 MXU operand) and bf16
+    activations (the production dtype; f32 activations mean a CPU test
+    or an explicit full-precision run — keep those exact)."""
+    return w_dtype == "int8" and x_dtype == "bfloat16"
 
 
 def _qmm_fallback(key: tuple) -> dict:
@@ -371,7 +425,10 @@ def _qmm_fallback(key: tuple) -> dict:
     return {"block_n": 1280, "block_k": 2048}
 
 
-_QMM_KEY = ["t_p2", "k_dim", "n", "w_dtype", "x_dtype"]
+# ``a8`` is part of the tuning key: the int8-MXU path's optimal tiles
+# differ from the bf16 dequant path's, and a shared key would let one
+# path's persisted configs poison the other's.
+_QMM_KEY = ["t_p2", "k_dim", "n", "w_dtype", "x_dtype", "a8"]
 
 
 @autotune(
@@ -386,17 +443,15 @@ _QMM_KEY = ["t_p2", "k_dim", "n", "w_dtype", "x_dtype"]
     search_max_t=600.0,
 )
 def _qmm_launch(
-    x, qw, *, t_p2, k_dim, n, w_dtype, x_dtype, block_n, block_k
+    x, qw, *, t_p2, k_dim, n, w_dtype, x_dtype, a8, block_n, block_k
 ):
     t_pad = round_up(x.shape[0], 8)
     bn, bk = _fit_blocks(
         t_pad, k_dim, n, block_n, block_k,
-        jnp.dtype(w_dtype).itemsize, jnp.dtype(x_dtype).itemsize,
+        jnp.dtype(w_dtype).itemsize,
+        1 if a8 else jnp.dtype(x_dtype).itemsize,
     )
-    return quant_matmul(
-        x, qw, block_n=bn, block_k=bk,
-        a8=_use_a8(t_pad, w_dtype, x_dtype),
-    )
+    return quant_matmul(x, qw, block_n=bn, block_k=bk, a8=a8)
 
 
 @autotune(
@@ -408,29 +463,36 @@ def _qmm_launch(
     search_max_t=600.0,
 )
 def _qmm_stacked_launch(
-    x, qw, layer_idx, *, t_p2, k_dim, n, w_dtype, x_dtype, block_n, block_k
+    x, qw, layer_idx, *,
+    t_p2, k_dim, n, w_dtype, x_dtype, a8, block_n, block_k,
 ):
     t_pad = round_up(x.shape[0], 8)
     bn, bk = _fit_blocks(
         t_pad, k_dim, n, block_n, block_k,
-        jnp.dtype(w_dtype).itemsize, jnp.dtype(x_dtype).itemsize,
+        jnp.dtype(w_dtype).itemsize,
+        1 if a8 else jnp.dtype(x_dtype).itemsize,
     )
     return quant_matmul_stacked(
-        x, qw, layer_idx, block_n=bn, block_k=bk,
-        a8=_use_a8(t_pad, w_dtype, x_dtype),
+        x, qw, layer_idx, block_n=bn, block_k=bk, a8=a8
     )
 
 
-def linear_at(x: jax.Array, w_stacked, layer_idx: jax.Array) -> jax.Array:
+def linear_at(
+    x: jax.Array, w_stacked, layer_idx: jax.Array, a8: bool = False
+) -> jax.Array:
     """Layer-indexed matmul against STACKED weights [L, K, N] (used
-    inside the decoder's layer scan)."""
+    inside the decoder's layer scan).  ``a8`` requests the int8-MXU
+    activation-quantized path (ignored unless int8 weights × bf16
+    activations)."""
     if isinstance(w_stacked, QuantizedLinear):
         k_dim, n = w_stacked.w_q.shape[1:]
+        w_dtype, x_dtype = str(w_stacked.w_q.dtype), str(x.dtype)
         if n % 128 == 0 and k_dim % 256 == 0:
             return _qmm_stacked_launch(
                 x, w_stacked, layer_idx,
                 t_p2=next_power_of_2(x.shape[0]), k_dim=k_dim, n=n,
-                w_dtype=str(w_stacked.w_q.dtype), x_dtype=str(x.dtype),
+                w_dtype=w_dtype, x_dtype=x_dtype,
+                a8=a8 and _a8_supported(w_dtype, x_dtype),
             )
         sliced = QuantizedLinear(
             w_q=jax.lax.dynamic_index_in_dim(
@@ -440,19 +502,21 @@ def linear_at(x: jax.Array, w_stacked, layer_idx: jax.Array) -> jax.Array:
                 w_stacked.scales, layer_idx, keepdims=False
             ),
         )
-        return linear(x, sliced)
+        return linear(x, sliced, a8=a8)
     return x @ jax.lax.dynamic_index_in_dim(
         w_stacked, layer_idx, keepdims=False
     )
 
 
-def linear(x: jax.Array, w) -> jax.Array:
+def linear(x: jax.Array, w, a8: bool = False) -> jax.Array:
     """Dense-or-quantized dispatch: the model's single matmul entry."""
     if isinstance(w, QuantizedLinear):
         k_dim, n = w.w_q.shape
+        w_dtype, x_dtype = str(w.w_q.dtype), str(x.dtype)
         return _qmm_launch(
             x, w,
             t_p2=next_power_of_2(x.shape[0]), k_dim=k_dim, n=n,
-            w_dtype=str(w.w_q.dtype), x_dtype=str(x.dtype),
+            w_dtype=w_dtype, x_dtype=x_dtype,
+            a8=a8 and _a8_supported(w_dtype, x_dtype),
         )
     return x @ w

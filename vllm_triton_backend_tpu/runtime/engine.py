@@ -626,6 +626,22 @@ class LLMEngine:
             return np.asarray(toks), np.asarray(lp)
         return np.asarray(res), None
 
+    def _mk_extras(self, max_query_len: int, max_seq_len: int):
+        """ForwardExtras for a regular (possibly mixed) step.  W8A8
+        activation quantization engages only on prefill/mixed steps of a
+        model configured with quantization="int8-w8a8" (pure-decode steps
+        and the fused decode sessions stay bf16 — see ForwardExtras.w8a8)."""
+        return ForwardExtras(
+            max_query_len=max_query_len,
+            max_seq_len=max_seq_len,
+            k_scale=self.k_scale,
+            v_scale=self.v_scale,
+            w8a8=(
+                self.config.model.quantization == "int8-w8a8"
+                and max_query_len > 1
+            ),
+        )
+
     # ---------------- fused multi-step decode fast path ----------------
 
     def _decode_session_applies(self) -> bool:
@@ -1437,11 +1453,9 @@ class LLMEngine:
         if all(b.is_empty for b in batches):
             return []
         bucket = max(b.token_ids.shape[0] for b in batches)
-        extras = ForwardExtras(
-            max_query_len=max(b.max_query_len for b in batches),
-            max_seq_len=max(b.max_seq_len for b in batches),
-            k_scale=self.k_scale,
-            v_scale=self.v_scale,
+        extras = self._mk_extras(
+            max(b.max_query_len for b in batches),
+            max(b.max_seq_len for b in batches),
         )
         d = self.dp
         s_max = self.scheduler.config.max_num_seqs
@@ -1547,12 +1561,7 @@ class LLMEngine:
         if batch.is_empty:
             return []
         m = self.pp  # microbatches = stages (standard GPipe fill)
-        extras = ForwardExtras(
-            max_query_len=batch.max_query_len,
-            max_seq_len=batch.max_seq_len,
-            k_scale=self.k_scale,
-            v_scale=self.v_scale,
-        )
+        extras = self._mk_extras(batch.max_query_len, batch.max_seq_len)
         s_max = self.scheduler.config.max_num_seqs
         bucket = batch.token_ids.shape[0]
         num_seqs = batch.num_seqs
@@ -1647,12 +1656,7 @@ class LLMEngine:
         batch = self.scheduler.schedule()
         if batch.is_empty:
             return []
-        extras = ForwardExtras(
-            max_query_len=batch.max_query_len,
-            max_seq_len=batch.max_seq_len,
-            k_scale=self.k_scale,
-            v_scale=self.v_scale,
-        )
+        extras = self._mk_extras(batch.max_query_len, batch.max_seq_len)
         step_fn = self._cp_steps.get(extras)
         if step_fn is None:
             step_fn = make_cp_forward(
@@ -1722,12 +1726,7 @@ class LLMEngine:
         batch = self.scheduler.schedule()
         if batch.is_empty:
             return []
-        extras = ForwardExtras(
-            max_query_len=batch.max_query_len,
-            max_seq_len=batch.max_seq_len,
-            k_scale=self.k_scale,
-            v_scale=self.v_scale,
-        )
+        extras = self._mk_extras(batch.max_query_len, batch.max_seq_len)
         reqs = [self.scheduler.requests[r] for r in batch.req_ids]
         (
             st_d, pt_d, greedy_only, with_logprob, with_seeds, adj_d,
