@@ -276,7 +276,17 @@ def main() -> None:
         )
 
     # ---------------- granite-3.1-8B INT8-weights + FP8-KV ----------------
-    mc = ModelConfig.granite_3_1_8b()
+    import dataclasses
+
+    # int8-w8a8: prefill/mixed steps run the layer matmuls on the INT8
+    # MXU (394 vs 197 TOPS on v5e; measured 242 TFLOP/s on the gate/up
+    # GEMM vs 137 bf16) — decode numerics are IDENTICAL to weight-only
+    # int8 (ForwardExtras.w8a8 gates on prefill steps only); the
+    # activation-quant accuracy delta is measured in
+    # docs/accuracy_table.md at this exact model shape.
+    mc = dataclasses.replace(
+        ModelConfig.granite_3_1_8b(), quantization="int8-w8a8"
+    )
     params = llama.init_quantized_params(mc, jax.random.key(0), "int8")
     # batch 32: decode is weight-streaming-bound (the 8.2 GB int8 weight
     # read dominates the step), so tokens/s scales near-linearly with
@@ -306,6 +316,15 @@ def main() -> None:
             max_num_batched_tokens=2048,
             max_model_len=max_len,
             token_buckets=(n_seqs, 512, 1024, 2048),
+            # throughput mode: spend the whole budget on prefill while
+            # prompts queue, so every row enters the fused decode
+            # session in lockstep — with decode-priority (the serving
+            # default), rows decoded ahead during the prefill phase
+            # freeze early and the session's tail chunks run at full
+            # batch cost for mostly-frozen rows (measured: 2,179 of
+            # 12,288 tokens produced out-of-phase at batch 128, a ~17%
+            # headline tax)
+            prefill_priority=True,
         ),
     )
     prompt_len, n_new = 512, 96
@@ -317,7 +336,7 @@ def main() -> None:
     )
     RECORD.update(
         value=round(decode_tps, 1),
-        model="granite-3.1-8b-int8w-int8kv",
+        model="granite-3.1-8b-int8w-int8kv-w8a8prefill",
         batch=n_seqs,
         ttft_p50_ms=round(ttft_p50 * 1e3, 1),
         decode_step_ms=round(step_ms, 2),
@@ -340,6 +359,7 @@ def main() -> None:
                 max_num_seqs=32,
                 max_num_batched_tokens=2048,
                 max_model_len=max_len,
+                prefill_priority=True,
                 token_buckets=(32, 512, 1024, 2048),
             ),
         )

@@ -38,7 +38,9 @@ if REPO_ROOT not in sys.path:
     sys.path.insert(0, REPO_ROOT)
 
 
-def chunk_logprobs(cfg, params, chunk, cache_dtype, k_scale, v_scale):
+def chunk_logprobs(
+    cfg, params, chunk, cache_dtype, k_scale, v_scale, w8a8=False
+):
     """Teacher-forced log-probs [t-1, vocab] through the engine prefill."""
     import jax
     import jax.numpy as jnp
@@ -69,7 +71,7 @@ def chunk_logprobs(cfg, params, chunk, cache_dtype, k_scale, v_scale):
         jnp.arange(bucket, dtype=jnp.int32), kv_cache, meta,
         ForwardExtras(
             max_query_len=bucket, max_seq_len=bucket,
-            k_scale=k_scale, v_scale=v_scale,
+            k_scale=k_scale, v_scale=v_scale, w8a8=w8a8,
         ),
     )
     return np.asarray(
@@ -80,63 +82,111 @@ def chunk_logprobs(cfg, params, chunk, cache_dtype, k_scale, v_scale):
 def main(argv=None) -> dict:
     ap = argparse.ArgumentParser()
     ap.add_argument("--model-dir", default=None)
+    ap.add_argument(
+        "--model", default="tinyllama",
+        choices=["tinyllama", "granite", "granite-lite"],
+        help="granite = full granite-3.1-8B shape (40L, GQA 8, hd 128) "
+        "with an int8-W/bf16-KV baseline (bf16 weights alone exceed one "
+        "v5e's HBM — the KV/activation deltas are measured at the TRUE "
+        "headline shape); granite-lite = same width/heads at 10 layers, "
+        "where the bf16 baseline fits, isolating the weight-quant delta",
+    )
     ap.add_argument("--seq-len", type=int, default=512)
     ap.add_argument("--max-seqs", type=int, default=4)
     ap.add_argument("--out", default=os.path.join(
         REPO_ROOT, "docs", "accuracy_table.md"))
     args = ap.parse_args(argv)
 
+    import dataclasses
+
     import jax
 
+    from vllm_triton_backend_tpu.config import ModelConfig
+    from vllm_triton_backend_tpu.models.llama import (
+        init_params,
+        init_quantized_params,
+        quantize_params,
+    )
+    from vllm_triton_backend_tpu.runtime.calibration import (
+        calibrate_kv_scales,
+    )
+
+    params_bf16 = None
     if args.model_dir:
         from vllm_triton_backend_tpu.models.hf import load_params
 
         cfg, params_bf16 = load_params(args.model_dir)
         model_name = os.path.basename(args.model_dir.rstrip("/"))
+    elif args.model == "granite":
+        cfg = ModelConfig.granite_3_1_8b()
+        model_name = (
+            "granite-3.1-8b shape (random init — see blocker); baseline "
+            "int8-W/bf16-KV (bf16 weights exceed one v5e's HBM)"
+        )
+    elif args.model == "granite-lite":
+        cfg = dataclasses.replace(
+            ModelConfig.granite_3_1_8b(), num_layers=10
+        )
+        params_bf16 = init_params(cfg, jax.random.key(0))
+        model_name = (
+            "granite-3.1-8b width/heads at 10 layers (random init) — "
+            "isolates the weight-quant delta with a bf16 baseline"
+        )
     else:
-        from vllm_triton_backend_tpu.config import ModelConfig
-        from vllm_triton_backend_tpu.models.llama import init_params
-
         cfg = ModelConfig.tinyllama_1_1b()
         params_bf16 = init_params(cfg, jax.random.key(0))
         model_name = "tinyllama-1.1b-shape (random init — see blocker)"
-
-    from vllm_triton_backend_tpu.models.llama import quantize_params
-    from vllm_triton_backend_tpu.runtime.calibration import (
-        calibrate_kv_scales,
-    )
 
     rng = np.random.default_rng(0)
     chunks = [
         rng.integers(1, cfg.vocab_size, size=args.seq_len).astype(np.int32)
         for _ in range(args.max_seqs)
     ]
-
-    # calibrated KV scales from a short bf16 pass (runtime/calibration)
     calib = [chunks[0][: min(256, args.seq_len)]]
-    k8, v8 = calibrate_kv_scales(cfg, params_bf16, calib, "int8")
-    kf, vf = calibrate_kv_scales(cfg, params_bf16, calib, "fp8")
-    k_scale, v_scale = k8, v8
 
-    configs = [
-        ("bf16-W / bf16-KV (baseline)", params_bf16, "auto", 1.0, 1.0),
-        ("bf16-W / int8-KV", params_bf16, "int8", k8, v8),
-        ("bf16-W / fp8-e4m3-KV", params_bf16, "fp8", kf, vf),
-    ]
-    params_q = quantize_params(params_bf16, "int8", cfg)
-    configs += [
-        ("int8-W / bf16-KV", params_q, "auto", 1.0, 1.0),
-        ("int8-W / int8-KV", params_q, "int8", k8, v8),
-    ]
+    if params_bf16 is None:
+        # full granite: int8 weights only (drawn pre-quantized, layer by
+        # layer — the bf16 model never materializes)
+        params_q = init_quantized_params(cfg, jax.random.key(0), "int8")
+        k8, v8 = calibrate_kv_scales(cfg, params_q, calib, "int8")
+        kf, vf = calibrate_kv_scales(cfg, params_q, calib, "fp8")
+        k_scale, v_scale = k8, v8
+        # (name, params, cache_dtype, k, v, w8a8)
+        configs = [
+            ("int8-W / bf16-KV (baseline)", params_q, "auto", 1.0, 1.0,
+             False),
+            ("int8-W / int8-KV", params_q, "int8", k8, v8, False),
+            ("int8-W / fp8-e4m3-KV", params_q, "fp8", kf, vf, False),
+            ("int8-W8A8 / bf16-KV", params_q, "auto", 1.0, 1.0, True),
+            ("int8-W8A8 / int8-KV", params_q, "int8", k8, v8, True),
+        ]
+    else:
+        k8, v8 = calibrate_kv_scales(cfg, params_bf16, calib, "int8")
+        kf, vf = calibrate_kv_scales(cfg, params_bf16, calib, "fp8")
+        k_scale, v_scale = k8, v8
+        configs = [
+            ("bf16-W / bf16-KV (baseline)", params_bf16, "auto", 1.0, 1.0,
+             False),
+            ("bf16-W / int8-KV", params_bf16, "int8", k8, v8, False),
+            ("bf16-W / fp8-e4m3-KV", params_bf16, "fp8", kf, vf, False),
+        ]
+        params_q = quantize_params(params_bf16, "int8", cfg)
+        configs += [
+            ("int8-W / bf16-KV", params_q, "auto", 1.0, 1.0, False),
+            ("int8-W / int8-KV", params_q, "int8", k8, v8, False),
+            ("int8-W8A8 / int8-KV", params_q, "int8", k8, v8, True),
+        ]
 
     base_lps = None
     rows = []
-    for name, params, cdt, ks, vs in configs:
+    for name, params, cdt, ks, vs, w8a8 in configs:
         nll_sum, tok = 0.0, 0
         kl_sum, max_dlp = 0.0, 0.0
         lps_all = []
         for chunk in chunks:
-            lps = chunk_logprobs(cfg, params, chunk, cdt, ks, vs)
+            lps = chunk_logprobs(
+                cfg, params, chunk, cdt, ks, vs, w8a8=w8a8
+            )
             lps_all.append(lps)
             lbl = chunk[1:, None].astype(np.int64)
             nll_sum += -np.take_along_axis(lps, lbl, axis=-1).sum()
@@ -163,8 +213,15 @@ def main(argv=None) -> dict:
         print(f"{name:28s} nll={nll:.5f} d_nll={d_nll:+.5f} "
               f"kl={kl:.2e} max_dlp={max_dlp:.4f}", flush=True)
 
-    lines = [
+    args_append = os.environ.get("VTB_ACCURACY_APPEND", "") not in (
+        "", "0",
+    )
+    lines = [] if args_append else [
         "# Quantization accuracy table (serving numerics)",
+        "",
+    ]
+    lines += [
+        f"## {args.model if not args.model_dir else model_name}",
         "",
         f"Model: **{model_name}** — corpus: {args.max_seqs} x "
         f"{args.seq_len} synthetic tokens, teacher-forced through the",
@@ -201,7 +258,7 @@ def main(argv=None) -> dict:
         "",
     ]
     os.makedirs(os.path.dirname(args.out), exist_ok=True)
-    with open(args.out, "w") as f:
+    with open(args.out, "a" if args_append else "w") as f:
         f.write("\n".join(lines))
     result = {"model": model_name, "rows": rows,
               "k_scale": float(k_scale), "v_scale": float(v_scale)}

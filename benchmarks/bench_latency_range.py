@@ -29,6 +29,12 @@ if REPO_ROOT not in sys.path:
 def main(argv=None) -> list[dict]:
     ap = argparse.ArgumentParser()
     ap.add_argument("--model-dir", default=None)
+    ap.add_argument(
+        "--model", default="tiny", choices=["tiny", "granite-int8"],
+        help="granite-int8 = the bench.py headline config (random "
+        "int8 weights, int8 KV) for the reference latency grid "
+        "(bench_vllm_latency_range.py:48-50)",
+    )
     ap.add_argument("--batch", default="1")
     ap.add_argument("--input-len", default="500")
     ap.add_argument("--output-len", default="10,100")
@@ -36,12 +42,17 @@ def main(argv=None) -> list[dict]:
     ap.add_argument("--result-path", default=None)
     args = ap.parse_args(argv)
 
+    import dataclasses
+
+    import jax
+
     from vllm_triton_backend_tpu.config import (
         CacheConfig,
         EngineConfig,
         ModelConfig,
         SchedulerConfig,
     )
+    from vllm_triton_backend_tpu.models import llama
     from vllm_triton_backend_tpu.runtime.engine import LLM
     from vllm_triton_backend_tpu.runtime.sampler import SamplingParams
 
@@ -52,6 +63,32 @@ def main(argv=None) -> list[dict]:
 
     if args.model_dir:
         llm = LLM(model_dir=args.model_dir)
+    elif args.model == "granite-int8":
+        mc = dataclasses.replace(
+            ModelConfig.granite_3_1_8b(), quantization="int8-w8a8"
+        )
+        params = llama.init_quantized_params(mc, jax.random.key(0), "int8")
+        bs = 64
+        model_len = max(512, 1 << (max_len - 1).bit_length())
+        llm = LLM(
+            config=EngineConfig(
+                model=mc,
+                cache=CacheConfig(
+                    block_size=bs,
+                    num_blocks=max(batches) * (-(-model_len // bs)) + 8,
+                    cache_dtype="int8",
+                ),
+                scheduler=SchedulerConfig(
+                    max_num_seqs=max(batches),
+                    max_num_batched_tokens=2048,
+                    max_model_len=model_len,
+                    token_buckets=(
+                        max(batches), 512, 1024, 2048,
+                    ),
+                ),
+            ),
+            params=params,
+        )
     else:
         llm = LLM(
             config=EngineConfig(

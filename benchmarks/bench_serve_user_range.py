@@ -132,6 +132,13 @@ def main(argv=None) -> list[dict]:
     )
     ap.add_argument("--in-len", default=None, help="min,max prompt tokens")
     ap.add_argument("--out-len", default=None, help="min,max new tokens")
+    ap.add_argument("--max-num-seqs", type=int, default=None)
+    ap.add_argument(
+        "--warmup", action="store_true",
+        help="pre-compile serving executables before the sweep "
+        "(engine.warmup(); removes first-request compile outliers from "
+        "the low-concurrency TTFT p99 rows)",
+    )
     args = ap.parse_args(argv)
 
     worker = None
@@ -163,23 +170,31 @@ def main(argv=None) -> list[dict]:
                 mc = ModelConfig.tinyllama_1_1b()
                 params = llama.init_params(mc, jax.random.key(0))
                 cache_dtype = "auto"
+                max_seqs = args.max_num_seqs or 32
+                max_len = 1024
             else:
                 mc = ModelConfig.granite_3_1_8b()
                 params = llama.init_quantized_params(
                     mc, jax.random.key(0), "int8"
                 )
                 cache_dtype = "int8"
+                # 128 concurrent rows (the reference protocol's sweep
+                # top, bench_vllm_user_range.py:44): 128 x 640-token
+                # int8 KV = 6.7 GB beside the 8.6 GB int8 weights
+                max_seqs = args.max_num_seqs or 128
+                max_len = 640
             cfg = EngineConfig(
                 model=mc,
                 cache=CacheConfig(
-                    block_size=64, num_blocks=32 * 16 + 8,
+                    block_size=64,
+                    num_blocks=max_seqs * (max_len // 64) + 8,
                     cache_dtype=cache_dtype,
                 ),
                 scheduler=SchedulerConfig(
-                    max_num_seqs=32,
+                    max_num_seqs=max_seqs,
                     max_num_batched_tokens=2048,
-                    max_model_len=1024,
-                    token_buckets=(32, 512, 1024, 2048),
+                    max_model_len=max_len,
+                    token_buckets=(max_seqs, 512, 1024, 2048),
                 ),
             )
             engine = LLMEngine(cfg, params=params)
@@ -189,6 +204,9 @@ def main(argv=None) -> list[dict]:
         if args.out_len:
             out_len = tuple(map(int, args.out_len.split(",")))
 
+        if args.warmup:
+            dt = engine.warmup()
+            print(f"warmup: {dt:.1f}s", flush=True)
         worker = EngineWorker(engine)
         worker.start()
         app = build_app(worker)

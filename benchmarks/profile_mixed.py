@@ -44,6 +44,9 @@ def main() -> None:
     ap.add_argument("--max-len", type=int, default=640)
     ap.add_argument("--weights", default="int8")
     ap.add_argument("--top", type=int, default=15)
+    ap.add_argument("--no-split", action="store_true",
+                    help="disable the mixed split path (old behavior)")
+    ap.add_argument("--w8a8", action="store_true")
     args = ap.parse_args()
 
     import jax
@@ -112,10 +115,15 @@ def main() -> None:
         t += n
     qsl[num_seqs + 1:] = qsl[num_seqs]
     mq = next_power_of_2(max(qlens))
+    n_pf = sum(1 for n in qlens if n > 1)
     extras = ForwardExtras(
         max_query_len=mq,
         max_seq_len=max(128, next_power_of_2(int(seq_lens.max()))),
         k_scale=0.03, v_scale=0.03,
+        w8a8=args.w8a8,
+        mixed_prefill_rows=(
+            0 if args.no_split or n_pf == 0 else next_power_of_2(n_pf)
+        ),
     )
     st = SamplingTensors(
         jnp.zeros(S, jnp.float32), jnp.ones(S, jnp.float32),
@@ -155,9 +163,11 @@ def main() -> None:
           f"{args.prompt_len} prefill + {tail}]: {wall*1e3:.1f} ms "
           f"({wall/bucket*1e6:.1f} us/token)", flush=True)
 
+    from vllm_triton_backend_tpu.utils.profiling import trace
+
     trace_dir = tempfile.mkdtemp(prefix="profile_mixed_")
     try:
-        with jax.profiler.trace(trace_dir):
+        with trace(trace_dir):
             out, kv_cache = step(kv_cache)
             _fence(out)
         times = device_kernel_times(trace_dir)

@@ -142,9 +142,11 @@ def main() -> None:
           f"chunk K={K} {wall*1e3:.2f} ms -> {wall/K*1e3:.3f} ms/step "
           f"-> {S*K/wall:.0f} tok/s", flush=True)
 
+    from vllm_triton_backend_tpu.utils.profiling import trace
+
     trace_dir = tempfile.mkdtemp(prefix="profile_step_")
     try:
-        with jax.profiler.trace(trace_dir):
+        with trace(trace_dir):
             out, kv_cache = chunk(kv_cache)
             _fence(out)
         times = device_kernel_times(trace_dir)

@@ -40,6 +40,7 @@ def run_case(
     seed=0,
     num_layers=2,
     layer=1,
+    mixed_prefill_rows=0,
 ):
     rng = np.random.default_rng(seed)
     kv_cache = random_cache(
@@ -82,6 +83,7 @@ def run_case(
         alibi_slopes=None if alibi_slopes is None else jnp.asarray(alibi_slopes),
         k_scale=k_scale, v_scale=v_scale,
         force_selection=force_selection,
+        mixed_prefill_rows=mixed_prefill_rows,
     )
     np.testing.assert_allclose(np.asarray(out), ref, atol=atol, rtol=2e-2)
     return out
@@ -243,6 +245,46 @@ def test_prefill_layer_indexing():
 
 def test_force_selection_prefill_on_decode_batch():
     run_case([1, 1], [10, 22], force_selection="prefill", atol=2e-3)
+
+
+# ---------------- mixed split path ----------------
+
+def test_mixed_split_decode_riders_plus_prefills():
+    """Split path (mixed_prefill_rows > 0): decode rows through the
+    decode kernel + compacted prefill sub-batch (the reference's
+    two-launch chunked_prefill_paged_decode design, legacy/
+    triton_chunked_prefill_paged_decode.py:28-117)."""
+    run_case([1, 7, 1, 33, 1], [20, 13, 40, 0, 9],
+             mixed_prefill_rows=2, atol=2e-3)
+
+
+def test_mixed_split_bucket_larger_than_count():
+    """Bucket bound larger than the true prefill-row count: fill rows
+    are masked out."""
+    run_case([1, 5, 12], [16, 3, 0], mixed_prefill_rows=8, atol=2e-3)
+
+
+def test_mixed_split_with_padded_rows():
+    """Zero-length padded rows neither decode nor prefill."""
+    run_case([1, 9, 0, 0], [25, 4, 0, 0], mixed_prefill_rows=2,
+             atol=2e-3)
+
+
+def test_mixed_split_sliding_window_softcap():
+    run_case([1, 14, 1], [30, 8, 22], sliding_window=16,
+             logits_soft_cap=25.0, mixed_prefill_rows=2, atol=2e-3)
+
+
+def test_mixed_split_int8_kv():
+    run_case([1, 11, 1], [33, 6, 50], cache_dtype=jnp.int8,
+             k_scale=0.05, v_scale=0.05, mixed_prefill_rows=2,
+             atol=5e-2)
+
+
+def test_mixed_split_prefill_only_rows_still_correct():
+    """All rows prefill (no decode rows): split path must still work
+    even though the engine wouldn't request it for this composition."""
+    run_case([5, 9], [10, 0], mixed_prefill_rows=2, atol=2e-3)
 
 
 # ---------------- XLA baseline ----------------

@@ -132,6 +132,41 @@ def test_scheduler_mixed_batch_and_slots():
     assert b2.slot_mapping[0] == pages_a[1] * 4 + 1
 
 
+def test_scheduler_prefill_priority_defers_decodes():
+    """With prefill_priority, decode rows wait while prompts queue —
+    keeping batch rows in lockstep for the fused decode session."""
+    import dataclasses
+
+    s = _mk_scheduler(max_tokens=16)
+    s.config = dataclasses.replace(s.config, prefill_priority=True)
+    s.add_request(Request("a", list(range(5)), SamplingParams()))
+    b = s.schedule()
+    s.update(b, np.asarray([7] * 4, np.int32), None)
+    s.add_request(Request("b", list(range(50, 56)), SamplingParams()))
+    b2 = s.schedule()  # ONLY b's prefill; a's decode deferred
+    assert b2.num_seqs == 1
+    assert b2.req_ids == ["b"]
+    s.update(b2, np.asarray([9] * 4, np.int32), None)
+    b3 = s.schedule()  # queue drained: both decode
+    assert b3.num_seqs == 2
+
+
+def test_scheduler_prefill_priority_falls_back_when_blocked():
+    """If no prefill can be scheduled (page pool exhausted), the
+    deferred decodes still run — no livelock."""
+    import dataclasses
+
+    s = _mk_scheduler(max_tokens=16, blocks=3, bs=4)
+    s.config = dataclasses.replace(s.config, prefill_priority=True)
+    s.add_request(Request("a", list(range(8)), SamplingParams()))
+    b = s.schedule()
+    s.update(b, np.asarray([7] * 4, np.int32), None)
+    # queue a prompt too big for the remaining single page
+    s.add_request(Request("big", list(range(100, 140)), SamplingParams()))
+    b2 = s.schedule()
+    assert b2.num_seqs == 1 and b2.req_ids == ["a"]  # decode fallback
+
+
 # ---------------- engine e2e ----------------
 
 

@@ -35,7 +35,8 @@ import numpy as np  # noqa: E402
 
 
 def main(
-    quick: bool = False, qmm_only: bool = False, b32: bool = False
+    quick: bool = False, qmm_only: bool = False, b32: bool = False,
+    serving: bool = False,
 ) -> None:
     import jax
     import jax.numpy as jnp
@@ -77,6 +78,14 @@ def main(
         head_cfgs = [(32, 8, 128)]
         seq_lens = [512, 1024, 2048]
         dtypes = [jnp.bfloat16, jnp.int8]
+    if serving:
+        # the headline SERVING shapes (VERDICT r3 #6): granite-3.1-8B
+        # heads, block 64, batch 128 decode (the concurrency-sweep top)
+        # at the session's max_seq buckets, int8 KV
+        batches = [128]
+        head_cfgs = [(32, 8, 128)]
+        seq_lens = [640, 1024]
+        dtypes = [jnp.int8]
 
     def measure(fn, pattern, reps=10):
         """Measured device kernel time per call via an xplane trace."""
@@ -185,6 +194,10 @@ def main(
 
     # ---- prefill ----
     prefill_seqs = [512] if quick else [512, 2048]
+    if serving:
+        # the mixed-split compact sub-batch shape: ~4 chunked prefills
+        # of 512 with context growing into the 1024 bucket
+        prefill_seqs = [1024]
     for (hq, hkv, hd) in head_cfgs if not (qmm_only or b32) else []:
         for dtype in dtypes[:2]:  # bf16 + int8
             for max_seq in prefill_seqs:
@@ -278,6 +291,8 @@ def main(
     qmm_ts = [16] if quick else [16, 32, 512, 2048]
     if b32:
         qmm_ts = [32]
+    if serving:
+        qmm_ts = [128, 2048]
     quantize = jax.jit(
         jax.vmap(functools.partial(ql.quantize_weights, dtype="int8"))
     )
@@ -290,8 +305,12 @@ def main(
         if not stacked:
             qw = ql.QuantizedLinear(qw.w_q[0], qw.scales[0])
         for t in qmm_ts:
-            if not stacked and t not in (16, 32):
+            if not stacked and t > 256:
                 continue  # lm_head runs on sampled rows only (t<=batch)
+            # a8 (int8-MXU activations) is only engaged by the engine at
+            # prefill token counts; tune both paths there — a8 is part
+            # of the autotune key so the configs never cross-poison
+            a8_opts = [False, True] if t >= 512 else [False]
             x = jnp.asarray(
                 rng.standard_normal((t, kd)) * 0.3, jnp.bfloat16
             )
@@ -299,35 +318,38 @@ def main(
                 ql._qmm_stacked_launch if stacked else ql._qmm_launch
             )
             args = (x, qw, jnp.int32(1)) if stacked else (x, qw)
-            kw = dict(
-                t_p2=next_power_of_2(t), k_dim=kd, n=nd,
-                w_dtype="int8", x_dtype="bfloat16",
-            )
-            launcher._load_db()
-            key = launcher._make_key(kw)
-            tuned_already = key in launcher._mem
-            fb_cfg = launcher.fallback_heuristic(key)
-            t_fb = measure(
-                lambda: launcher.fn(*args, **kw, **fb_cfg), "quant_matmul"
-            )
-            won = (
-                dict(launcher._mem[key]) if tuned_already
-                else launcher.tune(*args, **kw)
-            )
-            t_tuned = measure(
-                lambda: launcher.fn(*args, **kw, **won), "quant_matmul"
-            )
-            name = "qmm_stacked" if stacked else "qmm"
-            rows.append(
-                (name, f"{kd}x{nd}", "int8", t,
-                 fb_cfg, t_fb, won, t_tuned)
-            )
-            print(
-                f"{name} {kd}x{nd} t={t}: fallback {fb_cfg} "
-                f"{(t_fb or 0)*1e6:.1f}us -> tuned {won} "
-                f"{(t_tuned or 0)*1e6:.1f}us",
-                flush=True,
-            )
+            for a8 in a8_opts:
+                kw = dict(
+                    t_p2=next_power_of_2(t), k_dim=kd, n=nd,
+                    w_dtype="int8", x_dtype="bfloat16", a8=a8,
+                )
+                launcher._load_db()
+                key = launcher._make_key(kw)
+                tuned_already = key in launcher._mem
+                fb_cfg = launcher.fallback_heuristic(key)
+                t_fb = measure(
+                    lambda: launcher.fn(*args, **kw, **fb_cfg),
+                    "quant_matmul",
+                )
+                won = (
+                    dict(launcher._mem[key]) if tuned_already
+                    else launcher.tune(*args, **kw)
+                )
+                t_tuned = measure(
+                    lambda: launcher.fn(*args, **kw, **won), "quant_matmul"
+                )
+                name = "qmm_stacked" if stacked else "qmm"
+                name += "_a8" if a8 else ""
+                rows.append(
+                    (name, f"{kd}x{nd}", "int8", t,
+                     fb_cfg, t_fb, won, t_tuned)
+                )
+                print(
+                    f"{name} {kd}x{nd} t={t}: fallback {fb_cfg} "
+                    f"{(t_fb or 0)*1e6:.1f}us -> tuned {won} "
+                    f"{(t_tuned or 0)*1e6:.1f}us",
+                    flush=True,
+                )
         del qw
 
     tsv = os.path.join(
@@ -336,7 +358,9 @@ def main(
     os.makedirs(os.path.dirname(tsv), exist_ok=True)
     # partial sweeps (--qmm-only / --b32) append to the rows already on
     # disk instead of discarding the earlier full-sweep evidence
-    mode = "a" if ((qmm_only or b32) and os.path.exists(tsv)) else "w"
+    mode = "a" if (
+        (qmm_only or b32 or serving) and os.path.exists(tsv)
+    ) else "w"
     with open(tsv, mode) as f:
         if mode == "w":
             f.write(
@@ -356,4 +380,5 @@ if __name__ == "__main__":
         quick="--quick" in sys.argv,
         qmm_only="--qmm-only" in sys.argv,
         b32="--b32" in sys.argv,
+        serving="--serving" in sys.argv,
     )

@@ -349,6 +349,13 @@ class SchedulerConfig:
     enable_prefix_caching: bool = True
     # Static jit shape buckets for num_tokens (TPU's answer to CUDA graphs).
     token_buckets: tuple[int, ...] = (8, 16, 32, 64, 128, 256, 512, 1024)
+    # Throughput-oriented policy: while prompts are WAITING, spend the
+    # whole token budget on prefill and defer decode-only rows (they
+    # resume as soon as the queue drains — typically into the fused
+    # decode session).  Keeps a big batch's rows in lockstep so the
+    # session never runs chunks for mostly-frozen rows; default False =
+    # decode-priority continuous batching (vLLM behavior, better ITL).
+    prefill_priority: bool = False
 
 
 @dataclass(frozen=True)

@@ -534,8 +534,13 @@ def main() -> None:
         choices=[None, "auto", "fp8", "int8"],
     )
     ap.add_argument(
-        "--quantization", default=None, choices=[None, "int8", "fp8"],
+        "--quantization", default=None,
+        choices=[None, "int8", "fp8", "int8-w8a8"],
     )
+    # Pre-compile the serving executables (token buckets, mixed
+    # compositions, decode session) before accepting traffic — kills
+    # the first-request XLA-compile TTFT outliers (engine.warmup()).
+    ap.add_argument("--warmup", action="store_true")
     # speculative decoding (lossless; see runtime/spec_decode.py)
     ap.add_argument("--draft-dir", default=None)
     ap.add_argument("--spec-ngram", action="store_true")
@@ -618,6 +623,10 @@ def main() -> None:
             **spec_kw,
         )
 
+    if args.warmup:
+        dt = engine.warmup()
+        print(f"warmup: serving executables compiled in {dt:.1f}s",
+              flush=True)
     worker = EngineWorker(engine, tokenizer)
     worker.start()
     app = build_app(worker)

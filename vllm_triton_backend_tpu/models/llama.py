@@ -326,6 +326,13 @@ class ForwardExtras(NamedTuple):
     # the bf16 dequant path (weight-read-bound; a8 buys nothing there).
     # The lm_head is never a8-quantized (logit numerics).
     w8a8: bool = False
+    # > 0: static upper bound on the number of REAL prefill rows in a
+    # mixed batch — enables the split attention path (decode rows via
+    # the decode kernel + compacted prefill sub-batch; see
+    # ops.attention.unified_attention).  The engine buckets the true
+    # count up so each bucket compiles once.  0 = whole-batch prefill
+    # kernel (pure prefill, or callers that never mix).
+    mixed_prefill_rows: int = 0
 
 
 def forward_fn(
@@ -561,6 +568,7 @@ def forward_fn(
                 k_scale=extras.k_scale,
                 v_scale=extras.v_scale,
                 local_chunk_size=cfg.attention_chunk_size or 0,
+                mixed_prefill_rows=extras.mixed_prefill_rows,
             )
         attn_out = reduce_proj(
             lin, attn.reshape(t, cfg.num_heads * hd), lp.o_proj

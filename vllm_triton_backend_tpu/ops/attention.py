@@ -46,15 +46,42 @@ def unified_attention(
     v_scale: float = 1.0,
     local_chunk_size: int = 0,
     force_selection: str | None = None,  # "decode" | "prefill" | None
+    mixed_prefill_rows: int = 0,
 ) -> jax.Array:
     """Attention over the paged cache for a flat (possibly mixed) batch.
 
     ``max_query_len``/``max_seq_len`` are static bucket bounds (Python ints);
     the actual per-sequence lengths come from ``metadata``.
+
+    ``mixed_prefill_rows`` > 0 enables the SPLIT path for mixed batches
+    (the reference's two-launch ``chunked_prefill_paged_decode`` design,
+    legacy/triton_chunked_prefill_paged_decode.py:28-117, re-derived for
+    TPU): decode rows (query length 1) go through the decode kernel —
+    whose 8-row-per-head tiles and page pipeline are engineered for
+    them — and the at-most-``mixed_prefill_rows`` real prefill rows are
+    COMPACTED into a small dense batch for the prefill kernel.  Without
+    the split, every 1-token decode rider pays the prefill kernel's
+    q-tile padding (measured: 124 riders at batch 128 made attention
+    513 ms of a 972 ms mixed step).  The caller (engine) guarantees the
+    true prefill-row count never exceeds this static bound.
     """
     use_decode = max_query_len == 1 if force_selection is None else (
         force_selection == "decode"
     )
+    if (
+        not use_decode
+        and force_selection is None
+        and mixed_prefill_rows > 0
+    ):
+        return _mixed_split_attention(
+            q, kv_cache, layer_idx, metadata,
+            scale=scale, max_query_len=max_query_len,
+            max_seq_len=max_seq_len, sliding_window=sliding_window,
+            logits_soft_cap=logits_soft_cap, alibi_slopes=alibi_slopes,
+            k_scale=k_scale, v_scale=v_scale,
+            local_chunk_size=local_chunk_size,
+            num_prefill_rows=mixed_prefill_rows,
+        )
     if use_decode:
         # one token per sequence: token order == sequence order.  The
         # flat token batch may be padded BEYOND the seq-table length
@@ -100,6 +127,97 @@ def unified_attention(
         v_scale=v_scale,
         local_chunk_size=local_chunk_size,
     )
+
+
+def _mixed_split_attention(
+    q: jax.Array,  # [num_tokens, num_q_heads, head_size]
+    kv_cache: jax.Array,
+    layer_idx: jax.Array,
+    metadata: AttentionMetadata,
+    *,
+    scale: float,
+    max_query_len: int,
+    max_seq_len: int,
+    sliding_window: int,
+    logits_soft_cap: float,
+    alibi_slopes: jax.Array | None,
+    k_scale: float,
+    v_scale: float,
+    local_chunk_size: int,
+    num_prefill_rows: int,  # static upper bound P
+) -> jax.Array:
+    """Two-launch mixed batch: decode kernel for qlen==1 rows, prefill
+    kernel over a COMPACTED P-row sub-batch (see unified_attention).
+
+    All shapes are static: P is a bucketed bound; compaction uses
+    fixed-size gathers with masked-out fill rows (seq_len 0 rows cost
+    one skipped grid step in either kernel).
+    """
+    total = q.shape[0]
+    num_seqs = metadata.seq_lens.shape[0]
+    P = min(num_prefill_rows, num_seqs)
+    qsl = metadata.query_start_loc[: num_seqs + 1]
+    q_lens = qsl[1:] - qsl[:-1]  # [S]
+    is_pf = q_lens > 1
+
+    # ---- decode rows: their single token sits at qsl[i] ----
+    dec_q = jnp.take(
+        q, jnp.minimum(qsl[:-1], total - 1), axis=0
+    )  # [S, Hq, hd]
+    dec_lens = jnp.where(q_lens == 1, metadata.seq_lens, 0)
+    dec_out = paged_decode_attention(
+        dec_q, kv_cache, layer_idx, dec_lens, metadata.block_table,
+        scale=scale, max_seq_len=max_seq_len,
+        sliding_window=sliding_window, logits_soft_cap=logits_soft_cap,
+        alibi_slopes=alibi_slopes, k_scale=k_scale, v_scale=v_scale,
+        local_chunk_size=local_chunk_size,
+    )  # [S, Hq, hd]
+
+    # ---- prefill rows: compact to P rows ----
+    pf_rows = jnp.where(is_pf, size=P, fill_value=num_seqs - 1)[0]
+    pf_valid = (
+        jnp.arange(P, dtype=jnp.int32)
+        < jnp.sum(is_pf.astype(jnp.int32))
+    )
+    pf_qlen = jnp.where(pf_valid, jnp.take(q_lens, pf_rows), 0)
+    pf_start = jnp.take(qsl[:-1], pf_rows)  # original flat start
+    pf_qsl = jnp.concatenate(
+        [jnp.zeros(1, jnp.int32), jnp.cumsum(pf_qlen).astype(jnp.int32)]
+    )  # [P+1] compact
+    pf_seq_lens = jnp.where(pf_valid, jnp.take(metadata.seq_lens, pf_rows), 0)
+    pf_tbl = jnp.take(metadata.block_table, pf_rows, axis=0)
+
+    # compact flat q: T2 tokens; token t2 of compact row p comes from
+    # original position pf_start[p] + (t2 - pf_qsl[p])
+    T2 = min(total, P * max_query_len)
+    t2 = jnp.arange(T2, dtype=jnp.int32)
+    p_of = jnp.clip(
+        jnp.searchsorted(pf_qsl, t2, side="right") - 1, 0, P - 1
+    ).astype(jnp.int32)
+    local = t2 - jnp.take(pf_qsl, p_of)
+    src = jnp.take(pf_start, p_of) + local
+    t2_valid = t2 < pf_qsl[P]
+    q2 = jnp.take(
+        q, jnp.where(t2_valid, jnp.minimum(src, total - 1), 0), axis=0
+    )
+    pf_out = prefill_attention(
+        q2, kv_cache, layer_idx, pf_qsl, pf_seq_lens, pf_tbl,
+        scale=scale, max_query_len=max_query_len, max_seq_len=max_seq_len,
+        sliding_window=sliding_window, logits_soft_cap=logits_soft_cap,
+        alibi_slopes=alibi_slopes, k_scale=k_scale, v_scale=v_scale,
+        local_chunk_size=local_chunk_size,
+    )  # [T2, Hq, hd]
+
+    # ---- scatter both back to the flat token order ----
+    t = jnp.arange(total, dtype=jnp.int32)
+    seq_of_t = jnp.clip(
+        jnp.searchsorted(qsl, t, side="right") - 1, 0, num_seqs - 1
+    ).astype(jnp.int32)
+    out = jnp.take(dec_out, seq_of_t, axis=0)  # decode rows (+ garbage)
+    out = out.at[jnp.where(t2_valid, src, total)].set(
+        pf_out.astype(out.dtype), mode="drop"
+    )  # prefill rows overwrite their token ranges
+    return out.astype(q.dtype)
 
 
 def xla_paged_attention(

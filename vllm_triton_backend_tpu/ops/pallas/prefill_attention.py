@@ -108,10 +108,17 @@ def _prefill_kernel(
     def kv_hi_of(sq, qblk):
         seq_len = sl_ref[sq]
         q_len = qsl_ref[sq + 1] - qsl_ref[sq]
-        return jnp.minimum(
+        hi = jnp.minimum(
             jnp.minimum(seq_len, seq_len - q_len + (qblk + 1) * block_q),
             cap_ref[sq],
         )
+        # dead q-tile skip: a tile whose every row is past this
+        # sequence's query length is pure padding — report an empty kv
+        # range so neither its page DMAs nor its flash bodies run.  In a
+        # mixed batch a 1-token decode rider otherwise pays
+        # (q_pad/block_q) full-context passes instead of one (and padded
+        # batch rows, q_len == 0, skip entirely).
+        return jnp.where(qblk * block_q >= q_len, 0, hi)
 
     def foreach_page(sq, hh, qblk, sblk, fn, dead_fn=None):
         """fn(i, page_id, side) for each live page of super sblk; the

@@ -9,6 +9,14 @@ when heads >> chips and the sequence fits per-chip memory after the swap.
 
 Run inside ``shard_map`` over a named axis; head count must be divisible
 by the axis size.
+
+Status: a library-level building block (dense prefill over sequence-
+sharded activations, flash-chunked — usable at long context).  The
+ENGINE's sequence-parallel serving mode is ring/CP
+(``ParallelConfig(context_parallel=N)``, parallel/context.py), which
+integrates with the paged cache; Ulysses is the alternative collective
+pattern for workloads where heads >> chips, exercised by
+tests/test_parallel.py.
 """
 
 from __future__ import annotations
@@ -44,6 +52,11 @@ def ulysses_prefill_attention(
         # [P, C, h/P, hd] -> [P*C, h/P, hd] (global sequence, local heads)
         return xs.reshape(p * c, h // p, hd)
 
+    from vllm_triton_backend_tpu.ops.pallas.common import MASK_VALUE
+    from vllm_triton_backend_tpu.parallel.context import (
+        _chunk_flash_update,
+    )
+
     qh = seq_to_head(q).astype(jnp.float32)  # [T, Hq/P, hd]
     kh = seq_to_head(k).astype(jnp.float32)  # [T, Hkv/P, hd]
     vh = seq_to_head(v).astype(jnp.float32)
@@ -51,14 +64,38 @@ def ulysses_prefill_attention(
     kh = jnp.repeat(kh, qpk, axis=1)  # GQA expand to q heads
     vh = jnp.repeat(vh, qpk, axis=1)
 
+    # chunked flash over the KV axis (reusing the ring-attention update,
+    # context.py): O(T * chunk) score working set instead of a dense
+    # [T, T] matrix — usable at the long contexts that motivate
+    # sequence parallelism.  Chunk = the per-chip sequence chunk.
     t = p * c
-    scores = jnp.einsum("qhd,khd->qhk", qh, kh) * scale
-    causal = (
-        jnp.arange(t)[None, :] <= jnp.arange(t)[:, None]
-    )  # [T, T]
-    scores = jnp.where(causal[:, None, :], scores, -jnp.inf)
-    w = jax.nn.softmax(scores, axis=-1)
-    out = jnp.einsum("qhk,khd->qhd", w, vh)  # [T, Hq/P, hd]
+    hql = qh.shape[1]
+    q_pos = jnp.arange(t)
+    m0 = jnp.full((t, hql), MASK_VALUE, jnp.float32)
+    l0 = jnp.zeros((t, hql), jnp.float32)
+    a0 = jnp.zeros((t, hql, hd), jnp.float32)
+
+    kc = kh.reshape(p, c, hql, hd)
+    vc = vh.reshape(p, c, hql, hd)
+
+    def fold(carry, ck):
+        m, l, acc = carry
+        kj, vj, j = ck
+        k_pos = j * c + jnp.arange(c)
+        mask = k_pos[None, :] <= q_pos[:, None]  # [T, C]
+        m, l, acc = _chunk_flash_update(
+            qh, kj, vj, scale, mask, m, l, acc
+        )
+        return (m, l, acc), None
+
+    (m, l, acc), _ = jax.lax.scan(
+        fold, (m0, l0, a0),
+        (kc, vc, jnp.arange(p)),
+    )
+    safe = jnp.where(l == 0.0, 1.0, l)
+    out = jnp.where(
+        (l == 0.0)[..., None], 0.0, acc / safe[..., None]
+    )  # [T, Hq/P, hd]
 
     # inverse all_to_all: [T, Hq/P, hd] -> local seq chunk, all heads
     outs = out.reshape(p, c, hq // p, hd)

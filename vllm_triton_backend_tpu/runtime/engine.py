@@ -441,6 +441,78 @@ class LLMEngine:
         self._build_caches()
         return n
 
+    def warmup(
+        self,
+        prompt_lens: tuple[int, ...] | None = None,
+        mixed_rows: tuple[int, ...] = (1, 4),
+    ) -> float:
+        """Pre-compile the serving executables BEFORE accepting traffic —
+        the CUDA-graph-capture-at-init analog (the bucket set is known at
+        server start; without this, the first request at each new
+        (token-bucket, extras) shape pays a multi-second XLA compile,
+        which shows up as 7-8 s TTFT p99 outliers at low concurrency).
+
+        Drives REAL requests through the engine so every layer of the
+        serving path compiles: pure-prefill steps at each token bucket,
+        mixed prefill+decode compositions (``mixed_rows`` prefill-row
+        buckets riding with a decoding request), and the fused decode
+        session at the engine's chunk size.  Returns seconds spent.
+
+        Reference analog: vLLM captures CUDA graphs for every batch
+        bucket at init (the reference relies on that at L5,
+        SURVEY.md §2.1 build_for_cudagraph_capture row).
+        """
+        import time as _time
+
+        from vllm_triton_backend_tpu.runtime.sampler import SamplingParams
+
+        assert not self.has_unfinished(), "warmup needs an idle engine"
+        t0 = _time.perf_counter()
+        sc = self.scheduler.config
+        vocab = self.config.model.vocab_size
+        rng = np.random.default_rng(0)
+        budget = sc.max_num_batched_tokens
+        if prompt_lens is None:
+            prompt_lens = tuple(
+                b for b in sorted(set(sc.token_buckets))
+                if b <= min(budget, sc.max_model_len - self.multistep - 2)
+            ) or (min(8, sc.max_model_len // 2),)
+
+        def drain():
+            steps = 0
+            while self.has_unfinished() and steps < 10_000:
+                self.step()
+                steps += 1
+
+        def prompt(n):
+            return rng.integers(0, vocab, size=max(1, n)).tolist()
+
+        # 1. pure-prefill buckets + the fused decode session (K chunks)
+        for plen in prompt_lens:
+            self.add_request(
+                prompt(plen),
+                SamplingParams(max_tokens=self.multistep + 1),
+            )
+            drain()
+        # 2. mixed compositions: a decoding request + n short prompts
+        #    (compiles the mixed_prefill_rows split buckets)
+        anchor_len = prompt_lens[0]
+        for n_pf in mixed_rows:
+            if n_pf + 1 > sc.max_num_seqs:
+                continue
+            self.add_request(
+                prompt(anchor_len),
+                SamplingParams(max_tokens=self.multistep + 2),
+            )
+            self.step()  # prefill the anchor; it decodes from now on
+            per = max(2, min(budget // max(n_pf, 1), anchor_len))
+            for _ in range(n_pf):
+                self.add_request(
+                    prompt(per), SamplingParams(max_tokens=2)
+                )
+            drain()
+        return _time.perf_counter() - t0
+
     # ---------------- request API ----------------
 
     def add_request(
@@ -626,11 +698,33 @@ class LLMEngine:
             return np.asarray(toks), np.asarray(lp)
         return np.asarray(res), None
 
-    def _mk_extras(self, max_query_len: int, max_seq_len: int):
-        """ForwardExtras for a regular (possibly mixed) step.  W8A8
-        activation quantization engages only on prefill/mixed steps of a
-        model configured with quantization="int8-w8a8" (pure-decode steps
-        and the fused decode sessions stay bf16 — see ForwardExtras.w8a8)."""
+    def _mk_extras(
+        self, max_query_len: int, max_seq_len: int, batches=(),
+    ):
+        """ForwardExtras for a regular (possibly mixed) step.
+
+        W8A8 activation quantization engages only on prefill/mixed steps
+        of a model configured with quantization="int8-w8a8" (pure-decode
+        steps and the fused decode sessions stay bf16).
+
+        ``batches``: the step's ScheduledBatch(es); when any batch mixes
+        decode rows (query length 1) with prefill rows, the prefill-row
+        count is bucketed to a power of two and passed as the static
+        ``mixed_prefill_rows`` bound so attention takes the split path
+        (ops.attention.unified_attention) — one executable per bucket."""
+        mixed_bucket = 0
+        for b in batches:
+            qlens = np.diff(b.query_start_loc[: b.num_seqs + 1])
+            n_pf = int((qlens > 1).sum())
+            if n_pf:
+                # enabled for EVERY prefill-carrying batch, not just
+                # mixed ones: the compact sub-batch also removes the
+                # dense q-pack over the (mostly padded) max_num_seqs
+                # rows in pure-prefill steps — at batch 128 that pack
+                # materialized ~1 GB of padded q per layer
+                mixed_bucket = max(
+                    mixed_bucket, next_power_of_2(max(n_pf, 1))
+                )
         return ForwardExtras(
             max_query_len=max_query_len,
             max_seq_len=max_seq_len,
@@ -640,6 +734,7 @@ class LLMEngine:
                 self.config.model.quantization == "int8-w8a8"
                 and max_query_len > 1
             ),
+            mixed_prefill_rows=mixed_bucket,
         )
 
     # ---------------- fused multi-step decode fast path ----------------
@@ -1456,6 +1551,7 @@ class LLMEngine:
         extras = self._mk_extras(
             max(b.max_query_len for b in batches),
             max(b.max_seq_len for b in batches),
+            batches=[b for b in batches if not b.is_empty],
         )
         d = self.dp
         s_max = self.scheduler.config.max_num_seqs
@@ -1645,18 +1741,14 @@ class LLMEngine:
 
     # ---------------- context-parallel stepping ----------------
 
-    def _step_cp(self) -> list[RequestOutput]:
-        """One step with sequence-sharded KV (parallel/context.py): each
-        chip holds positions [c*chunk, (c+1)*chunk) of every sequence,
-        writes the tokens it owns, and attention partials merge over the
-        ``seq`` axis.  No fused decode sessions yet."""
+    def _launch_cp(self, batch, extras, sampling):
+        """Launch stage for sequence-sharded KV (parallel/context.py):
+        each chip holds positions [c*chunk, (c+1)*chunk) of every
+        sequence, writes the tokens it owns, and attention partials
+        merge over the ``seq`` axis.  No fused decode sessions yet."""
         from vllm_triton_backend_tpu.parallel.context import make_cp_forward
-        from vllm_triton_backend_tpu.runtime.sampler import sample
 
-        batch = self.scheduler.schedule()
-        if batch.is_empty:
-            return []
-        extras = self._mk_extras(batch.max_query_len, batch.max_seq_len)
+        st_d, pt_d, greedy_only, with_logprob, with_seeds, adj_d = sampling
         step_fn = self._cp_steps.get(extras)
         if step_fn is None:
             step_fn = make_cp_forward(
@@ -1673,21 +1765,25 @@ class LLMEngine:
             jnp.asarray(batch.block_table),
             jnp.asarray(batch.slot_mapping),
         )
-        reqs = [self.scheduler.requests[r] for r in batch.req_ids]
-        (
-            st_d, pt_d, greedy_only, with_logprob, with_seeds, adj_d,
-        ) = self._sampling_inputs(reqs, batch.logits_indices.shape[0])
         self._key, sub = jax.random.split(self._key)
-        sampled, logprobs = self._sample_rows(
+        return self._sample_rows(
             logits[jnp.asarray(batch.logits_indices)],
             st_d, pt_d, sub, greedy_only, with_logprob,
             with_seeds,
             jnp.asarray(batch.seq_lens) if with_seeds else None,
             adj_d,
         )
+
+    def _finish_step(self, batch, sampled, logprobs):
+        """Commit stage shared by every regular-step mode: apply the
+        sampled tokens to the scheduler, release finished requests'
+        hybrid state slots, emit outputs."""
         finished = self.scheduler.update(
             batch, sampled, self.eos_token_id, logprobs
         )
+        if self.is_hybrid:
+            for r in finished:
+                self._hyb_free_slot(r.req_id, 0)
         return self._outputs(finished)
 
     def _process_chunk_for(
@@ -1702,6 +1798,14 @@ class LLMEngine:
             self.scheduler = saved
 
     def step(self) -> list[RequestOutput]:
+        """One engine step.  Structure (VERDICT r3 #9): fast paths
+        (fused decode sessions, speculative rounds) first, then ONE
+        regular driver — schedule -> launch -> commit — where only the
+        LAUNCH stage differs per mode (single-chip/TP/hybrid via
+        :meth:`_launch_regular`, context-parallel via
+        :meth:`_launch_cp`).  DP and PP restructure the batch itself
+        (stacked replicas / sequence microbatches) and keep their own
+        drivers."""
         if self.dp > 1:
             if self._dp_session_applies():
                 fast = self._try_multistep_dp()
@@ -1711,7 +1815,7 @@ class LLMEngine:
         if self.pp > 1:
             return self._step_pp()
         if self.cp > 1:
-            return self._step_cp()
+            return self._regular_step()
         if (
             (self.draft_params is not None or self.spec_ngram)
             and self._spec_applies()
@@ -1723,14 +1827,57 @@ class LLMEngine:
             fast = self._try_multistep()
             if fast is not None:
                 return fast
+        return self._regular_step()
+
+    def _regular_step(self) -> list[RequestOutput]:
+        """The shared schedule -> launch -> commit driver."""
         batch = self.scheduler.schedule()
         if batch.is_empty:
             return []
-        extras = self._mk_extras(batch.max_query_len, batch.max_seq_len)
+        extras = self._mk_extras(
+            batch.max_query_len, batch.max_seq_len,
+            # the cp forward has its own attention path; keep its
+            # extras composition-independent (fewer compiles)
+            batches=() if self.cp > 1 else (batch,),
+        )
         reqs = [self.scheduler.requests[r] for r in batch.req_ids]
+        sampling = self._sampling_inputs(
+            reqs, batch.logits_indices.shape[0]
+        )
+        if self.cp > 1:
+            sampled, logprobs = self._launch_cp(batch, extras, sampling)
+        else:
+            sampled, logprobs = self._launch_regular(
+                batch, extras, sampling
+            )
+            if self.draft_params is not None:
+                # mirror every regular step into the draft cache so
+                # drafts always see the full context (prefill +
+                # fallback decode)
+                _, self.draft_cache = llama.forward(
+                    self.draft_params, self.draft_config,
+                    jnp.asarray(batch.token_ids),
+                    jnp.asarray(batch.positions),
+                    self.draft_cache,
+                    AttentionMetadata(
+                        query_start_loc=jnp.asarray(
+                            batch.query_start_loc
+                        ),
+                        seq_lens=jnp.asarray(batch.seq_lens),
+                        block_table=jnp.asarray(batch.block_table),
+                        slot_mapping=jnp.asarray(batch.slot_mapping),
+                        num_seqs=jnp.int32(batch.num_seqs),
+                    ),
+                    extras,
+                )
+        return self._finish_step(batch, sampled, logprobs)
+
+    def _launch_regular(self, batch, extras, sampling):
+        """Launch stage for the single-chip / TP / hybrid modes;
+        returns (sampled [S] np, logprobs [S] np | None)."""
         (
             st_d, pt_d, greedy_only, with_logprob, with_seeds, adj_d,
-        ) = self._sampling_inputs(reqs, batch.logits_indices.shape[0])
+        ) = sampling
         seed_ctr = (
             jnp.asarray(batch.seq_lens) if with_seeds else None
         )
@@ -1757,12 +1904,12 @@ class LLMEngine:
                 jnp.asarray(batch.slot_mapping)[None],
             )
             self._key, sub = jax.random.split(self._key)
-            sampled, logprobs = self._sample_rows(
+            return self._sample_rows(
                 logits[0][jnp.asarray(batch.logits_indices)],
                 st_d, pt_d, sub, greedy_only, with_logprob,
                 with_seeds, seed_ctr, adj_d,
             )
-        elif self.is_hybrid:
+        if self.is_hybrid:
             state_idx = np.full(
                 self.scheduler.config.max_num_seqs, -1, np.int32
             )
@@ -1817,63 +1964,39 @@ class LLMEngine:
                     jnp.asarray(state_idx), meta, extras,
                 )
             self._key, sub = jax.random.split(self._key)
-            sampled, logprobs = self._sample_rows(
+            return self._sample_rows(
                 logits[jnp.asarray(batch.logits_indices)],
                 st_d, pt_d, sub, greedy_only, with_logprob,
                 with_seeds, seed_ctr, adj_d,
             )
-        else:
-            out = engine_step(
-                self.params,
-                self.config.model,
-                jnp.asarray(batch.token_ids),
-                jnp.asarray(batch.positions),
-                self.kv_cache,
-                jnp.asarray(batch.query_start_loc),
-                jnp.asarray(batch.seq_lens),
-                jnp.asarray(batch.block_table),
-                jnp.asarray(batch.slot_mapping),
-                jnp.asarray(batch.logits_indices),
-                st_d,
-                self._key,
-                extras,
-                greedy_only,
-                with_logprob,
-                pt_d,
-                with_seeds,
-                adj_d,
-            )
-            if with_logprob:
-                sampled_d, lp_d, self._key, self.kv_cache = out
-                logprobs = np.asarray(lp_d)
-            else:
-                sampled_d, self._key, self.kv_cache = out
-                logprobs = None
-            sampled = np.asarray(sampled_d)
-        if self.draft_params is not None:
-            # mirror every regular step into the draft cache so drafts
-            # always see the full context (prefill + fallback decode)
-            _, self.draft_cache = llama.forward(
-                self.draft_params, self.draft_config,
-                jnp.asarray(batch.token_ids),
-                jnp.asarray(batch.positions),
-                self.draft_cache,
-                AttentionMetadata(
-                    query_start_loc=jnp.asarray(batch.query_start_loc),
-                    seq_lens=jnp.asarray(batch.seq_lens),
-                    block_table=jnp.asarray(batch.block_table),
-                    slot_mapping=jnp.asarray(batch.slot_mapping),
-                    num_seqs=jnp.int32(batch.num_seqs),
-                ),
-                extras,
-            )
-        finished = self.scheduler.update(
-            batch, sampled, self.eos_token_id, logprobs
+        # single chip: forward + gather + sample fused in ONE dispatch
+        out = engine_step(
+            self.params,
+            self.config.model,
+            jnp.asarray(batch.token_ids),
+            jnp.asarray(batch.positions),
+            self.kv_cache,
+            jnp.asarray(batch.query_start_loc),
+            jnp.asarray(batch.seq_lens),
+            jnp.asarray(batch.block_table),
+            jnp.asarray(batch.slot_mapping),
+            jnp.asarray(batch.logits_indices),
+            st_d,
+            self._key,
+            extras,
+            greedy_only,
+            with_logprob,
+            pt_d,
+            with_seeds,
+            adj_d,
         )
-        if self.is_hybrid:
-            for r in finished:
-                self._hyb_free_slot(r.req_id, 0)
-        return self._outputs(finished)
+        if with_logprob:
+            sampled_d, lp_d, self._key, self.kv_cache = out
+            logprobs = np.asarray(lp_d)
+        else:
+            sampled_d, self._key, self.kv_cache = out
+            logprobs = None
+        return np.asarray(sampled_d), logprobs
 
 
 class LLM:
@@ -1887,9 +2010,9 @@ class LLM:
         draft_dir: str | None = None,
         spec_ngram: bool = False,
         spec_k: int = 4,
+        params=None,
         **config_kw,
     ):
-        params = None
         draft_params = draft_cfg = None
         if draft_dir is not None:
             from vllm_triton_backend_tpu.models.hf import load_params

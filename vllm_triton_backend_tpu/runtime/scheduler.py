@@ -191,9 +191,21 @@ class Scheduler:
                 return b
         return self.config.token_buckets[-1]
 
-    def schedule(self) -> ScheduledBatch:
+    def schedule(self, _defer_decodes: bool | None = None) -> ScheduledBatch:
         budget = self.config.max_num_batched_tokens
         scheduled: list[tuple[Request, int]] = []  # (req, num_new_tokens)
+
+        # prefill_priority: while prompts wait, the budget goes to
+        # prefill — decode-only rows (remaining == 1) are deferred this
+        # step.  If it turns out nothing could be scheduled (queue
+        # blocked on pages), re-run WITHOUT deferral so decodes always
+        # make progress (the deferred pass has no side effects when it
+        # schedules nothing).
+        defer_decodes = (
+            self.config.prefill_priority and bool(self.waiting)
+            if _defer_decodes is None
+            else _defer_decodes
+        )
 
         # 1. running requests first (decode or ongoing chunked prefill)
         blocked: list[Request] = []
@@ -201,6 +213,8 @@ class Scheduler:
             if budget == 0 or len(scheduled) >= self.config.max_num_seqs:
                 break
             remaining = req.num_tokens - req.num_computed_tokens
+            if defer_decodes and remaining == 1:
+                continue
             n = min(remaining, budget)
             if n == 0:
                 continue
@@ -281,6 +295,10 @@ class Scheduler:
                 scheduled.append((req, n))
                 budget -= n
 
+        if defer_decodes and not scheduled:
+            # no prefill could run (pool/budget blocked): fall back to
+            # decode-priority so the step still makes progress
+            return self.schedule(_defer_decodes=False)
         return self._build_batch(scheduled)
 
     def _build_batch(
