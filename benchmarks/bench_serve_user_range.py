@@ -134,6 +134,12 @@ def main(argv=None) -> list[dict]:
     ap.add_argument("--out-len", default=None, help="min,max new tokens")
     ap.add_argument("--max-num-seqs", type=int, default=None)
     ap.add_argument(
+        "--multistep", type=int, default=8,
+        help="decode chunk size (tokens per engine step in steady "
+        "decode): small keeps ITL/admission granular, large amortizes "
+        "host boundaries (offline bench uses 32)",
+    )
+    ap.add_argument(
         "--warmup", action="store_true",
         help="pre-compile serving executables before the sweep "
         "(engine.warmup(); removes first-request compile outliers from "
@@ -163,7 +169,10 @@ def main(argv=None) -> list[dict]:
         from vllm_triton_backend_tpu.runtime.engine import LLMEngine
 
         if args.model == "tiny":
-            engine = LLMEngine(EngineConfig(model=ModelConfig.tiny()))
+            engine = LLMEngine(
+                EngineConfig(model=ModelConfig.tiny()),
+                multistep=args.multistep,
+            )
             in_len, out_len = (4, 16), (4, 12)
         else:
             if args.model == "tinyllama":
@@ -197,7 +206,9 @@ def main(argv=None) -> list[dict]:
                     token_buckets=(max_seqs, 512, 1024, 2048),
                 ),
             )
-            engine = LLMEngine(cfg, params=params)
+            engine = LLMEngine(
+                cfg, params=params, multistep=args.multistep
+            )
             in_len, out_len = (64, 512), (16, 96)
         if args.in_len:
             in_len = tuple(map(int, args.in_len.split(",")))

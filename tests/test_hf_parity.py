@@ -192,7 +192,7 @@ def tiny_mixtral_dir(tmp_path_factory):
 def test_mixtral_prefill_logits_match_transformers(tiny_mixtral_dir):
     """Mixtral = llama + sparse-MoE MLP (softmax-all -> top-k ->
     renormalize router): logits parity proves the routing math and the
-    interleaved expert gate/up packing."""
+    concatenated expert gate|up packing."""
     d, hf_model = tiny_mixtral_dir
     cfg, params = load_params(d, config_from_hf(d, dtype="float32"))
     assert cfg.num_local_experts == 4 and cfg.num_experts_per_tok == 2

@@ -44,6 +44,9 @@ class EngineWorker:
         self.engine = engine
         self.tokenizer = tokenizer
         self.new_requests: queue.Queue = queue.Queue()
+        # fused decode sessions poll this at chunk boundaries so queued
+        # arrivals interrupt a long session (see LLMEngine.poll_new_work)
+        engine.poll_new_work = lambda: not self.new_requests.empty()
         self.streams: dict[str, queue.Queue] = {}
         self.metrics = {
             "requests_total": 0,
@@ -541,6 +544,11 @@ def main() -> None:
     # compositions, decode session) before accepting traffic — kills
     # the first-request XLA-compile TTFT outliers (engine.warmup()).
     ap.add_argument("--warmup", action="store_true")
+    # Fused decode chunk size: tokens generated per engine step in
+    # steady-state decode.  Serving default 8 keeps streaming deltas and
+    # arrival admission at ~0.1-0.2 s granularity; raise for offline
+    # throughput (bench.py uses 32).
+    ap.add_argument("--multistep", type=int, default=8)
     # speculative decoding (lossless; see runtime/spec_decode.py)
     ap.add_argument("--draft-dir", default=None)
     ap.add_argument("--spec-ngram", action="store_true")
@@ -601,7 +609,9 @@ def main() -> None:
 
             mc = dataclasses.replace(mc, quantization=args.quantization)
         cfg = shape_config(EngineConfig().replace(model=mc))
-        engine = LLMEngine(cfg, params=params, **spec_kw)
+        engine = LLMEngine(
+            cfg, params=params, multistep=args.multistep, **spec_kw
+        )
         # prefer transformers' tokenizer: it carries the model's chat
         # template (used by /v1/chat/completions)
         try:
@@ -620,6 +630,7 @@ def main() -> None:
     else:
         engine = LLMEngine(
             shape_config(EngineConfig(model=ModelConfig.tiny())),
+            multistep=args.multistep,
             **spec_kw,
         )
 

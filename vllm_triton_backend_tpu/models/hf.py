@@ -282,7 +282,7 @@ def load_params(
             gate_proj=None, up_proj=None, down_proj=None,
             # HF router Linear [E, h] -> [h, E]
             moe_router=stack_linear(bp + "gate.weight"),
-            # per-expert w1 (gate) / w3 (up) interleaved, w2 (down)
+            # per-expert w1 (gate) / w3 (up) concatenated, w2 (down)
             moe_gate_up=jnp.stack(
                 [
                     jnp.stack(

@@ -60,9 +60,9 @@ class LayerParams(NamedTuple):
       standard GQA head order (q heads ``g*qpk..`` serve kv head ``g``)
       IS the grouped order, so q slices out with a plain reshape and a
       contiguous split over ``G`` stays TP-shardable.
-    * ``gate_up_proj`` ``[hidden, intermediate*2]`` — gate/up columns
-      interleaved ``[inter, 2]`` so a contiguous column shard keeps
-      gate_j next to up_j (the Megatron fused-weight trick).
+    * ``gate_up_proj`` ``[hidden, intermediate*2]`` — gate|up columns
+      CONCATENATED (one launch for both projections; the unpack is two
+      contiguous slices — see :func:`fuse_gate_up`).
 
     When fused fields are set the legacy per-projection fields are None
     (and vice versa); the dense path keeps the unfused fields so the
@@ -85,13 +85,13 @@ class LayerParams(NamedTuple):
     qkv_bias: Any = None
     # Mixture-of-Experts MLP (Mixtral-family; cfg.num_local_experts > 0):
     # router [hidden, E] replicated; expert ffn weights stacked on a
-    # leading expert axis — gate/up interleaved like gate_up_proj.
+    # leading expert axis — gate|up concatenated like gate_up_proj.
     # Sharding the EXPERT axis over ``model`` is expert parallelism
     # (each shard computes its local experts' masked contributions and
     # one psum combines — fills SURVEY §2.6's EP row).  When set, the
     # dense gate/up/down fields are None.
     moe_router: Any = None  # [hidden, E]
-    moe_gate_up: Any = None  # [E, hidden, 2*I] interleaved
+    moe_gate_up: Any = None  # [E, hidden, 2*I] gate|up concat
     moe_down: Any = None  # [E, I, hidden]
     # gemma-2 sandwich norms (cfg.sandwich_norms): post_attn_norm then
     # applies to the ATTENTION OUTPUT (not the MLP input); these two
@@ -200,10 +200,11 @@ def _moe_mlp(lp, cfg: ModelConfig, x: jax.Array, dtype, tp_axis):
         w_t = jnp.sum(
             jnp.where(topi == ge, topw, 0.0), axis=-1
         )  # [T] f32
-        gu = (x @ lp.moe_gate_up[el]).reshape(t, -1, 2)
+        gu = x @ lp.moe_gate_up[el]  # [T, 2*moe_inter] gate|up concat
+        mi = gu.shape[-1] // 2
         act = (
-            jax.nn.silu(gu[..., 0].astype(jnp.float32)).astype(dtype)
-            * gu[..., 1]
+            jax.nn.silu(gu[:, :mi].astype(jnp.float32)).astype(dtype)
+            * gu[:, mi:]
         )
         out = out + (act @ lp.moe_down[el]).astype(
             jnp.float32
@@ -600,11 +601,11 @@ def forward_fn(
             if cfg.hidden_act == "gelu_tanh" else jax.nn.silu
         )
         if lp.gate_up_proj is not None:
-            gu = lin(normed2, lp.gate_up_proj).reshape(
-                t, cfg.intermediate_size, 2
+            gu = lin(normed2, lp.gate_up_proj)  # [T, 2*inter] gate|up
+            gate = act(
+                gu[:, : cfg.intermediate_size].astype(jnp.float32)
             )
-            gate = act(gu[..., 0].astype(jnp.float32))
-            up = gu[..., 1]
+            up = gu[:, cfg.intermediate_size :]
         else:
             gate = act(
                 lin(normed2, lp.gate_proj).astype(jnp.float32)
@@ -839,9 +840,15 @@ def fuse_qkv_bias(
 
 
 def fuse_gate_up(wg: jax.Array, wu: jax.Array) -> jax.Array:
-    """Interleave gate/up columns ([..., inter, 2] flattened) so a
-    contiguous column shard keeps gate_j next to up_j."""
-    return jnp.stack((wg, wu), axis=-1).reshape(*wg.shape[:-1], -1)
+    """Concatenate gate|up columns into one [..., 2*inter] projection.
+
+    Concat (not element-interleave): the unpack after the matmul is two
+    CONTIGUOUS column slices — the round-3 interleaved layout forced a
+    [T, inter, 2] relayout copy chain behind every MLP (measured ~20 ms
+    of a 2048-token prefill step, ~0.9 ms of a batch-128 decode step).
+    A future column-sharded TP layout shards a [..., 2, inter] VIEW on
+    its last axis so each shard keeps matched gate/up halves."""
+    return jnp.concatenate((wg, wu), axis=-1)
 
 
 def quantize_params(

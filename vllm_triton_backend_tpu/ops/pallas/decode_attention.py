@@ -52,6 +52,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from vllm_triton_backend_tpu.ops.pallas.common import MASK_VALUE, use_interpret
+from vllm_triton_backend_tpu.utils.debug import kernel_debug
 from vllm_triton_backend_tpu.utils import cdiv, round_up
 
 
@@ -128,6 +129,7 @@ def _ragged_decode_kernel(
     stickbreaking: bool = False,
     attend_current: bool = False,
     pipeline_depth: int = 2,
+    debug_oob: bool = False,
 ):
     rest = list(rest)
     q_ref = rest.pop(0)  # [1, Hkv, qpk_pad, hd]
@@ -178,6 +180,25 @@ def _ragged_decode_kernel(
             live = jnp.logical_and(
                 pg * block_size < sl, (pg + 1) * block_size > lo
             )
+
+            if debug_oob:
+                # VTB_DEBUG sanitizer tier (SURVEY §5.2): a garbage page
+                # id would DMA another sequence's KV silently — print it
+                # (the reference's TRITON_BACKEND_DEBUG print_gpu analog)
+                @pl.when(
+                    jnp.logical_and(
+                        live,
+                        jnp.logical_or(
+                            tbl_ref[sq, pg] < 0,
+                            tbl_ref[sq, pg] >= kv_hbm.shape[1],
+                        ),
+                    )
+                )
+                def _():
+                    pl.debug_print(
+                        "VTB_DEBUG decode OOB page id {} seq {} page {}",
+                        tbl_ref[sq, pg], sq, pg,
+                    )
 
             @pl.when(live)
             def _():
@@ -518,6 +539,7 @@ def _paged_decode_impl(
         stickbreaking=stickbreaking,
         attend_current=attend_current,
         pipeline_depth=pipeline_depth,
+        debug_oob=kernel_debug(),
     )
 
     def q_map(s, c, *prefetch):

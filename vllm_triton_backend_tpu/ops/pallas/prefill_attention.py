@@ -42,6 +42,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from vllm_triton_backend_tpu.ops.pallas.common import MASK_VALUE, use_interpret
+from vllm_triton_backend_tpu.utils.debug import kernel_debug
 from vllm_triton_backend_tpu.utils import cdiv, round_up
 
 
@@ -76,6 +77,7 @@ def _prefill_kernel(
     local_chunk_size: int = 0,
     return_partials: bool = False,
     pipeline_depth: int = 2,
+    debug_oob: bool = False,
 ):
     """One grid step = one (sequence, kv-head, q-tile, KV SUPER-BLOCK).
 
@@ -127,6 +129,23 @@ def _prefill_kernel(
         for i in range(pps):  # static unroll
             pg = sblk * pps + i
             live = pg * block_size < hi
+
+            if debug_oob:
+                # VTB_DEBUG sanitizer tier (SURVEY §5.2)
+                @pl.when(
+                    jnp.logical_and(
+                        live,
+                        jnp.logical_or(
+                            tbl_ref[sq, pg] < 0,
+                            tbl_ref[sq, pg] >= kv_hbm.shape[1],
+                        ),
+                    )
+                )
+                def _():
+                    pl.debug_print(
+                        "VTB_DEBUG prefill OOB page id {} seq {} page {}",
+                        tbl_ref[sq, pg], sq, pg,
+                    )
 
             @pl.when(live)
             def _():
@@ -445,6 +464,7 @@ def _prefill_attention_impl(
         has_alibi=has_alibi,
         local_chunk_size=local_chunk_size,
         return_partials=return_partials,
+        debug_oob=kernel_debug(),
     )
     if kv_len_cap is None:
         kv_len_cap = seq_lens

@@ -193,6 +193,8 @@ class CPBlockAllocator:
     ):
         assert chunk_len % block_size == 0
         self.num_chips = num_chips
+        self.num_blocks = local_blocks  # per-chip pool (tables hold
+        # LOCAL page ids — the VTB_DEBUG metadata guard checks these)
         self.block_size = block_size
         self.chunk_len = chunk_len
         self.ppc = chunk_len // block_size  # pages per chip per seq

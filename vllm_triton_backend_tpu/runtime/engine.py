@@ -295,6 +295,14 @@ class LLMEngine:
         self._id_counter = itertools.count()
         # fused multi-step decode chunk size (0/1 disables)
         self.multistep = multistep
+        # Serving hook: when set (entrypoints.openai_server), the fused
+        # decode session polls it at every chunk boundary and returns
+        # early when new work arrived — without it a session runs to
+        # completion of all running requests inside ONE step() call,
+        # and arrivals wait multiple seconds (measured TTFT p99 5-10 s
+        # at concurrency 2-4).  Chunk granularity bounds the added TTFT
+        # to K decode steps.
+        self.poll_new_work = None
         # kv scales for quantized caches: explicit (calibrated via
         # runtime.calibration.calibrate_kv_scales — absmax over a
         # calibration batch, gated by eval_ppl) or heuristic defaults
@@ -444,7 +452,7 @@ class LLMEngine:
     def warmup(
         self,
         prompt_lens: tuple[int, ...] | None = None,
-        mixed_rows: tuple[int, ...] = (1, 4),
+        mixed_rows: tuple[int, ...] = (1, 8, 16, 32),
     ) -> float:
         """Pre-compile the serving executables BEFORE accepting traffic —
         the CUDA-graph-capture-at-init analog (the bucket set is known at
@@ -487,25 +495,44 @@ class LLMEngine:
         def prompt(n):
             return rng.integers(0, vocab, size=max(1, n)).tolist()
 
-        # 1. pure-prefill buckets + the fused decode session (K chunks)
-        for plen in prompt_lens:
+        # 1. pure-prefill buckets + the fused decode session at each K
+        #    of the session ladder (engine._session_chunk_budget):
+        #    max_tokens = K+1 starts a session with chunk size exactly K
+        k_ladder = sorted(
+            {self.multistep, max(2, self.multistep // 4), 2}
+        )
+        for i, plen in enumerate(prompt_lens):
+            k = k_ladder[min(i, len(k_ladder) - 1)]
             self.add_request(
-                prompt(plen),
-                SamplingParams(max_tokens=self.multistep + 1),
+                prompt(plen), SamplingParams(max_tokens=k + 1)
             )
             drain()
-        # 2. mixed compositions: a decoding request + n short prompts
-        #    (compiles the mixed_prefill_rows split buckets)
-        anchor_len = prompt_lens[0]
-        for n_pf in mixed_rows:
+        for k in k_ladder:  # any K not covered above
+            self.add_request(
+                prompt(prompt_lens[0]),
+                SamplingParams(max_tokens=k + 1),
+            )
+            drain()
+        # 2. mixed compositions: a decoding request + n prompts sized to
+        #    land in each (mixed_prefill_rows bucket x token bucket)
+        headroom = max(2, sc.max_model_len - self.multistep - 4)
+        combos = [
+            (n_pf, max(2, min(budget // max(n_pf, 1), headroom)))
+            for n_pf in mixed_rows
+        ]
+        combos += [
+            (1, min(tb - 1, headroom))
+            for tb in sorted(set(sc.token_buckets))
+            if 1 < tb <= budget
+        ]
+        for n_pf, per in combos:
             if n_pf + 1 > sc.max_num_seqs:
                 continue
             self.add_request(
-                prompt(anchor_len),
+                prompt(prompt_lens[0]),
                 SamplingParams(max_tokens=self.multistep + 2),
             )
             self.step()  # prefill the anchor; it decodes from now on
-            per = max(2, min(budget // max(n_pf, 1), anchor_len))
             for _ in range(n_pf):
                 self.add_request(
                     prompt(per), SamplingParams(max_tokens=2)
@@ -722,8 +749,11 @@ class LLMEngine:
                 # dense q-pack over the (mostly padded) max_num_seqs
                 # rows in pure-prefill steps — at batch 128 that pack
                 # materialized ~1 GB of padded q per layer
+                # floor at 4: compacting 1 row into a 4-row
+                # sub-batch is ~free and keeps the executable set to
+                # {4, 8, 16, ...} (warmable at startup)
                 mixed_bucket = max(
-                    mixed_bucket, next_power_of_2(max(n_pf, 1))
+                    mixed_bucket, 4, next_power_of_2(max(n_pf, 1))
                 )
         return ForwardExtras(
             max_query_len=max_query_len,
@@ -790,10 +820,16 @@ class LLMEngine:
             )
             + 1,
         )
-        # round down to a power of two: bounds the number of distinct
-        # fused executables (one per K) across workloads
-        if k >= 2:
-            k = 1 << (k.bit_length() - 1)
+        # Quantize K to a SMALL ladder: every distinct K is its own
+        # fused executable, and un-warmed compiles surface as
+        # multi-second TTFT/ITL outliers in serving (measured p99 4-5 s
+        # at concurrency 2-8).  {multistep, multistep/4, 2} bounds the
+        # wasted tail work at ladder-step granularity (rows freeze at
+        # max_lens, so over-launching is safe) while keeping the
+        # executable count warmable at startup.
+        for step in (self.multistep, max(2, self.multistep // 4), 2):
+            if k >= step:
+                return step
         return k
 
     # ---------------- speculative decoding ----------------
@@ -1199,7 +1235,17 @@ class LLMEngine:
         horizon = min(horizon, sched.config.max_model_len)
         extras = ForwardExtras(
             max_query_len=1,
-            max_seq_len=max(128, next_power_of_2(horizon)),
+            # bucket floored at min(1024, model-len bucket): the
+            # decode kernel skips dead pages/chunks, so a coarser
+            # static bound costs ~nothing while collapsing the
+            # per-horizon executable set to one or two (warmable)
+            max_seq_len=max(
+                min(
+                    1024,
+                    next_power_of_2(sched.config.max_model_len),
+                ),
+                next_power_of_2(horizon),
+            ),
             k_scale=self.k_scale,
             v_scale=self.v_scale,
         )
@@ -1280,6 +1326,13 @@ class LLMEngine:
             # the most-advanced row still safely advances the laggards.
             launch = (
                 not sched.waiting
+                # serving (poll hook set): one chunk per step() call so
+                # streaming deltas flush and arrivals admit at chunk
+                # granularity; offline runs chain chunks device-side
+                and not (
+                    self.poll_new_work is not None
+                    and (chunks_launched >= 1 or self.poll_new_work())
+                )
                 and not any(r.is_finished for r in reqs)
                 and any(
                     len(r.output_token_ids) + inflight
@@ -1375,7 +1428,15 @@ class LLMEngine:
         )
         extras = ForwardExtras(
             max_query_len=1,
-            max_seq_len=max(128, next_power_of_2(horizon)),
+            # bucket floored at min(1024, model-len bucket) — see
+            # _try_multistep
+            max_seq_len=max(
+                min(
+                    1024,
+                    next_power_of_2(sched0.config.max_model_len),
+                ),
+                next_power_of_2(horizon),
+            ),
             k_scale=self.k_scale,
             v_scale=self.v_scale,
         )
@@ -1482,6 +1543,10 @@ class LLMEngine:
             # chunk safe — see _try_multistep's launch condition
             launch = (
                 not any(s.waiting for s in scheds)
+                and not (
+                    self.poll_new_work is not None
+                    and (chunks_launched >= 1 or self.poll_new_work())
+                )
                 and not any(r.is_finished for r in all_reqs)
                 and any(
                     len(r.output_token_ids) + inflight

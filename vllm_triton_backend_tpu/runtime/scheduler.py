@@ -346,7 +346,24 @@ class Scheduler:
             max_s = max(max_s, start + n)
         qsl[num_seqs + 1 :] = qsl[num_seqs]
 
-        return ScheduledBatch(
+        # Static-bucket policy (every distinct (max_query_len,
+        # max_seq_len) is its own compiled executable; un-warmed
+        # compiles surface as multi-second serving outliers):
+        #  * prefill/mixed steps PIN max_query_len to one bucket — the
+        #    prefill kernel's dead-q-tile skip makes q padding ~free;
+        #  * max_seq_len is floored at min(1024, model-len bucket) —
+        #    the kernels skip dead pages, so the coarser bound costs
+        #    ~nothing.
+        mq = next_power_of_2(max_q)
+        if mq > 1:
+            pin_q = min(
+                512,
+                next_power_of_2(cfg.max_num_batched_tokens),
+                next_power_of_2(cfg.max_model_len),
+            )
+            mq = max(mq, pin_q)
+        floor_s = min(1024, next_power_of_2(cfg.max_model_len))
+        batch = ScheduledBatch(
             req_ids=[r.req_id for r, _ in scheduled],
             token_ids=token_ids,
             positions=positions,
@@ -357,9 +374,26 @@ class Scheduler:
             logits_indices=logits_indices,
             num_seqs=num_seqs,
             num_tokens=total,
-            max_query_len=next_power_of_2(max_q),
-            max_seq_len=max(128, next_power_of_2(max_s)),
+            max_query_len=mq,
+            max_seq_len=max(128, floor_s, next_power_of_2(max_s)),
         )
+        # VTB_DEBUG=1 sanitizer tier (SURVEY §5.2; the reference's
+        # TRITON_BACKEND_DEBUG analog): validate the metadata BEFORE
+        # upload so bad page tables fail with indices, not an opaque
+        # device fault or a silent wrong-page read
+        from vllm_triton_backend_tpu.utils.debug import (
+            check_batch_metadata,
+            debug_enabled,
+        )
+
+        if debug_enabled():
+            check_batch_metadata(
+                batch,
+                self.allocator.num_blocks,
+                self.block_size,
+                self.cache_config.pad_slot_id,
+            )
+        return batch
 
     # ---------------- post-step update ----------------
 
