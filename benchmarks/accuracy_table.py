@@ -88,7 +88,7 @@ def main(argv=None) -> dict:
         help="granite = full granite-3.1-8B shape (40L, GQA 8, hd 128) "
         "with an int8-W/bf16-KV baseline (bf16 weights alone exceed one "
         "v5e's HBM — the KV/activation deltas are measured at the TRUE "
-        "headline shape); granite-lite = same width/heads at 10 layers, "
+        "headline shape); granite-lite = same width/heads at 4 layers, "
         "where the bf16 baseline fits, isolating the weight-quant delta",
     )
     ap.add_argument("--seq-len", type=int, default=512)
@@ -124,12 +124,16 @@ def main(argv=None) -> dict:
             "int8-W/bf16-KV (bf16 weights exceed one v5e's HBM)"
         )
     elif args.model == "granite-lite":
+        # 4 layers: deep enough to measure the PER-LAYER weight-quant
+        # numerics at granite's exact width/heads, shallow enough that
+        # the bf16 baseline + the f32 quantization transients fit HBM
+        # (10 layers OOM'd during quantize_params)
         cfg = dataclasses.replace(
-            ModelConfig.granite_3_1_8b(), num_layers=10
+            ModelConfig.granite_3_1_8b(), num_layers=4
         )
         params_bf16 = init_params(cfg, jax.random.key(0))
         model_name = (
-            "granite-3.1-8b width/heads at 10 layers (random init) — "
+            "granite-3.1-8b width/heads at 4 layers (random init) — "
             "isolates the weight-quant delta with a bf16 baseline"
         )
     else:

@@ -109,15 +109,23 @@ def main(argv=None) -> list[dict]:
     rng = np.random.default_rng(0)
     records = []
     for b, il, ol in itertools.product(batches, in_lens, out_lens):
-        prompts = [
-            rng.integers(1, vocab, size=il).tolist() for _ in range(b)
-        ]
+        # FRESH prompts per rep: reusing one prompt would let the prefix
+        # cache absorb the prefill on every rep after the first, turning
+        # a prefill-latency cell into a cache-hit benchmark (observed:
+        # 16k-prefill "latency" of 0.31 s on warm reps)
+        def mk_prompts():
+            return [
+                rng.integers(1, vocab, size=il).tolist()
+                for _ in range(b)
+            ]
+
         sp = SamplingParams(max_tokens=ol, ignore_eos=True)
-        llm.generate(prompts, sp)  # warmup/compile
+        llm.generate(mk_prompts(), sp)  # warmup/compile
+        llm.generate(mk_prompts(), sp)  # warm the uncached-path shapes
         times = []
         for _ in range(args.reps):
             t0 = time.perf_counter()
-            outs = llm.generate(prompts, sp)
+            outs = llm.generate(mk_prompts(), sp)
             times.append(time.perf_counter() - t0)
             assert all(len(o.output_token_ids) == ol for o in outs)
         rec = {

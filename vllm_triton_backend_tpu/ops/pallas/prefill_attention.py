@@ -362,7 +362,7 @@ def _pack_ragged(q, query_start_loc, num_seqs_static, q_pad):
     static_argnames=(
         "scale", "max_query_len", "max_seq_len", "sliding_window",
         "logits_soft_cap", "k_scale", "v_scale", "block_q", "super_size",
-        "local_chunk_size", "return_partials",
+        "local_chunk_size", "return_partials", "pipeline_depth",
     ),
 )
 def _prefill_attention_impl(
@@ -386,6 +386,7 @@ def _prefill_attention_impl(
     local_chunk_size: int = 0,
     kv_len_cap: jax.Array | None = None,  # [S] local kv tokens present
     return_partials: bool = False,
+    pipeline_depth: int = 2,  # in-flight super-block DMA buffers
 ) -> jax.Array:
     """Varlen prefill / chunked prefill over the paged cache.
 
@@ -464,6 +465,7 @@ def _prefill_attention_impl(
         has_alibi=has_alibi,
         local_chunk_size=local_chunk_size,
         return_partials=return_partials,
+        pipeline_depth=pipeline_depth,
         debug_oob=kernel_debug(),
     )
     if kv_len_cap is None:
@@ -507,7 +509,6 @@ def _prefill_attention_impl(
         )
         out_specs = [out_specs, ml_spec, ml_spec]
         out_shape = [out_shape, ml_shape, ml_shape]
-    pipeline_depth = 2
     num_supers = num_kv_pages // pages_per_super
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=5,
@@ -591,6 +592,9 @@ PREFILL_CONFIG_SPACE = ConfigSpace(
         # [qpk*256, 1024] tile runs ~100% MXU-busy on a 4x2048 prefill)
         "block_q": [16, 32, 64, 128, 256],
         "super_size": [256, 512, 1024],
+        # in-flight super DMA buffers: deeper pipelines hide per-page
+        # latency variance on scattered block tables at VMEM cost
+        "pipeline_depth": [2, 3],
     },
     conditions=(
         # p intermediate [qpk*block_q, super] f32 must stay within
@@ -613,6 +617,7 @@ def _prefill_fallback(key: tuple) -> dict:
     return {
         "block_q": bq,
         "super_size": 512 if max_s <= 512 else 1024,
+        "pipeline_depth": 2,
     }
 
 
@@ -636,6 +641,7 @@ def _prefill_launch(
     head_size, block_size, kv_dtype,
     # tuned knobs (injected by the autotuner)
     block_q, super_size,
+    pipeline_depth=2,
 ):
     return _prefill_attention_impl(
         q, kv_cache, layer_idx, query_start_loc, seq_lens, block_table,
@@ -644,6 +650,7 @@ def _prefill_launch(
         alibi_slopes=alibi_slopes, k_scale=k_scale, v_scale=v_scale,
         block_q=block_q, super_size=super_size,
         local_chunk_size=local_chunk_size,
+        pipeline_depth=pipeline_depth,
     )
 
 
