@@ -421,6 +421,23 @@ def forward_fn(
         layers.qkv_proj if layers.qkv_proj is not None else layers.q_proj,
         QuantizedLinear,
     )
+    if (
+        quantized
+        and layers.gate_up_proj is not None
+        and layers.gate_up_proj.w_q.ndim == 4
+    ):
+        # TP shards gate_up through its [L, K, 2, inter] view so every
+        # shard keeps matched gate|up halves (parallel/sharded.py);
+        # flatten the LOCAL shard back to the kernel's [L, K, N] layout
+        # (contiguous — a free reshape)
+        gu = layers.gate_up_proj
+        L_, K_ = gu.w_q.shape[:2]
+        layers = layers._replace(
+            gate_up_proj=QuantizedLinear(
+                w_q=gu.w_q.reshape(L_, K_, -1),
+                scales=gu.scales.reshape(L_, -1),
+            )
+        )
 
     def layer_body(carry, xs, sw=cfg.sliding_window, freqs=None):
         inv = inv_freq if freqs is None else freqs
@@ -602,10 +619,9 @@ def forward_fn(
         )
         if lp.gate_up_proj is not None:
             gu = lin(normed2, lp.gate_up_proj)  # [T, 2*inter] gate|up
-            gate = act(
-                gu[:, : cfg.intermediate_size].astype(jnp.float32)
-            )
-            up = gu[:, cfg.intermediate_size :]
+            mi = gu.shape[-1] // 2  # local inter under TP
+            gate = act(gu[:, :mi].astype(jnp.float32))
+            up = gu[:, mi:]
         else:
             gate = act(
                 lin(normed2, lp.gate_proj).astype(jnp.float32)

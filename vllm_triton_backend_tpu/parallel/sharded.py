@@ -36,6 +36,7 @@ from vllm_triton_backend_tpu.models.llama import (
     LlamaParams,
     forward_fn,
 )
+from vllm_triton_backend_tpu.ops.pallas.quant_linear import QuantizedLinear
 from vllm_triton_backend_tpu.ops.metadata import AttentionMetadata
 
 PARAM_SPECS = LlamaParams(
@@ -61,6 +62,7 @@ CACHE_SPEC = P(None, "data", None, "model", None, None)
 def param_specs(
     attention_bias: bool = False, moe: bool = False,
     sandwich_norms: bool = False, qk_norm: bool = False,
+    fused_quant: bool = False,
 ) -> LlamaParams:
     """PARAM_SPECS, extended with the optional leaves the model carries
     (spec trees must match the param pytree structure — ``None`` fields
@@ -86,10 +88,46 @@ def param_specs(
         extra["gate_proj"] = None
         extra["up_proj"] = None
         extra["down_proj"] = None
-    if not extra:
+    specs = PARAM_SPECS
+    if fused_quant:
+        # Quantized fused layouts (QuantizedLinear leaves; see
+        # LayerParams docstring + shard_quantized_params):
+        #  * qkv_proj columns are grouped per kv head -> a contiguous
+        #    column split lands on group boundaries (tp | num_kv_heads
+        #    is enforced by local_model_config);
+        #  * gate_up_proj is RESHAPED to [L, K, 2, inter] at shard time
+        #    so the last-axis split keeps matched gate/up halves per
+        #    shard (the local forward flattens it back);
+        #  * o/down are row-parallel: weight K-axis sharded, per-output
+        #    scales replicated (scales distribute over the psum);
+        #  * lm_head is vocab-sharded incl. its scales (forward gathers
+        #    logits; LM_HEAD_PAD keeps the split even).
+        extra.update(
+            q_proj=None, k_proj=None, v_proj=None,
+            gate_proj=None, up_proj=None,
+            qkv_proj=QuantizedLinear(
+                w_q=P(None, None, "model"), scales=P(None, "model")
+            ),
+            gate_up_proj=QuantizedLinear(
+                w_q=P(None, None, None, "model"),
+                scales=P(None, None, "model"),
+            ),
+            o_proj=QuantizedLinear(
+                w_q=P(None, "model", None), scales=P(None, None)
+            ),
+            down_proj=QuantizedLinear(
+                w_q=P(None, "model", None), scales=P(None, None)
+            ),
+        )
+        specs = specs._replace(
+            lm_head=QuantizedLinear(
+                w_q=P(None, "model"), scales=P("model")
+            )
+        )
+    if not extra and specs is PARAM_SPECS:
         return PARAM_SPECS
-    return PARAM_SPECS._replace(
-        layers=PARAM_SPECS.layers._replace(**extra)
+    return specs._replace(
+        layers=specs.layers._replace(**extra)
     )
 
 
@@ -134,8 +172,29 @@ def row_parallel_matmul_overlapped(
     return jax.lax.all_gather(carry, axis_name, axis=1, tiled=True)
 
 
+def _is_fused_quant(params: LlamaParams) -> bool:
+    return isinstance(params.layers.qkv_proj, QuantizedLinear)
+
+
 def shard_params(params: LlamaParams, mesh: Mesh) -> LlamaParams:
-    """Place a (host or single-device) param pytree onto the mesh."""
+    """Place a (host or single-device) param pytree onto the mesh.
+
+    Quantized fused-layout params (the production int8/fp8 models —
+    e.g. a 70 GB llama-70B int8 served TP=8 on one v5e host) are
+    handled natively: gate_up is staged through its [L, K, 2, inter]
+    view so each shard keeps matched gate|up halves."""
+    fused_quant = _is_fused_quant(params)
+    if fused_quant:
+        gu = params.layers.gate_up_proj
+        L, K, n2 = gu.w_q.shape
+        params = params._replace(
+            layers=params.layers._replace(
+                gate_up_proj=QuantizedLinear(
+                    w_q=gu.w_q.reshape(L, K, 2, n2 // 2),
+                    scales=gu.scales.reshape(L, 2, n2 // 2),
+                )
+            )
+        )
     return jax.tree.map(
         lambda x, spec: jax.device_put(x, NamedSharding(mesh, spec)),
         params,
@@ -144,6 +203,7 @@ def shard_params(params: LlamaParams, mesh: Mesh) -> LlamaParams:
             params.layers.moe_router is not None,
             params.layers.pre_ffw_norm is not None,
             params.layers.q_norm is not None,
+            fused_quant=fused_quant,
         ),
     )
 
@@ -187,6 +247,9 @@ def make_sharded_forward(
     specs = param_specs(
         cfg.attention_bias, cfg.num_local_experts > 0,
         cfg.sandwich_norms, cfg.qk_norm,
+        # fused-quant param trees are declared by the model config
+        # (the engine sets it from the params when unset)
+        fused_quant=cfg.quantization != "none",
     )
     if cfg.num_local_experts:
         assert cfg.num_local_experts % tp == 0, (
@@ -254,6 +317,9 @@ def make_sharded_decode_steps(
     specs = param_specs(
         cfg.attention_bias, cfg.num_local_experts > 0,
         cfg.sandwich_norms, cfg.qk_norm,
+        # fused-quant param trees are declared by the model config
+        # (the engine sets it from the params when unset)
+        fused_quant=cfg.quantization != "none",
     )
     if cfg.num_local_experts:
         assert cfg.num_local_experts % tp == 0, (

@@ -22,6 +22,7 @@ from vllm_triton_backend_tpu.config import EngineConfig
 from vllm_triton_backend_tpu.models import llama
 from vllm_triton_backend_tpu.models.llama import ForwardExtras
 from vllm_triton_backend_tpu.ops.metadata import AttentionMetadata
+from vllm_triton_backend_tpu.ops.pallas.quant_linear import QuantizedLinear
 from vllm_triton_backend_tpu.runtime.multistep import decode_steps, engine_step
 from vllm_triton_backend_tpu.runtime.sampler import SamplingParams, sample
 from vllm_triton_backend_tpu.runtime.scheduler import (
@@ -222,6 +223,25 @@ class LLMEngine:
             self.cp_chunk_len = sched_config.max_model_len // self.cp
             assert self.cp_chunk_len * self.cp == sched_config.max_model_len
             assert self.cp_chunk_len % cc.block_size == 0
+        # Quantized fused-layout params under TP need the config to say
+        # so (the shard_map spec trees are built from the config alone);
+        # infer it from the params when the caller didn't set it.
+        if (
+            not self.is_hybrid
+            and mc.quantization == "none"
+            and params is not None
+            and isinstance(
+                getattr(params.layers, "qkv_proj", None), QuantizedLinear
+            )
+        ):
+            import dataclasses as _dc
+
+            wq = str(params.layers.qkv_proj.w_q.dtype)
+            mc = _dc.replace(
+                mc, quantization="int8" if wq == "int8" else "fp8"
+            )
+            self.config = config = config.replace(model=mc)
+
         # Tensor parallelism: shard weights/caches over the (dp, tp) mesh
         # and step through the shard_map forward (parallel/sharded.py).
         if (self.tp > 1 or self.dp > 1) and self.pp == 1:
