@@ -89,8 +89,10 @@ def run_engine(cfg, params, n_seqs, prompt_len, n_new, vocab, **engine_kw):
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true")
-    ap.add_argument("--out", default=os.path.join(
-        REPO_ROOT, "docs", "spec_decode_tpu.md"))
+    # default None: docs/spec_decode_tpu.md is hand-curated from the
+    # printed JSON rows (it carries the round-over-round comparison);
+    # pass --out to regenerate a raw table file
+    ap.add_argument("--out", default=None)
     args = ap.parse_args()
 
     import dataclasses
@@ -209,10 +211,11 @@ def main() -> None:
         "draft_spec_tok_s at acceptance ~1 token/round.",
         "",
     ]
-    os.makedirs(os.path.dirname(args.out), exist_ok=True)
-    with open(args.out, "w") as f:
-        f.write("\n".join(lines))
-    print("wrote", args.out)
+    if args.out:
+        os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
+        with open(args.out, "w") as f:
+            f.write("\n".join(lines))
+        print("wrote", args.out)
 
 
 if __name__ == "__main__":

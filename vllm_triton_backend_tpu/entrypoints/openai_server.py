@@ -95,6 +95,7 @@ class EngineWorker:
                 if not admitted:
                     time.sleep(0.005)
                 continue
+            t_step = time.perf_counter()
             try:
                 finished = self.engine.step()
             except Exception:  # noqa: BLE001 — device faults surface as
@@ -111,6 +112,25 @@ class EngineWorker:
                 )
                 continue
             self.metrics["steps_total"] += 1
+            dt_step = time.perf_counter() - t_step
+            slow_ms = float(__import__("os").environ.get(
+                "VTB_LOG_SLOW_STEP_MS", "0"
+            ) or 0)
+            if slow_ms and dt_step * 1e3 >= slow_ms:
+                # diagnostic for serving-latency outliers: what was the
+                # step doing (likely a first-encounter XLA compile of
+                # the logged composition)
+                sched = self.engine.scheduler
+                qlens = [
+                    r.num_tokens - r.num_computed_tokens
+                    for r in sched.running
+                ]
+                logging.getLogger(__name__).warning(
+                    "slow step: %.0f ms, running=%d waiting=%d "
+                    "pending_qlens=%s",
+                    dt_step * 1e3, len(sched.running),
+                    len(sched.waiting), qlens[:16],
+                )
             # incremental deltas for streaming consumers (all_requests:
             # requests may live on any data-parallel replica scheduler)
             all_reqs = self.engine.all_requests()

@@ -955,6 +955,20 @@ class LLMEngine:
         for i, r in enumerate(reqs):
             temp[i] = r.sampling.temperature
         q_dists = None
+        if (
+            self.draft_params is not None
+            and not stochastic
+            and self.tp == 1
+        ):
+            # FUSED multi-round speculation (spec_decode.spec_rounds):
+            # R = multistep/k rounds chained on device — the session
+            # treatment applied to speculation (the host-per-round
+            # version measured 5.6-7.7x slower than plain sessions,
+            # docs/spec_decode_tpu.md)
+            return self._step_spec_fused(
+                reqs, tokens, lens, live, tbl, maxlen_bucket, k, bs,
+                tokens_d, lens_d, live_d, tbl_d,
+            )
         if self.draft_params is not None and not stochastic:
             # k (not k-1) draft steps: the extra step's WRITE matters,
             # not its token — after a fully-accepted round the next
@@ -1084,6 +1098,100 @@ class LLMEngine:
         budget = n_acc.astype(np.int64) + 1  # emit t_0..t_{n_acc}
         finished = self._process_chunk(reqs, tgt.T, budget)
         return self._outputs(finished)
+
+    def _step_spec_fused(
+        self, reqs, tokens, lens, live, tbl, maxlen_bucket, k, bs,
+        tokens_d, lens_d, live_d, tbl_d,
+    ) -> list[RequestOutput] | None:
+        """R fused greedy speculative rounds in ONE dispatch (see
+        spec_decode.spec_rounds).  Reserves pages for up to R*k tokens
+        per row (rows whose reservation falls short freeze per-round on
+        the device and the host emits nothing for them that round)."""
+        from vllm_triton_backend_tpu.runtime.spec_decode import (
+            spec_rounds,
+        )
+        from vllm_triton_backend_tpu.utils import cdiv
+
+        sched = self.scheduler
+        rounds = max(1, self.multistep // k)
+        s_pad = sched.config.max_num_seqs
+        # reserve up to rounds*k growth per row, shrinking rounds if the
+        # pool cannot cover even one round for every row
+        while rounds >= 1:
+            need = 0
+            targets = []
+            for r in reqs:
+                # NOT capped at max_tokens: a row one token from its
+                # limit must still verify a full k (the host discards
+                # past max_tokens) — capping would freeze it on device
+                # forever while the host waits for tokens (livelock)
+                tgt_len = min(
+                    sched.config.max_model_len,
+                    r.num_tokens + rounds * k,
+                )
+                targets.append(tgt_len)
+                need += max(
+                    0,
+                    cdiv(tgt_len, bs)
+                    - len(sched.allocator.block_table(r.req_id)),
+                )
+            if need <= sched.allocator.num_free_blocks:
+                break
+            rounds //= 2
+        if rounds < 1:
+            return None  # pool exhausted: regular path
+        maxlen = np.ones(s_pad, np.int32)
+        for i, (r, tgt_len) in enumerate(zip(reqs, targets)):
+            sched.allocator.append_slots(r.req_id, tgt_len)
+            # refresh the table (append may have grown it)
+            pages = sched.allocator.block_table(r.req_id)
+            tbl[i, : len(pages)] = pages
+            maxlen[i] = tgt_len
+        tbl_d = jnp.asarray(tbl)
+        maxlen_bucket = max(
+            maxlen_bucket,
+            max(128, next_power_of_2(int(maxlen.max()) + k)),
+        )
+        extras_d = ForwardExtras(
+            max_query_len=1, max_seq_len=maxlen_bucket,
+            k_scale=self.k_scale, v_scale=self.v_scale,
+        )
+        extras_v = ForwardExtras(
+            max_query_len=k, max_seq_len=maxlen_bucket,
+            k_scale=self.k_scale, v_scale=self.v_scale,
+        )
+        (
+            tgt_r, acc_r, act_r, _toks, _lens,
+            self.kv_cache, self.draft_cache,
+        ) = spec_rounds(
+            self.params, self.draft_params,
+            self.config.model, self.draft_config,
+            tokens_d, lens_d, tbl_d, live_d, jnp.asarray(maxlen),
+            self.kv_cache, self.draft_cache,
+            extras_d, extras_v, k, rounds, bs,
+        )
+        tgt_r = np.asarray(tgt_r)  # [R, S, k]
+        acc_r = np.asarray(acc_r)  # [R, S]
+        act_r = np.asarray(act_r)  # [R, S]
+        finished_all: list[Request] = []
+        n_live = len(reqs)
+        for r_i in range(rounds):
+            emit = np.where(
+                act_r[r_i], acc_r[r_i] + 1, 0
+            ).astype(np.int64)
+            if not emit[:n_live].any():
+                continue
+            self._spec_stats["rounds"] += 1
+            self._spec_stats["drafted"] += (k - 1) * int(
+                act_r[r_i, :n_live].sum()
+            )
+            self._spec_stats["accepted"] += int(
+                acc_r[r_i, :n_live].sum()
+            )
+            finished_all += self._process_chunk(
+                reqs, tgt_r[r_i].T, emit
+            )
+        return self._outputs(finished_all)
 
     def _process_chunk(
         self, reqs, sampled: np.ndarray, budget=None, logprobs=None

@@ -356,3 +356,139 @@ def draft_steps_stochastic(
         )
     )
     return sampled, dists, kv_cache
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "cfg_t", "cfg_d", "extras_d", "extras_v", "k", "rounds",
+        "block_size",
+    ),
+    donate_argnames=("kv_t", "kv_d"),
+)
+def spec_rounds(
+    params_t,
+    params_d,
+    cfg_t: ModelConfig,
+    cfg_d: ModelConfig,
+    tokens: jax.Array,  # [S] current token per seq
+    seq_lens: jax.Array,  # [S] length INCLUDING current token
+    block_table: jax.Array,  # [S, max_blocks]
+    live: jax.Array,  # [S] bool
+    max_lens: jax.Array,  # [S] per-seq ceiling (reserved pages)
+    kv_t: jax.Array,
+    kv_d: jax.Array,
+    extras_d: ForwardExtras,  # draft step (max_query_len == 1)
+    extras_v: ForwardExtras,  # verify step (max_query_len == k)
+    k: int,
+    rounds: int,
+    block_size: int,
+):
+    """R speculative rounds fused into ONE device dispatch (greedy,
+    draft-model).  The measured per-round host cost is what made spec
+    decoding lose 5.6-7.7x to the fused plain sessions
+    (docs/spec_decode_tpu.md); this is the session treatment applied to
+    speculation: draft-k -> verify -> accept chained by ``lax.scan``
+    with zero host round-trips.
+
+    Correctness rests on the same write-then-attend self-healing
+    invariant as the host-orchestrated round (module docstring), which
+    holds ACROSS chained rounds: every attended position is (re)written
+    by the round that first attends it, so rejected positions' stale
+    K/V in either cache is never read.
+
+    A row FREEZES for a round when ``seq_lens + k - 1 > max_lens``
+    (its verify would write past its reserved pages): no writes, no
+    length advance — ``active[r]`` reports it so the host emits zero
+    tokens for that (row, round).
+
+    Returns (tgt [R, S, k] target tokens at each fed position,
+    n_acc [R, S], active [R, S] bool, next_tokens [S], final_lens [S],
+    kv_t, kv_d).
+    """
+    num_seqs = tokens.shape[0]
+    qsl1 = jnp.arange(num_seqs + 1, dtype=jnp.int32)
+    offs = jnp.arange(k, dtype=jnp.int32)
+
+    def one_round(carry, _):
+        toks, lens, kv_t, kv_d = carry
+        active = jnp.logical_and(live, lens + (k - 1) <= max_lens)
+
+        # ---- draft: k greedy steps (k-1 proposals + write-only
+        # lookahead; see _step_spec's draft comment) ----
+        def draft_body(dc, _):
+            dt, dl, kvd = dc
+            pos = dl - 1
+            page = jnp.take_along_axis(
+                block_table, (pos // block_size)[:, None], axis=1
+            )[:, 0]
+            slots = jnp.where(
+                active, page * block_size + pos % block_size, -1
+            ).astype(jnp.int32)
+            meta = AttentionMetadata(
+                query_start_loc=qsl1,
+                seq_lens=dl,
+                block_table=block_table,
+                slot_mapping=slots,
+                num_seqs=jnp.int32(num_seqs),
+            )
+            logits, kvd = forward_fn(
+                params_d, cfg_d, dt, pos, kvd, meta, extras_d
+            )
+            nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            nxt = jnp.where(active, nxt, dt)
+            dl = jnp.where(active, dl + 1, dl)
+            return (nxt, dl, kvd), nxt
+
+        (_, _, kv_d), drafts_all = jax.lax.scan(
+            draft_body, (toks, lens, kv_d), None, length=k
+        )
+        drafts = drafts_all[: k - 1]  # [k-1, S]
+
+        # ---- verify: target forward over [cur, d_0..d_{k-2}] ----
+        fed = jnp.concatenate([toks[None], drafts], axis=0)  # [k, S]
+        flat = fed.T.reshape(-1)
+        positions = ((lens - 1)[:, None] + offs[None, :]).reshape(-1)
+        qslk = jnp.arange(num_seqs + 1, dtype=jnp.int32) * k
+        vis = jnp.where(active, lens + (k - 1), jnp.zeros_like(lens))
+        page = jnp.take_along_axis(
+            block_table, positions.reshape(num_seqs, k) // block_size,
+            axis=1,
+        )
+        slots = jnp.where(
+            active[:, None],
+            page * block_size
+            + positions.reshape(num_seqs, k) % block_size,
+            -1,
+        ).reshape(-1).astype(jnp.int32)
+        meta = AttentionMetadata(
+            query_start_loc=qslk,
+            seq_lens=vis,
+            block_table=block_table,
+            slot_mapping=slots,
+            num_seqs=jnp.int32(num_seqs),
+        )
+        logits, kv_t = forward_fn(
+            params_t, cfg_t, flat, positions, kv_t, meta, extras_v
+        )
+        tgt = jnp.argmax(logits, axis=-1).astype(jnp.int32).reshape(
+            num_seqs, k
+        )
+        match = drafts.T == tgt[:, : k - 1]
+        n_acc = jnp.sum(
+            jnp.cumprod(match.astype(jnp.int32), axis=1), axis=1
+        )
+        n_acc = jnp.where(active, n_acc, 0)
+
+        nxt = jnp.take_along_axis(tgt, n_acc[:, None], axis=1)[:, 0]
+        toks = jnp.where(active, nxt, toks)
+        lens = jnp.where(active, lens + n_acc + 1, lens)
+        return (toks, lens, kv_t, kv_d), (tgt, n_acc, active)
+
+    (tokens, seq_lens, kv_t, kv_d), (tgt_r, acc_r, act_r) = (
+        jax.lax.scan(
+            one_round, (tokens, seq_lens, kv_t, kv_d), None,
+            length=rounds,
+        )
+    )
+    return tgt_r, acc_r, act_r, tokens, seq_lens, kv_t, kv_d
