@@ -20,6 +20,16 @@ if os.environ["VTB_TEST_PLATFORM"] == "cpu":
     import jax
 
     jax.config.update("jax_platforms", "cpu")
+    # The persistent compilation cache is DISABLED for CPU test runs:
+    # the jax 0.9 executable (de)serializer segfaults on some CPU
+    # Pallas executables (reproduced on both the read and write paths
+    # with a fresh cache dir — every earlier "flaky" suite abort had
+    # this exact stack).  TPU runs keep the cache (stable all round,
+    # and cold Mosaic compiles through the tunnel are expensive).
+    # Env (not jax.config): the package __init__ reads it and would
+    # otherwise re-enable the cache on import.
+    os.environ["VTB_COMPILE_CACHE"] = "0"
+    jax.config.update("jax_compilation_cache_dir", None)
 
 
 import pytest  # noqa: E402
@@ -34,8 +44,8 @@ def _clear_jax_caches_per_module():
     crosses the kernel's vm.max_map_count (65,530 default), at which
     point mmap fails inside LLVM and the process SEGFAULTS (observed:
     repeatable crash at test #136, maps polled at 55k+ shortly before).
-    Module-scoped clearing keeps the ceiling far away; the on-disk
-    compilation cache makes the re-compiles cheap."""
+    Module-scoped clearing keeps the ceiling far away (re-compiles are
+    in-process only — the disk cache is off for CPU runs, see above)."""
     yield
     import jax
 
