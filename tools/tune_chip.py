@@ -356,11 +356,10 @@ def main(
         os.environ["VTB_DEJAVU_STORAGE"], "tuned_vs_fallback.tsv"
     )
     os.makedirs(os.path.dirname(tsv), exist_ok=True)
-    # partial sweeps (--qmm-only / --b32) append to the rows already on
-    # disk instead of discarding the earlier full-sweep evidence
-    mode = "a" if (
-        (qmm_only or b32 or serving) and os.path.exists(tsv)
-    ) else "w"
+    # append to the rows already on disk instead of discarding earlier
+    # sweeps' evidence (a --quick run after --serving used to overwrite
+    # the serving rows); delete the TSV for a fresh start
+    mode = "a" if os.path.exists(tsv) else "w"
     with open(tsv, mode) as f:
         if mode == "w":
             f.write(
