@@ -550,3 +550,37 @@ def test_append_decode_pipeline_depths():
         np.testing.assert_allclose(
             np.asarray(new_cache[0]), ref_cache, atol=2e-6,
         )
+
+
+@pytest.mark.parametrize("seed", [11, 22, 33])
+def test_mixed_split_fuzz_random_compositions(seed):
+    """Randomized mixed batches through the split path (the reference's
+    ALTERNATING/DEC_PRE/PRE_DEC composition fuzzing role,
+    benchmark.py:80-84): random mixes of decode rows, partial prefills
+    (context > 0), full prefills, and zero-length padding rows."""
+    rng = np.random.default_rng(seed)
+    n = int(rng.integers(3, 7))
+    qls, ctxs = [], []
+    n_pf = 0
+    for _ in range(n):
+        kind = rng.choice(["dec", "partial", "full", "pad"])
+        if kind == "dec":
+            qls.append(1)
+            ctxs.append(int(rng.integers(1, 60)))
+        elif kind == "partial":
+            qls.append(int(rng.integers(2, 20)))
+            ctxs.append(int(rng.integers(1, 40)))
+            n_pf += 1
+        elif kind == "full":
+            qls.append(int(rng.integers(2, 30)))
+            ctxs.append(0)
+            n_pf += 1
+        else:
+            qls.append(0)
+            ctxs.append(0)
+    if n_pf == 0:  # ensure the split path engages
+        qls[0], ctxs[0] = 5, 3
+        n_pf = 1
+    bucket = 1 << max(4, (max(n_pf, 1) - 1).bit_length())
+    run_case(qls, ctxs, num_blocks=96,
+             mixed_prefill_rows=bucket, atol=2e-3, seed=seed)

@@ -357,3 +357,32 @@ def test_debug_metadata_guard(monkeypatch):
     bad = dataclasses.replace(b, slot_mapping=bad_slots)
     with pytest.raises(ValueError, match="slot_mapping"):
         check_batch_metadata(bad, s.allocator.num_blocks, s.block_size)
+
+
+def test_engine_warmup_drains_clean():
+    """warmup() pre-compiles the serving executables by serving real
+    requests and must leave the engine idle with nothing leaked."""
+    cfg = EngineConfig(
+        model=ModelConfig.tiny(dtype="float32"),
+        cache=CacheConfig(block_size=16, num_blocks=96),
+        scheduler=SchedulerConfig(
+            max_num_seqs=4,
+            max_num_batched_tokens=64,
+            max_model_len=128,
+            token_buckets=(16, 32, 64),
+        ),
+    )
+    engine = LLMEngine(cfg, multistep=8)
+    dt = engine.warmup()
+    assert dt > 0
+    assert not engine.has_unfinished()
+    # the pool must be fully reclaimed after the warmup traffic
+    assert engine.scheduler.allocator.num_free_blocks == 96
+    # and a real request still serves normally afterwards
+    engine.add_request(list(range(20)), SamplingParams(max_tokens=4))
+    steps = 0
+    while engine.has_unfinished() and steps < 100:
+        engine.step()
+        steps += 1
+    out = [r for r in engine.all_requests().values()]
+    assert any(len(r.output_token_ids) == 4 for r in out)
