@@ -19,6 +19,10 @@ from vllm_triton_backend_tpu.autotune.dejavu import (
 def storage(tmp_path, monkeypatch):
     monkeypatch.setenv("VTB_DEJAVU_STORAGE", str(tmp_path))
     monkeypatch.delenv("VTB_DEJAVU_FORCE_FALLBACK", raising=False)
+    # tuning sweeps are suppressed under interpret mode by default
+    # (CPU timings are noise; the compile storm risks the map-count
+    # SIGSEGV) — these tests exercise the tuner itself, so opt in
+    monkeypatch.setenv("VTB_TUNE_ON_CPU", "1")
     return tmp_path
 
 

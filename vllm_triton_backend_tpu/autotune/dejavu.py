@@ -659,10 +659,24 @@ class Autotuner:
             # engine's forward) resolve via fallback only — tuning happens
             # out-of-band (bench harness / tune script), mirroring the
             # reference's shipped pre-tuned DBs (SURVEY.md §5.4).
+            # Interpret mode (CPU test runs): timings are interpreter
+            # noise, and the per-config compile storm both slows the
+            # suite and piles up CPU-JIT memory maps toward the
+            # vm.max_map_count SIGSEGV (see tests/conftest.py) — use the
+            # fallback heuristic unless a tuning test opts in via
+            # VTB_TUNE_ON_CPU=1.
+            from vllm_triton_backend_tpu.ops.pallas.common import (
+                use_interpret,
+            )
+
             tuning_allowed = (
                 not global_cache_lock.is_locked
                 and os.environ.get("VTB_DEJAVU_FORCE_FALLBACK", "0") != "1"
                 and not self._is_tracing(args, kwargs)
+                and (
+                    not use_interpret()
+                    or os.environ.get("VTB_TUNE_ON_CPU", "0") == "1"
+                )
             )
             if tuning_allowed:
                 cfg = self.tune(*args, **kwargs)

@@ -18,6 +18,8 @@ the slow baseline in benchmarks.
 
 from __future__ import annotations
 
+from typing import NamedTuple
+
 import jax
 import jax.numpy as jnp
 
@@ -129,6 +131,84 @@ def unified_attention(
     )
 
 
+class MixedSplitPlan(NamedTuple):
+    """Layer-invariant gather/scatter indices for the mixed SPLIT path.
+
+    Everything here depends only on the step's metadata and static
+    bounds — never on the layer — so the model's forward computes it
+    ONCE (``plan_mixed_split``) and the 40-layer scan reuses it.
+    Before the hoist these 8 s32[token-bucket] fusions re-ran per layer
+    inside the scan: 5.4 ms of a 164 ms pure-prefill step (measured,
+    docs/decode_step_profile.md round-5).
+    """
+
+    dec_take: jax.Array  # [S] flat token index of each row's 1st token
+    dec_lens: jax.Array  # [S] seq_lens where qlen==1 else 0
+    has_dec: jax.Array  # scalar bool — any real decode rider?
+    pf_qsl: jax.Array  # [P+1] compact query_start_loc
+    pf_seq_lens: jax.Array  # [P]
+    pf_tbl: jax.Array  # [P, max_blocks]
+    q2_take: jax.Array  # [T2] gather index into flat q
+    pf_scatter: jax.Array  # [T2] flat index to write pf_out (== total -> drop)
+    seq_of_t: jax.Array  # [total] row of each flat token
+
+
+def plan_mixed_split(
+    metadata: AttentionMetadata,
+    total: int,
+    num_prefill_rows: int,
+    max_query_len: int,
+) -> MixedSplitPlan:
+    """Precompute the mixed-split compaction plan (see MixedSplitPlan)."""
+    num_seqs = metadata.seq_lens.shape[0]
+    P = min(num_prefill_rows, num_seqs)
+    qsl = metadata.query_start_loc[: num_seqs + 1]
+    q_lens = qsl[1:] - qsl[:-1]  # [S]
+    is_pf = q_lens > 1
+
+    dec_take = jnp.minimum(qsl[:-1], total - 1)
+    dec_lens = jnp.where(q_lens == 1, metadata.seq_lens, 0)
+
+    pf_rows = jnp.where(is_pf, size=P, fill_value=num_seqs - 1)[0]
+    pf_valid = (
+        jnp.arange(P, dtype=jnp.int32)
+        < jnp.sum(is_pf.astype(jnp.int32))
+    )
+    pf_qlen = jnp.where(pf_valid, jnp.take(q_lens, pf_rows), 0)
+    pf_start = jnp.take(qsl[:-1], pf_rows)  # original flat start
+    pf_qsl = jnp.concatenate(
+        [jnp.zeros(1, jnp.int32), jnp.cumsum(pf_qlen).astype(jnp.int32)]
+    )  # [P+1] compact
+    pf_seq_lens = jnp.where(
+        pf_valid, jnp.take(metadata.seq_lens, pf_rows), 0
+    )
+    pf_tbl = jnp.take(metadata.block_table, pf_rows, axis=0)
+
+    # compact flat q: T2 tokens; token t2 of compact row p comes from
+    # original position pf_start[p] + (t2 - pf_qsl[p])
+    T2 = min(total, P * max_query_len)
+    t2 = jnp.arange(T2, dtype=jnp.int32)
+    p_of = jnp.clip(
+        jnp.searchsorted(pf_qsl, t2, side="right") - 1, 0, P - 1
+    ).astype(jnp.int32)
+    local = t2 - jnp.take(pf_qsl, p_of)
+    src = jnp.take(pf_start, p_of) + local
+    t2_valid = t2 < pf_qsl[P]
+    q2_take = jnp.where(t2_valid, jnp.minimum(src, total - 1), 0)
+    pf_scatter = jnp.where(t2_valid, src, total)
+
+    t = jnp.arange(total, dtype=jnp.int32)
+    seq_of_t = jnp.clip(
+        jnp.searchsorted(qsl, t, side="right") - 1, 0, num_seqs - 1
+    ).astype(jnp.int32)
+    return MixedSplitPlan(
+        dec_take=dec_take, dec_lens=dec_lens,
+        has_dec=jnp.any(dec_lens > 0),
+        pf_qsl=pf_qsl, pf_seq_lens=pf_seq_lens, pf_tbl=pf_tbl,
+        q2_take=q2_take, pf_scatter=pf_scatter, seq_of_t=seq_of_t,
+    )
+
+
 def _mixed_split_attention(
     q: jax.Array,  # [num_tokens, num_q_heads, head_size]
     kv_cache: jax.Array,
@@ -154,54 +234,42 @@ def _mixed_split_attention(
     one skipped grid step in either kernel).
     """
     total = q.shape[0]
-    num_seqs = metadata.seq_lens.shape[0]
-    P = min(num_prefill_rows, num_seqs)
-    qsl = metadata.query_start_loc[: num_seqs + 1]
-    q_lens = qsl[1:] - qsl[:-1]  # [S]
-    is_pf = q_lens > 1
+    plan = metadata.mixed_plan
+    if plan is None:  # direct callers / tests without the hoist
+        plan = plan_mixed_split(
+            metadata, total, num_prefill_rows, max_query_len
+        )
 
     # ---- decode rows: their single token sits at qsl[i] ----
-    dec_q = jnp.take(
-        q, jnp.minimum(qsl[:-1], total - 1), axis=0
-    )  # [S, Hq, hd]
-    dec_lens = jnp.where(q_lens == 1, metadata.seq_lens, 0)
-    dec_out = paged_decode_attention(
-        dec_q, kv_cache, layer_idx, dec_lens, metadata.block_table,
-        scale=scale, max_seq_len=max_seq_len,
-        sliding_window=sliding_window, logits_soft_cap=logits_soft_cap,
-        alibi_slopes=alibi_slopes, k_scale=k_scale, v_scale=v_scale,
-        local_chunk_size=local_chunk_size,
+    dec_q = jnp.take(q, plan.dec_take, axis=0)  # [S, Hq, hd]
+
+    def _run_decode(dec_q):
+        return paged_decode_attention(
+            dec_q, kv_cache, layer_idx, plan.dec_lens,
+            metadata.block_table,
+            scale=scale, max_seq_len=max_seq_len,
+            sliding_window=sliding_window,
+            logits_soft_cap=logits_soft_cap,
+            alibi_slopes=alibi_slopes, k_scale=k_scale, v_scale=v_scale,
+            local_chunk_size=local_chunk_size,
+        ).astype(q.dtype)
+
+    # pure-prefill steps (the whole TTFT phase under prefill-priority
+    # scheduling) share this executable; skip the decode launch when no
+    # real rider exists (40 no-op launches cost 1.7 ms/step, measured)
+    dec_out = jax.lax.cond(
+        plan.has_dec, _run_decode,
+        lambda dec_q: jnp.zeros(
+            dec_q.shape[:1] + q.shape[1:], q.dtype
+        ),
+        dec_q,
     )  # [S, Hq, hd]
 
     # ---- prefill rows: compact to P rows ----
-    pf_rows = jnp.where(is_pf, size=P, fill_value=num_seqs - 1)[0]
-    pf_valid = (
-        jnp.arange(P, dtype=jnp.int32)
-        < jnp.sum(is_pf.astype(jnp.int32))
-    )
-    pf_qlen = jnp.where(pf_valid, jnp.take(q_lens, pf_rows), 0)
-    pf_start = jnp.take(qsl[:-1], pf_rows)  # original flat start
-    pf_qsl = jnp.concatenate(
-        [jnp.zeros(1, jnp.int32), jnp.cumsum(pf_qlen).astype(jnp.int32)]
-    )  # [P+1] compact
-    pf_seq_lens = jnp.where(pf_valid, jnp.take(metadata.seq_lens, pf_rows), 0)
-    pf_tbl = jnp.take(metadata.block_table, pf_rows, axis=0)
-
-    # compact flat q: T2 tokens; token t2 of compact row p comes from
-    # original position pf_start[p] + (t2 - pf_qsl[p])
-    T2 = min(total, P * max_query_len)
-    t2 = jnp.arange(T2, dtype=jnp.int32)
-    p_of = jnp.clip(
-        jnp.searchsorted(pf_qsl, t2, side="right") - 1, 0, P - 1
-    ).astype(jnp.int32)
-    local = t2 - jnp.take(pf_qsl, p_of)
-    src = jnp.take(pf_start, p_of) + local
-    t2_valid = t2 < pf_qsl[P]
-    q2 = jnp.take(
-        q, jnp.where(t2_valid, jnp.minimum(src, total - 1), 0), axis=0
-    )
+    q2 = jnp.take(q, plan.q2_take, axis=0)
     pf_out = prefill_attention(
-        q2, kv_cache, layer_idx, pf_qsl, pf_seq_lens, pf_tbl,
+        q2, kv_cache, layer_idx, plan.pf_qsl, plan.pf_seq_lens,
+        plan.pf_tbl,
         scale=scale, max_query_len=max_query_len, max_seq_len=max_seq_len,
         sliding_window=sliding_window, logits_soft_cap=logits_soft_cap,
         alibi_slopes=alibi_slopes, k_scale=k_scale, v_scale=v_scale,
@@ -209,12 +277,8 @@ def _mixed_split_attention(
     )  # [T2, Hq, hd]
 
     # ---- scatter both back to the flat token order ----
-    t = jnp.arange(total, dtype=jnp.int32)
-    seq_of_t = jnp.clip(
-        jnp.searchsorted(qsl, t, side="right") - 1, 0, num_seqs - 1
-    ).astype(jnp.int32)
-    out = jnp.take(dec_out, seq_of_t, axis=0)  # decode rows (+ garbage)
-    out = out.at[jnp.where(t2_valid, src, total)].set(
+    out = jnp.take(dec_out, plan.seq_of_t, axis=0)  # decode rows (+ garbage)
+    out = out.at[plan.pf_scatter].set(
         pf_out.astype(out.dtype), mode="drop"
     )  # prefill rows overwrite their token ranges
     return out.astype(q.dtype)

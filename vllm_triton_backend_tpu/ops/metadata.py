@@ -22,7 +22,7 @@ bucket shapes so every step with the same bucket hits the same XLA executable
 
 from __future__ import annotations
 
-from typing import NamedTuple
+from typing import Any, NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -35,6 +35,13 @@ class AttentionMetadata(NamedTuple):
     block_table: jax.Array  # [max_num_seqs, max_blocks_per_seq] int32
     slot_mapping: jax.Array  # [num_token_bucket] int32
     num_seqs: jax.Array  # scalar int32
+    # Optional precomputed mixed-split gather/scatter plan
+    # (ops.attention.plan_mixed_split).  The compaction index math is
+    # layer-invariant; computing it inside the layer ``lax.scan`` cost
+    # 5.4 ms/step at the 2048-token prefill shape (40 layers x 8
+    # s32[2048] fusions — XLA does not hoist loop-invariant code out of
+    # a scan), so the model's forward computes it ONCE before the scan.
+    mixed_plan: Any = None
 
     @property
     def max_num_seqs(self) -> int:

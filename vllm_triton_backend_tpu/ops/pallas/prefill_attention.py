@@ -60,10 +60,10 @@ def _prefill_kernel(
     cap_ref,  # [S] int32 kv tokens PRESENT locally (== sl normally)
     tbl_ref,  # [S, max_blocks] int32
     # inputs
-    q_ref,  # [1, 1, qpk, BQ, hd] compute dtype
+    q_ref,  # [1, BQ, qpk*hd] compute dtype (flat head-group slice)
     kv_hbm,  # [L, num_blocks, 2, Hkv, bs, hd] cache dtype (stays in HBM)
     alibi_ref,  # [1, qpk_pad, 128] f32 or None (bound statically)
-    # outputs: o_ref [1, 1, qpk, BQ, hd]; +(m_out, l_out) with partials
+    # outputs: o_ref [1, BQ, qpk*hd]; +(m_out, l_out) with partials
     *refs,
     scale: float,
     block_size: int,
@@ -94,8 +94,13 @@ def _prefill_kernel(
     o_ref = refs.pop(0)
     if return_partials:
         m_out, l_out = refs.pop(0), refs.pop(0)
-    kv_buf, sems, m_scr, l_scr, acc_scr = refs
+    kv_buf, sems, q_scr, m_scr, l_scr, acc_scr = refs
     # kv_buf [depth, 2, super_size, hd] cache dtype; sems [depth, 2, pps]
+    # q_scr [m_rows, hd]: the q tile re-staged g-major ONCE per q-tile
+    # (sb == 0) from the flat [BQ, qpk*hd] block — the flat q/out layout
+    # is a free reshape of the packed [S, QPAD, Hq, hd] array, so no XLA
+    # transpose copies materialize around the kernel (they cost
+    # 3.9 ms/step at the 2048-token prefill shape)
 
     s = pl.program_id(0)
     h = pl.program_id(1)
@@ -226,12 +231,22 @@ def _prefill_kernel(
         m_scr[...] = jnp.full_like(m_scr, MASK_VALUE)
         l_scr[...] = jnp.zeros_like(l_scr)
         acc_scr[...] = jnp.zeros_like(acc_scr)
+        # stage the q tile g-major: rows (g, qpos), g = lane group of
+        # the flat [BQ, qpk*hd] block (head index = h * qpk + g)
+        bq = q_ref.shape[1]
+        hd = q_scr.shape[1]
+        qpk = q_ref.shape[2] // hd
+        for g in range(qpk):
+            q_scr[pl.ds(g * bq, bq), :] = q_ref[
+                0, :, pl.ds(g * hd, hd)
+            ]
 
     def flash_body(masked: bool):
-        qpk, bq = q_ref.shape[2], q_ref.shape[3]
-        hd = q_ref.shape[4]
+        bq = q_ref.shape[1]
+        hd = q_scr.shape[1]
+        qpk = q_ref.shape[2] // hd
         m_rows = qpk * bq
-        q = q_ref[0, 0].reshape(m_rows, hd)  # [M, hd] compute dtype
+        q = q_scr[...]  # [M, hd] compute dtype, g-major rows
         k = _dequant(kv_buf[slot, 0], k_scale, q.dtype)
         v = _dequant(kv_buf[slot, 1], v_scale, q.dtype)
         s_blk = jax.lax.dot_general(
@@ -246,8 +261,8 @@ def _prefill_kernel(
             # qpos = r % BQ
             row_q = jax.lax.broadcasted_iota(
                 jnp.int32, (m_rows, super_size), 0
-            )
-            qpos = ctx_len + qb * block_q + row_q % bq
+            ) % bq
+            qpos = ctx_len + qb * block_q + row_q
             kpos = sb_base + jax.lax.broadcasted_iota(
                 jnp.int32, (m_rows, super_size), 1
             )
@@ -256,7 +271,7 @@ def _prefill_kernel(
             )
             # rows past this sequence's query length are padding
             mask = jnp.logical_and(
-                mask, (qb * block_q + row_q % bq) < q_len
+                mask, (qb * block_q + row_q) < q_len
             )
             if sliding_window > 0:
                 mask = jnp.logical_and(mask, qpos - kpos < sliding_window)
@@ -321,24 +336,31 @@ def _prefill_kernel(
 
     @pl.when(sb == n_sb - 1)
     def _finish():
-        qpk, bq = o_ref.shape[2], o_ref.shape[3]
-        hd = o_ref.shape[4]
+        bq = o_ref.shape[1]
+        hd = acc_scr.shape[1]
+        qpk = o_ref.shape[2] // hd
+
+        def write_groups(dst, src, width):
+            # [M, w] g-major rows -> flat [BQ, qpk*w] lane groups
+            for g in range(qpk):
+                dst[0, :, pl.ds(g * width, width)] = src[
+                    g * bq:(g + 1) * bq, :
+                ]
+
         if return_partials:
             # unnormalized accumulator + running (max, expsum): the
             # cross-chip LSE merge normalizes after combining shards
             # (context.cp_prefill_attention; the reference's
             # reduce_segments contract, triton_unified_attention.py
             # :757-836, lifted onto the mesh axis)
-            o_ref[0, 0] = acc_scr[...].reshape(qpk, bq, hd).astype(
-                o_ref.dtype
-            )
-            m_out[0, 0] = m_scr[...].reshape(qpk, bq, 128)
-            l_out[0, 0] = l_scr[...].reshape(qpk, bq, 128)
+            write_groups(o_ref, acc_scr[...].astype(o_ref.dtype), hd)
+            write_groups(m_out, m_scr[...], 128)
+            write_groups(l_out, l_scr[...], 128)
         else:
             l = l_scr[:, :1]
             safe = jnp.where(l == 0.0, 1.0, l)
             out = jnp.where(l == 0.0, 0.0, acc_scr[...] / safe)
-            o_ref[0, 0] = out.reshape(qpk, bq, hd).astype(o_ref.dtype)
+            write_groups(o_ref, out.astype(o_ref.dtype), hd)
 
 
 def _pack_ragged(q, query_start_loc, num_seqs_static, q_pad):
@@ -435,14 +457,18 @@ def _prefill_attention_impl(
     packed, seq_ids, local = _pack_ragged(
         q.astype(cdt), query_start_loc, num_seqs, q_pad
     )
-    # [S, QPAD, Hq, hd] -> [S, Hkv, qpk, QPAD, hd_pad] (lane-padded cache
-    # head dim: zero q pad contributes nothing; output tail sliced off)
-    qk = packed.reshape(num_seqs, q_pad, num_kv_heads, qpk, head_size)
-    qk = qk.transpose(0, 2, 3, 1, 4)
+    # FLAT q/out layout [S, QPAD, Hq*hd]: a free reshape of the packed
+    # array; the kernel's blocks slice one kv-head group's qpk*hd lanes
+    # per grid step, so no transpose copy materializes on either side
+    # (the old [S, Hkv, qpk, QPAD, hd] layout cost 3.9 ms/step of XLA
+    # re-layout at the 2048-token prefill shape; Mosaic rejects a
+    # (..., qpk, hd) block because qpk < 8 sublanes).  Lane-padded cache
+    # head dim: pad q with zeros (no effect on scores; tail sliced off).
     if head_pad != head_size:
-        qk = jnp.pad(
-            qk, ((0, 0),) * 4 + ((0, head_pad - head_size),)
+        packed = jnp.pad(
+            packed, ((0, 0),) * 3 + ((0, head_pad - head_size),)
         )
+    qk = packed.reshape(num_seqs, q_pad, num_q_heads * head_pad)
 
     has_alibi = alibi_slopes is not None
     qpk_pad = max(8, round_up(qpk, 8))
@@ -481,14 +507,14 @@ def _prefill_attention_impl(
 
     def q_map(s, h, qb, sb, lyr, qsl, sl, cap, tbl):
         del sb, lyr, qsl, sl, cap, tbl
-        return (s, h, 0, qb, 0)
+        return (s, qb, h)
 
     def alibi_map(s, h, qb, sb, lyr, qsl, sl, cap, tbl):
         del s, qb, sb, lyr, qsl, sl, cap, tbl
         return (h, 0, 0)
 
     in_specs = [
-        pl.BlockSpec((1, 1, qpk, block_q, head_pad), q_map),
+        pl.BlockSpec((1, block_q, qpk * head_pad), q_map),
         pl.BlockSpec(memory_space=pl.ANY),  # cache stays in HBM
     ]
     inputs = [qk, kv_cache]
@@ -497,15 +523,15 @@ def _prefill_attention_impl(
         inputs.append(slopes)
 
     m_rows = qpk * block_q
-    out_specs = pl.BlockSpec((1, 1, qpk, block_q, head_pad), q_map)
+    out_specs = pl.BlockSpec((1, block_q, qpk * head_pad), q_map)
     out_shape = jax.ShapeDtypeStruct(
-        (num_seqs, num_kv_heads, qpk, q_pad, head_pad),
+        (num_seqs, q_pad, num_q_heads * head_pad),
         jnp.float32 if return_partials else q.dtype,
     )
     if return_partials:
-        ml_spec = pl.BlockSpec((1, 1, qpk, block_q, 128), q_map)
+        ml_spec = pl.BlockSpec((1, block_q, qpk * 128), q_map)
         ml_shape = jax.ShapeDtypeStruct(
-            (num_seqs, num_kv_heads, qpk, q_pad, 128), jnp.float32
+            (num_seqs, q_pad, num_q_heads * 128), jnp.float32
         )
         out_specs = [out_specs, ml_spec, ml_spec]
         out_shape = [out_shape, ml_shape, ml_shape]
@@ -523,6 +549,7 @@ def _prefill_attention_impl(
             pltpu.SemaphoreType.DMA(
                 (pipeline_depth, 2, pages_per_super)
             ),
+            pltpu.VMEM((m_rows, head_pad), cdt),  # q staged g-major
             pltpu.VMEM((m_rows, 128), jnp.float32),
             pltpu.VMEM((m_rows, 128), jnp.float32),
             pltpu.VMEM((m_rows, head_pad), jnp.float32),
@@ -561,10 +588,10 @@ def _prefill_attention_impl(
     )
 
     def to_flat(x, width):
-        # [S, Hkv, qpk, QPAD, w] -> flat [T, Hq, w]
-        x = x[..., :width].transpose(0, 3, 1, 2, 4).reshape(
-            num_seqs, q_pad, num_q_heads, width
-        )
+        # [S, QPAD, Hq*w_pad] -> flat [T, Hq, width] (reshape is free;
+        # the per-head tail slice is a no-op when w_pad == width)
+        w_pad = x.shape[-1] // num_q_heads
+        x = x.reshape(num_seqs, q_pad, num_q_heads, w_pad)[..., :width]
         return x[seq_ids, local]
 
     if return_partials:
