@@ -151,3 +151,153 @@ def test_two_process_mesh(tmp_path):
         if "MULTIHOST_OK" in line
     ]
     assert len(sums) == 2 and sums[0] == sums[1]
+
+
+ENGINE_WORKER = r"""
+import json
+import sys
+
+rank, port = int(sys.argv[1]), int(sys.argv[2])
+sys.path.insert(0, sys.argv[3])
+
+from vllm_triton_backend_tpu.parallel.multihost import init_distributed
+
+init_distributed(f"localhost:{port}", 2, rank)
+
+import jax
+
+assert jax.process_count() == 2 and jax.device_count() == 8
+
+from vllm_triton_backend_tpu.config import (
+    CacheConfig, EngineConfig, ModelConfig, ParallelConfig,
+    SchedulerConfig,
+)
+from vllm_triton_backend_tpu.models.llama import init_params
+from vllm_triton_backend_tpu.runtime.engine import LLMEngine
+from vllm_triton_backend_tpu.runtime.sampler import SamplingParams
+
+cfg = EngineConfig(
+    model=ModelConfig.tiny(
+        dtype="float32", num_heads=4, num_kv_heads=2
+    ),
+    cache=CacheConfig(block_size=16, num_blocks=64),
+    scheduler=SchedulerConfig(
+        max_num_seqs=2, max_num_batched_tokens=32, max_model_len=64,
+        token_buckets=(8, 16, 32),
+    ),
+    parallel=ParallelConfig(tensor_parallel=2, data_parallel=4),
+)
+params = init_params(cfg.model, jax.random.key(0))
+engine = LLMEngine(cfg, params=params, multistep=4)
+assert engine.multihost
+
+# SPMD contract: every process adds the SAME requests in the SAME order
+import numpy as np
+rng = np.random.default_rng(3)
+for i, n in enumerate((9, 17, 5, 12, 7, 21)):
+    engine.add_request(
+        rng.integers(0, cfg.model.vocab_size, size=n).tolist(),
+        SamplingParams(max_tokens=12),
+        req_id=f"r{i}",
+    )
+out = {}
+steps = 0
+while engine.has_unfinished():
+    for o in engine.step():
+        out[o.req_id] = o.output_token_ids
+    steps += 1
+    assert steps < 300
+print("ENGINE_MULTIHOST " + json.dumps(out), flush=True)
+"""
+
+
+def test_two_process_engine_serving(tmp_path):
+    """VERDICT r4 #2: the ENGINE LOOP (add_request -> step -> sampled
+    commit) serves requests across two processes on a (data=4, model=2)
+    mesh, token-exact vs the single-process engine."""
+    import json
+
+    worker = tmp_path / "engine_worker.py"
+    worker.write_text(ENGINE_WORKER)
+    port = _free_port()
+    env = dict(os.environ)
+    env.update(
+        PYTHONPATH="",
+        JAX_PLATFORMS="cpu",
+        XLA_FLAGS="--xla_force_host_platform_device_count=4",
+        JAX_TRACEBACK_FILTERING="off",
+    )
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(worker), str(rank), str(port), REPO],
+            env=env,
+            stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT,
+            text=True,
+        )
+        for rank in range(2)
+    ]
+    outs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=600)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            pytest.fail("engine multihost worker timed out")
+        outs.append(out)
+    results = []
+    for rank, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"rank {rank} failed:\n{out[-6000:]}"
+        line = [
+            ln for ln in out.splitlines() if "ENGINE_MULTIHOST" in ln
+        ]
+        assert line, out[-4000:]
+        results.append(json.loads(line[0].split("ENGINE_MULTIHOST ")[1]))
+    # both hosts advanced the same SPMD engine state
+    assert results[0] == results[1]
+
+    # token-exact vs the single-process dp=4 x tp=2 engine (same global
+    # mesh computation in one process over the 8 virtual devices)
+    import numpy as np
+
+    from vllm_triton_backend_tpu.config import (
+        CacheConfig, EngineConfig, ModelConfig, ParallelConfig,
+        SchedulerConfig,
+    )
+    from vllm_triton_backend_tpu.models.llama import init_params
+    from vllm_triton_backend_tpu.runtime.engine import LLMEngine
+    from vllm_triton_backend_tpu.runtime.sampler import SamplingParams
+    import jax
+
+    cfg = EngineConfig(
+        model=ModelConfig.tiny(
+            dtype="float32", num_heads=4, num_kv_heads=2
+        ),
+        cache=CacheConfig(block_size=16, num_blocks=64),
+        scheduler=SchedulerConfig(
+            max_num_seqs=2, max_num_batched_tokens=32, max_model_len=64,
+            token_buckets=(8, 16, 32),
+        ),
+        parallel=ParallelConfig(tensor_parallel=2, data_parallel=4),
+    )
+    params = init_params(cfg.model, jax.random.key(0))
+    engine = LLMEngine(cfg, params=params, multistep=4)
+    rng = np.random.default_rng(3)
+    for i, n in enumerate((9, 17, 5, 12, 7, 21)):
+        engine.add_request(
+            rng.integers(0, cfg.model.vocab_size, size=n).tolist(),
+            SamplingParams(max_tokens=12),
+            req_id=f"r{i}",
+        )
+    ref = {}
+    steps = 0
+    while engine.has_unfinished():
+        for o in engine.step():
+            ref[o.req_id] = o.output_token_ids
+        steps += 1
+        assert steps < 300
+    assert results[0] == ref, (
+        f"multihost engine diverged from single-process:\n"
+        f"mh={results[0]}\nsp={ref}"
+    )

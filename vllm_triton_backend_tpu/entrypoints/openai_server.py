@@ -95,6 +95,21 @@ class EngineWorker:
                 if not admitted:
                     time.sleep(0.005)
                 continue
+            # Streaming granularity (VERDICT r4 #3): at low concurrency
+            # the fused-session K-token chunks dominate ITL (measured
+            # ITL p50 ~ 8x TPOT p50 at concurrency 1).  With live SSE
+            # streams, cap the session chunk so deltas approach
+            # per-token granularity; above the threshold throughput
+            # mode resumes (chunking is what holds 96 ms TPOT at 128).
+            running = sum(
+                len(s.running) for s in self.engine.schedulers
+            )
+            if self.streams and running <= 8:
+                self.engine.session_k_cap = 1  # plain steps: ITL==TPOT
+            elif self.streams and running <= 16:
+                self.engine.session_k_cap = 2
+            else:
+                self.engine.session_k_cap = None
             t_step = time.perf_counter()
             try:
                 finished = self.engine.step()

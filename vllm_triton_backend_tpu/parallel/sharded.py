@@ -195,8 +195,18 @@ def shard_params(params: LlamaParams, mesh: Mesh) -> LlamaParams:
                 )
             )
         )
+    multihost = mesh_spans_processes(mesh)
+
+    def put(x, spec):
+        if multihost and isinstance(x, jax.Array):
+            # cross-process device_put needs a host (or global) source
+            import numpy as np
+
+            x = np.asarray(x)
+        return jax.device_put(x, NamedSharding(mesh, spec))
+
     return jax.tree.map(
-        lambda x, spec: jax.device_put(x, NamedSharding(mesh, spec)),
+        put,
         params,
         param_specs(
             params.layers.qkv_bias is not None,
@@ -209,6 +219,12 @@ def shard_params(params: LlamaParams, mesh: Mesh) -> LlamaParams:
 
 
 def shard_caches(kv_cache, mesh: Mesh):
+    if mesh_spans_processes(mesh) and isinstance(kv_cache, jax.Array):
+        # cross-process device_put needs a host (or global) source;
+        # every process holds the identical zeroed cache
+        import numpy as np
+
+        kv_cache = np.asarray(kv_cache)
     return jax.device_put(kv_cache, NamedSharding(mesh, CACHE_SPEC))
 
 
@@ -227,9 +243,46 @@ def local_model_config(cfg: ModelConfig, tp: int) -> ModelConfig:
     )
 
 
+def mesh_spans_processes(mesh: Mesh) -> bool:
+    """True when the mesh covers devices of more than one JAX process
+    (multi-host).  Engine paths use this to switch to SPMD discipline:
+    explicit global placement of per-step host batches and replicated
+    (host-readable) sampled outputs."""
+    return len({d.process_index for d in mesh.devices.flat}) > 1
+
+
+def _global_put(mesh: Mesh):
+    """Per-step input placement for multi-host SPMD engine loops.
+
+    Under a process-spanning mesh, jit cannot auto-shard a host batch
+    (implicit cross-process resharding is disallowed) — every process
+    must pass the IDENTICAL full array and place it explicitly.  The
+    engine's SPMD contract guarantees identical host state, so each
+    call here forms the global array from this process's copy.
+    Already-global arrays (session carries fed back in) pass through.
+    """
+    import numpy as np
+
+    def put(x, spec):
+        if isinstance(x, jax.Array) and len(x.sharding.device_set) > 1:
+            return x  # already global on (a superset of) this mesh
+        if hasattr(x, "dtype") and jax.dtypes.issubdtype(
+            x.dtype, jax.dtypes.prng_key
+        ):
+            kd = jax.device_put(
+                np.asarray(jax.random.key_data(x)),
+                NamedSharding(mesh, P()),
+            )
+            return jax.random.wrap_key_data(kd)
+        return jax.device_put(np.asarray(x), NamedSharding(mesh, spec))
+
+    return put
+
+
 def make_sharded_forward(
     cfg: ModelConfig, mesh: Mesh, extras: ForwardExtras,
     tp_overlap: bool = False,
+    multihost: bool = False,
 ):
     """Build the jitted multi-chip step.
 
@@ -271,6 +324,10 @@ def make_sharded_forward(
             params, lcfg, token_ids[0], positions[0], kv_cache,
             meta, extras, tp_axis="model", tp_overlap=tp_overlap,
         )
+        if multihost:
+            # replicate logits across the data axis so EVERY host can
+            # read them (sampling is host-local under SPMD serving)
+            return jax.lax.all_gather(logits, "data"), kv
         return logits[None], kv
 
     batch_spec = P("data")
@@ -281,10 +338,26 @@ def make_sharded_forward(
             specs, batch_spec, batch_spec, CACHE_SPEC,
             batch_spec, batch_spec, batch_spec, batch_spec,
         ),
-        out_specs=(P("data"), CACHE_SPEC),
+        out_specs=(P() if multihost else P("data"), CACHE_SPEC),
         check_vma=False,
     )
-    return jax.jit(mapped, donate_argnums=(3,))
+    jitted = jax.jit(mapped, donate_argnums=(3,))
+    if not multihost:
+        return jitted
+    put = _global_put(mesh)
+    b = P("data")
+
+    def step_mh(
+        params, token_ids, positions, kv_cache,
+        query_start_loc, seq_lens, block_table, slot_mapping,
+    ):
+        return jitted(
+            params, put(token_ids, b), put(positions, b), kv_cache,
+            put(query_start_loc, b), put(seq_lens, b),
+            put(block_table, b), put(slot_mapping, b),
+        )
+
+    return step_mh
 
 
 def make_sharded_decode_steps(
@@ -296,6 +369,7 @@ def make_sharded_decode_steps(
     greedy_only: bool = False,
     tp_overlap: bool = False,
     with_logprob: bool = False,
+    multihost: bool = False,
 ):
     """TP/DP-sharded fused multi-step decode (runtime/multistep.py analog).
 
@@ -373,6 +447,14 @@ def make_sharded_decode_steps(
             body, (toks0, lens0, kv_cache, rng_key), None,
             length=num_steps,
         )
+        if multihost:
+            # replicate the sampled tokens over the data axis so every
+            # host's engine loop can read them (SPMD serving)
+            return (
+                jax.lax.all_gather(sampled, "data"),
+                jax.lax.all_gather(lps, "data") if with_logprob else None,
+                toks0[None], lens0[None], rng_key, kv_cache,
+            )
         return (
             sampled[None],
             lps[None] if with_logprob else None,
@@ -380,16 +462,36 @@ def make_sharded_decode_steps(
         )
 
     b = P("data")
+    sampled_spec = P() if multihost else b
     mapped = jax.shard_map(
         step,
         mesh=mesh,
         in_specs=(
             specs, b, b, b, b, b, CACHE_SPEC, b, P(),
         ),
-        out_specs=(b, b if with_logprob else None, b, b, P(), CACHE_SPEC),
+        out_specs=(
+            sampled_spec, sampled_spec if with_logprob else None,
+            b, b, P(), CACHE_SPEC,
+        ),
         check_vma=False,
     )
-    return jax.jit(mapped, donate_argnums=(6,))
+    jitted = jax.jit(mapped, donate_argnums=(6,))
+    if not multihost:
+        return jitted
+    put = _global_put(mesh)
+
+    def step_mh(
+        params, tokens, seq_lens, block_table, live, max_lens,
+        kv_cache, st, rng_key,
+    ):
+        st = SamplingTensors(*(put(a, b) for a in st))
+        return jitted(
+            params, put(tokens, b), put(seq_lens, b),
+            put(block_table, b), put(live, b), put(max_lens, b),
+            kv_cache, st, put(rng_key, P()),
+        )
+
+    return step_mh
 
 
 # ---------------------------------------------------------------------------

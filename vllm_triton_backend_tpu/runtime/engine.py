@@ -12,6 +12,8 @@ scripts/offline_inference.py:43-75).
 from __future__ import annotations
 
 import itertools
+import logging
+import os
 from dataclasses import dataclass
 
 import jax
@@ -244,13 +246,38 @@ class LLMEngine:
 
         # Tensor parallelism: shard weights/caches over the (dp, tp) mesh
         # and step through the shard_map forward (parallel/sharded.py).
+        # Multi-host SPMD serving (SURVEY.md §5.8 / VERDICT r4 #2):
+        # every process runs the SAME engine loop over the same request
+        # stream (the caller's contract — add_request must be called
+        # identically on every host), device arrays are global over a
+        # process-spanning mesh, and sampled outputs are replicated so
+        # each host's scheduler advances identically.  The model axis
+        # stays within each host's devices (TP over ICI, DP over DCN).
+        self.multihost = jax.process_count() > 1
+        if self.multihost:
+            assert not self.is_hybrid and self.pp == 1 and self.cp == 1, (
+                "multi-host serving composes with hybrid/pp/cp in a "
+                "later phase"
+            )
         if (self.tp > 1 or self.dp > 1) and self.pp == 1:
             from vllm_triton_backend_tpu.parallel import (
                 make_mesh,
                 shard_params,
             )
 
-            self.mesh = make_mesh(data=self.dp, model=self.tp)
+            if self.multihost:
+                from vllm_triton_backend_tpu.parallel.multihost import (
+                    make_multihost_mesh,
+                )
+
+                self.mesh = make_multihost_mesh(model=self.tp)
+                got = dict(self.mesh.shape)
+                assert got == {"data": self.dp, "model": self.tp}, (
+                    f"multihost mesh {got} != engine dp={self.dp} "
+                    f"tp={self.tp}"
+                )
+            else:
+                self.mesh = make_mesh(data=self.dp, model=self.tp)
             if self.is_hybrid:
                 from vllm_triton_backend_tpu.parallel.sharded import (
                     shard_hybrid_params,
@@ -323,6 +350,13 @@ class LLMEngine:
         # at concurrency 2-4).  Chunk granularity bounds the added TTFT
         # to K decode steps.
         self.poll_new_work = None
+        # Streaming low-latency mode (entrypoints.openai_server sets
+        # this per step from live stream count x concurrency): caps the
+        # fused-session chunk size so SSE deltas approach per-token
+        # granularity at low concurrency — cap 1 routes to plain
+        # one-token steps (ITL == TPOT), cap 2 halves chunk bursts.
+        # None = throughput mode (full session ladder).
+        self.session_k_cap: int | None = None
         # kv scales for quantized caches: explicit (calibrated via
         # runtime.calibration.calibrate_kv_scales — absmax over a
         # calibration batch, gated by eval_ppl) or heuristic defaults
@@ -336,6 +370,29 @@ class LLMEngine:
             self.k_scale = self.v_scale = 1.0
         # ---- speculative decoding (draft model) ----
         self._spec_stats = {"rounds": 0, "drafted": 0, "accepted": 0}
+        # Acceptance-gated speculation (VERDICT r4 #7): speculation is a
+        # measured LOSS below a break-even acceptance (fused rounds run
+        # 2.5-3.6x slower than plain sessions at acceptance ~0,
+        # docs/spec_decode_tpu.md), so the engine protects itself — a
+        # rolling window of recent rounds' acceptance suspends spec when
+        # it predicts a loss and re-probes periodically.  Break-even
+        # model: a round costs ~C plain-steps and emits 1 + a*(k-1)
+        # tokens -> worth it iff a > (C-1)/(k-1); C~2.2 measured for
+        # fused ngram rounds gives floor ~0.35 at k=4.
+        self._spec_window: list[tuple[int, int]] = []  # (drafted, acc)
+        self._spec_suspended_until = 0
+        self._step_counter = 0
+        self.spec_accept_floor = float(
+            os.environ.get("VTB_SPEC_ACCEPT_FLOOR", "0.35")
+        )
+        self.spec_reprobe_steps = int(
+            os.environ.get("VTB_SPEC_REPROBE_STEPS", "512")
+        )
+        # rounds the gate needs before judging (window cap = 2x)
+        self.spec_gate_window = int(
+            os.environ.get("VTB_SPEC_GATE_WINDOW", "16")
+        )
+        self._spec_gate_log = logging.getLogger(__name__)
         self.draft_params = draft_params
         self.draft_config = draft_config
         self.spec_k = spec_k
@@ -620,6 +677,9 @@ class LLMEngine:
                         self._spec_stats["accepted"]
                         / max(1, self._spec_stats["drafted"])
                     ),
+                    "spec_suspended": (
+                        self._step_counter < self._spec_suspended_until
+                    ),
                 }
                 if self.draft_params is not None else {}
             ),
@@ -796,7 +856,15 @@ class LLMEngine:
         sched = self.scheduler
         if self.multistep <= 1 or sched.waiting or not sched.running:
             return False
-        if self.draft_params is not None or self.spec_ngram:
+        if self.session_k_cap is not None and self.session_k_cap <= 1:
+            # streaming low-latency mode (server-set at low concurrency):
+            # run plain one-token steps so every SSE delta is one token —
+            # ITL == TPOT instead of session-chunk bursts (VERDICT r4 #3)
+            return False
+        if (
+            (self.draft_params is not None or self.spec_ngram)
+            and self._spec_gate_open()
+        ):
             return False  # spec decode is the steady-state fast path
         if len(sched.running) > sched.config.max_num_seqs:
             return False
@@ -840,6 +908,11 @@ class LLMEngine:
             )
             + 1,
         )
+        # streaming low-latency mode: the server caps K so SSE deltas
+        # stay near per-token granularity (cap 2 -> ITL ~ 2x TPOT); the
+        # cap values are ladder members, so no new executables appear
+        if self.session_k_cap is not None:
+            k = min(k, self.session_k_cap)
         # Quantize K to a SMALL ladder: every distinct K is its own
         # fused executable, and un-warmed compiles surface as
         # multi-second TTFT/ITL outliers in serving (measured p99 4-5 s
@@ -854,6 +927,42 @@ class LLMEngine:
 
     # ---------------- speculative decoding ----------------
 
+    def _spec_record_round(self, drafted: int, accepted: int) -> None:
+        """Feed the acceptance gate one round's (drafted, accepted) and
+        suspend speculation when the rolling acceptance predicts a loss
+        (see __init__ break-even note)."""
+        win = self._spec_window
+        win.append((drafted, accepted))
+        if len(win) > 2 * self.spec_gate_window:
+            del win[0]
+        if len(win) < self.spec_gate_window:
+            return
+        d = sum(w[0] for w in win)
+        a = sum(w[1] for w in win)
+        if d and a / d < self.spec_accept_floor:
+            self._spec_suspended_until = (
+                self._step_counter + self.spec_reprobe_steps
+            )
+            self._spec_gate_log.warning(
+                "speculation suspended: rolling acceptance %.2f < "
+                "floor %.2f over %d rounds; re-probing after %d steps",
+                a / d, self.spec_accept_floor, len(win),
+                self.spec_reprobe_steps,
+            )
+            win.clear()
+
+    def _spec_gate_open(self) -> bool:
+        """False while the acceptance gate holds speculation suspended."""
+        if self._step_counter < self._spec_suspended_until:
+            return False
+        if self._spec_suspended_until and (
+            self._step_counter == self._spec_suspended_until
+        ):
+            self._spec_gate_log.info(
+                "speculation re-probe at step %d", self._step_counter
+            )
+        return True
+
     def _spec_applies(self) -> bool:
         """Steady-state greedy decode with a draft model present —
         the spec round needs every running request one-token-pending
@@ -862,6 +971,10 @@ class LLMEngine:
         stochastic requests is a known later phase)."""
         sched = self.scheduler
         if self.spec_k < 2 or sched.waiting or not sched.running:
+            return False
+        if self.multihost:
+            return False  # spec + multi-host composes in a later phase
+        if not self._spec_gate_open():
             return False
         if len(sched.running) > sched.config.max_num_seqs:
             return False
@@ -1043,6 +1156,7 @@ class LLMEngine:
                 step_fn = make_sharded_forward(
                     self.config.model, self.mesh, extras_v,
                     tp_overlap=self.config.parallel.overlap_collectives,
+                    multihost=self.multihost,
                 )
                 self._tp_steps[extras_v] = step_fn
             fed = np.concatenate(
@@ -1095,6 +1209,9 @@ class LLMEngine:
         self._spec_stats["rounds"] += 1
         self._spec_stats["drafted"] += (k - 1) * len(reqs)
         self._spec_stats["accepted"] += int(n_acc[: len(reqs)].sum())
+        self._spec_record_round(
+            (k - 1) * len(reqs), int(n_acc[: len(reqs)].sum())
+        )
         budget = n_acc.astype(np.int64) + 1  # emit t_0..t_{n_acc}
         finished = self._process_chunk(reqs, tgt.T, budget)
         return self._outputs(finished)
@@ -1187,6 +1304,10 @@ class LLMEngine:
             )
             self._spec_stats["accepted"] += int(
                 acc_r[r_i, :n_live].sum()
+            )
+            self._spec_record_round(
+                (k - 1) * int(act_r[r_i, :n_live].sum()),
+                int(acc_r[r_i, :n_live].sum()),
             )
             finished_all += self._process_chunk(
                 reqs, tgt_r[r_i].T, emit
@@ -1315,6 +1436,7 @@ class LLMEngine:
                     greedy_only=greedy_only,
                     tp_overlap=self.config.parallel.overlap_collectives,
                     with_logprob=with_logprob,
+                    multihost=self.multihost,
                 )
                 self._tp_decode_steps[cache_key] = step_fn
             sampled, lps, toks, lens, key, kv = step_fn(
@@ -1642,6 +1764,7 @@ class LLMEngine:
                     greedy_only=greedy_only,
                     tp_overlap=self.config.parallel.overlap_collectives,
                     with_logprob=with_logprob,
+                    multihost=self.multihost,
                 )
             self._tp_decode_steps[step_key] = step_fn
 
@@ -1802,6 +1925,7 @@ class LLMEngine:
                 step_fn = make_sharded_forward(
                     self.config.model, self.mesh, extras,
                     tp_overlap=self.config.parallel.overlap_collectives,
+                    multihost=self.multihost,
                 )
                 self._tp_steps[extras] = step_fn
             logits, self.kv_cache = step_fn(
@@ -1809,6 +1933,9 @@ class LLMEngine:
                 self.kv_cache, jnp.asarray(qsl), jnp.asarray(sl),
                 jnp.asarray(tbl), jnp.asarray(slot),
             )
+        if self.multihost:
+            # replicated global -> host -> local (see _launch_regular)
+            logits = jnp.asarray(np.asarray(logits))
         self._key, sub = jax.random.split(self._key)
         res = sample_replicas(
             logits, jnp.asarray(li), st_d, sub,
@@ -1999,6 +2126,7 @@ class LLMEngine:
         :meth:`_launch_cp`).  DP and PP restructure the batch itself
         (stacked replicas / sequence microbatches) and keep their own
         drivers."""
+        self._step_counter += 1
         if self.dp > 1:
             if self._dp_session_applies():
                 fast = self._try_multistep_dp()
@@ -2084,6 +2212,7 @@ class LLMEngine:
                 step_fn = make_sharded_forward(
                     self.config.model, self.mesh, extras,
                     tp_overlap=self.config.parallel.overlap_collectives,
+                    multihost=self.multihost,
                 )
                 self._tp_steps[extras] = step_fn
             logits, self.kv_cache = step_fn(
@@ -2096,6 +2225,10 @@ class LLMEngine:
                 jnp.asarray(batch.block_table)[None],
                 jnp.asarray(batch.slot_mapping)[None],
             )
+            if self.multihost:
+                # replicated global -> host -> local: sampling then runs
+                # identically on every host (SPMD serving)
+                logits = jnp.asarray(np.asarray(logits))
             self._key, sub = jax.random.split(self._key)
             return self._sample_rows(
                 logits[0][jnp.asarray(batch.logits_indices)],
