@@ -93,6 +93,15 @@ def main(argv=None) -> dict:
     )
     ap.add_argument("--seq-len", type=int, default=512)
     ap.add_argument("--max-seqs", type=int, default=4)
+    ap.add_argument(
+        "--bf16-teacher", action="store_true",
+        help="draw the FULL bf16 model and re-base every quantized row "
+        "against it (VERDICT r4 #9).  For --model granite this needs "
+        "the CPU backend (bf16 8B weights + f32 quantization "
+        "transients exceed one v5e's HBM; accuracy, not speed): "
+        "JAX_PLATFORMS=cpu python benchmarks/accuracy_table.py "
+        "--model granite --bf16-teacher",
+    )
     ap.add_argument("--out", default=os.path.join(
         REPO_ROOT, "docs", "accuracy_table.md"))
     args = ap.parse_args(argv)
@@ -117,6 +126,20 @@ def main(argv=None) -> dict:
 
         cfg, params_bf16 = load_params(args.model_dir)
         model_name = os.path.basename(args.model_dir.rstrip("/"))
+    elif args.model == "granite" and args.bf16_teacher:
+        import jax as _jax
+
+        assert _jax.devices()[0].platform == "cpu", (
+            "--bf16-teacher at granite size needs JAX_PLATFORMS=cpu "
+            "(16 GB bf16 weights + f32 quantization transients)"
+        )
+        cfg = ModelConfig.granite_3_1_8b()
+        params_bf16 = init_params(cfg, jax.random.key(0))
+        model_name = (
+            "granite-3.1-8b shape (random init) — TRUE bf16-weights "
+            "teacher on the CPU backend; every quantized row below is "
+            "the SAME weight draw quantized"
+        )
     elif args.model == "granite":
         cfg = ModelConfig.granite_3_1_8b()
         model_name = (

@@ -41,47 +41,59 @@ def _ssu_kernel(
     # scalar prefetch
     idx_ref,  # [batch] int32 state slot per batch row (SMEM)
     # inputs (per grid step)
-    state_ref,  # [1, 1, dim, dstate] paged state (aliased output)
-    x_ref,  # [1, 1, 1, dim]
-    dt_ref,  # [1, 1, 1, dim]
-    a_ref,  # [1, dim, dstate]
-    b_ref,  # [1, 1, 1, dstate]
-    c_ref,  # [1, 1, 1, dstate]
-    d_ref,  # [1, 1, 1, dim]
-    z_ref,  # [1, 1, 1, dim]
-    dtb_ref,  # [1, 1, 1, dim]
+    state_ref,  # [1, HB, dim, dstate] paged state (aliased output)
+    x_ref,  # [1, HB, 1, dim]
+    dt_ref,  # [1, HB, 1, dim]
+    a_ref,  # [HB, dim, dstate]
+    b_ref,  # [1, GB, 1, dstate]
+    c_ref,  # [1, GB, 1, dstate]
+    d_ref,  # [1, HB, 1, dim]
+    z_ref,  # [1, HB, 1, dim]
+    dtb_ref,  # [1, HB, 1, dim]
     # outputs
-    ostate_ref,  # [1, 1, dim, dstate] (input_output_aliased to state)
-    out_ref,  # [1, 1, 1, dim]
+    ostate_ref,  # [1, HB, dim, dstate] (input_output_aliased to state)
+    out_ref,  # [1, HB, 1, dim]
     *,
     dt_softplus: bool,
     has_d: bool,
     has_z: bool,
     has_dt_bias: bool,
+    heads_per_group: int,
 ):
+    """One grid step = one (batch row, HEAD BLOCK).
+
+    Round-5 redesign: the first version's (batch, heads) grid moved one
+    [dim, dstate] tile (32 KB at mamba2 shapes) per step — up to 8k
+    grid steps whose fixed cost capped the kernel at ~130 GB/s
+    (17% of the measured HBM ceiling).  Blocking HB heads per step
+    amortizes the step cost over HB tiles in one DMA each way."""
     b = pl.program_id(0)
     slot = idx_ref[b]
+    hb = state_ref.shape[1]
 
-    x = x_ref[0, 0, 0, :].astype(jnp.float32)  # [dim]
-    dt = dt_ref[0, 0, 0, :].astype(jnp.float32)  # [dim]
+    x = x_ref[0, :, 0, :].astype(jnp.float32)  # [HB, dim]
+    dt = dt_ref[0, :, 0, :].astype(jnp.float32)  # [HB, dim]
     if has_dt_bias:
-        dt = dt + dtb_ref[0, 0, 0, :].astype(jnp.float32)
+        dt = dt + dtb_ref[0, :, 0, :].astype(jnp.float32)
     if dt_softplus:
         dt = _softplus(dt)
-    a = a_ref[0].astype(jnp.float32)  # [dim, dstate]
-    bb = b_ref[0, 0, 0, :].astype(jnp.float32)  # [dstate]
-    c = c_ref[0, 0, 0, :].astype(jnp.float32)  # [dstate]
+    a = a_ref[...].astype(jnp.float32)  # [HB, dim, dstate]
+    bb = b_ref[0, :, 0, :].astype(jnp.float32)  # [GB, dstate]
+    c = c_ref[0, :, 0, :].astype(jnp.float32)  # [GB, dstate]
+    if heads_per_group > 1:
+        bb = jnp.repeat(bb, heads_per_group, axis=0)[:hb]
+        c = jnp.repeat(c, heads_per_group, axis=0)[:hb]
 
-    state = state_ref[0, 0].astype(jnp.float32)  # [dim, dstate]
-    da = jnp.exp(a * dt[:, None])  # [dim, dstate]
-    dbx = (dt * x)[:, None] * bb[None, :]  # [dim, dstate]
+    state = state_ref[0].astype(jnp.float32)  # [HB, dim, dstate]
+    da = jnp.exp(a * dt[:, :, None])  # [HB, dim, dstate]
+    dbx = (dt * x)[:, :, None] * bb[:, None, :]  # [HB, dim, dstate]
     new_state = state * da + dbx
 
-    out = jnp.sum(new_state * c[None, :], axis=1)  # [dim]
+    out = jnp.sum(new_state * c[:, None, :], axis=2)  # [HB, dim]
     if has_d:
-        out = out + d_ref[0, 0, 0, :].astype(jnp.float32) * x
+        out = out + d_ref[0, :, 0, :].astype(jnp.float32) * x
     if has_z:
-        z = z_ref[0, 0, 0, :].astype(jnp.float32)
+        z = z_ref[0, :, 0, :].astype(jnp.float32)
         out = out * (z * jax.nn.sigmoid(z))
 
     # PAD_SLOT_ID rows write nothing (state untouched, out zeroed) —
@@ -90,13 +102,13 @@ def _ssu_kernel(
 
     @pl.when(live)
     def _():
-        ostate_ref[0, 0] = new_state.astype(ostate_ref.dtype)
-        out_ref[0, 0, 0, :] = out.astype(out_ref.dtype)
+        ostate_ref[0] = new_state.astype(ostate_ref.dtype)
+        out_ref[0, :, 0, :] = out.astype(out_ref.dtype)
 
     @pl.when(jnp.logical_not(live))
     def _():
-        ostate_ref[0, 0] = state_ref[0, 0]
-        out_ref[0, 0, 0, :] = jnp.zeros_like(out_ref[0, 0, 0, :])
+        ostate_ref[0] = state_ref[0]
+        out_ref[0, :, 0, :] = jnp.zeros_like(out_ref[0, :, 0, :])
 
 
 @functools.partial(
@@ -144,12 +156,27 @@ def selective_state_update(
         z.astype(f32) if has_z else jnp.zeros((batch, nheads, dim), f32)
     ).reshape(batch, nheads, 1, dim)
 
+    # Head block: the largest divisor of nheads whose [HB, dim, dstate]
+    # f32 state tile stays ~<=1 MiB (double-buffered in+out tiles plus A
+    # and intermediates must fit scoped VMEM), aligned to the B/C group
+    # structure (block spans whole groups, or divides one group).
+    budget = (1024 * 1024) // max(1, dim * dstate * 4)
+    hb = 1
+    for cand in range(min(nheads, max(1, budget)), 0, -1):
+        if nheads % cand:
+            continue
+        if cand % heads_per_group == 0 or heads_per_group % cand == 0:
+            hb = cand
+            break
+    gb = max(1, hb // heads_per_group)
+
     kernel = functools.partial(
         _ssu_kernel,
         dt_softplus=dt_softplus,
         has_d=has_d,
         has_z=has_z,
         has_dt_bias=has_dtb,
+        heads_per_group=heads_per_group,
     )
 
     def state_map(b, h, idx):
@@ -171,25 +198,25 @@ def selective_state_update(
 
     def group_map(b, h, idx):
         del idx
-        return (b, h // heads_per_group, 0, 0)
+        return (b, (h * hb) // heads_per_group // gb, 0, 0)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(batch, nheads),
+        grid=(batch, nheads // hb),
         in_specs=[
-            pl.BlockSpec((1, 1, dim, dstate), state_map),
-            pl.BlockSpec((1, 1, 1, dim), bh_map),
-            pl.BlockSpec((1, 1, 1, dim), bh_map),
-            pl.BlockSpec((1, dim, dstate), h_map),
-            pl.BlockSpec((1, 1, 1, dstate), group_map),
-            pl.BlockSpec((1, 1, 1, dstate), group_map),
-            pl.BlockSpec((1, 1, 1, dim), hd_map),
-            pl.BlockSpec((1, 1, 1, dim), bh_map),
-            pl.BlockSpec((1, 1, 1, dim), hd_map),
+            pl.BlockSpec((1, hb, dim, dstate), state_map),
+            pl.BlockSpec((1, hb, 1, dim), bh_map),
+            pl.BlockSpec((1, hb, 1, dim), bh_map),
+            pl.BlockSpec((hb, dim, dstate), h_map),
+            pl.BlockSpec((1, gb, 1, dstate), group_map),
+            pl.BlockSpec((1, gb, 1, dstate), group_map),
+            pl.BlockSpec((1, hb, 1, dim), hd_map),
+            pl.BlockSpec((1, hb, 1, dim), bh_map),
+            pl.BlockSpec((1, hb, 1, dim), hd_map),
         ],
         out_specs=[
-            pl.BlockSpec((1, 1, dim, dstate), state_map),
-            pl.BlockSpec((1, 1, 1, dim), bh_map),
+            pl.BlockSpec((1, hb, dim, dstate), state_map),
+            pl.BlockSpec((1, hb, 1, dim), bh_map),
         ],
     )
 
