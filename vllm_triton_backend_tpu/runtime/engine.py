@@ -27,6 +27,11 @@ from vllm_triton_backend_tpu.ops.metadata import AttentionMetadata
 from vllm_triton_backend_tpu.ops.pallas.quant_linear import QuantizedLinear
 from vllm_triton_backend_tpu.runtime.multistep import decode_steps, engine_step
 from vllm_triton_backend_tpu.runtime.sampler import SamplingParams, sample
+from vllm_triton_backend_tpu.runtime.dp_engine import (
+    DataParallelMixin,
+    _reserve_session_tokens,
+)
+from vllm_triton_backend_tpu.runtime.spec_engine import SpecDecodeMixin
 from vllm_triton_backend_tpu.runtime.scheduler import (
     Request,
     RequestStatus,
@@ -79,54 +84,8 @@ def _auto_num_blocks(mc, cc, cache_dtype, utilization, shards) -> int:
     return max(shards, n - n % shards)
 
 
-def _reserve_session_tokens(sched, reqs, horizon, bs, k) -> int:
-    """Reserve pages for as many future session tokens as the pool
-    allows — in multiples of the chunk size ``k``, capped by each
-    request's own target length — and return the reserved token budget
-    (0 when not even one chunk fits).
 
-    VERDICT r1 item 9: the old policy reserved every request's FULL
-    horizon or fell back to the slow path — exactly under the pool
-    pressure where the fused path matters most.  The device-side
-    ``max_lens`` bound makes a partial budget safe (no request can write
-    past its reserved pages)."""
-
-    def tgt_for(r, m):
-        return min(
-            len(r.prompt_token_ids) + r.sampling.max_tokens + 1,
-            horizon,
-            r.num_tokens + m,
-        )
-
-    def pages_needed(m):
-        need = 0
-        for r in reqs:
-            cur = len(sched.allocator.block_table(r.req_id))
-            need += max(0, -(-tgt_for(r, m) // bs) - cur)
-        return need
-
-    max_extra = max(
-        tgt_for(r, 1 << 30) - r.num_tokens for r in reqs
-    )
-    best = 0
-    m = k
-    while best < max_extra:
-        if m > max_extra:
-            m = max_extra + (k - max_extra % k) % k  # final partial step
-        if pages_needed(m) > sched.allocator.num_free_blocks:
-            break
-        best = m
-        if m >= max_extra:
-            break
-        m += k
-    if best == 0:
-        return 0
-    for r in reqs:
-        sched.allocator.append_slots(r.req_id, tgt_for(r, best))
-    return best
-
-
-class LLMEngine:
+class LLMEngine(SpecDecodeMixin, DataParallelMixin):
     def __init__(
         self,
         config: EngineConfig,
@@ -590,6 +549,18 @@ class LLMEngine:
                 SamplingParams(max_tokens=k + 1),
             )
             drain()
+        # streaming low-latency path (session_k_cap=1 routes decode
+        # through plain one-token steps): compile it too, or the first
+        # streamed request at low concurrency pays the XLA compile
+        prev_cap = self.session_k_cap
+        self.session_k_cap = 1
+        try:
+            self.add_request(
+                prompt(prompt_lens[0]), SamplingParams(max_tokens=4)
+            )
+            drain()
+        finally:
+            self.session_k_cap = prev_cap
         # 2. mixed compositions: a decoding request + n prompts sized to
         #    land in each (mixed_prefill_rows bucket x token bucket)
         headroom = max(2, sc.max_model_len - self.multistep - 4)
@@ -925,394 +896,6 @@ class LLMEngine:
                 return step
         return k
 
-    # ---------------- speculative decoding ----------------
-
-    def _spec_record_round(self, drafted: int, accepted: int) -> None:
-        """Feed the acceptance gate one round's (drafted, accepted) and
-        suspend speculation when the rolling acceptance predicts a loss
-        (see __init__ break-even note)."""
-        win = self._spec_window
-        win.append((drafted, accepted))
-        if len(win) > 2 * self.spec_gate_window:
-            del win[0]
-        if len(win) < self.spec_gate_window:
-            return
-        d = sum(w[0] for w in win)
-        a = sum(w[1] for w in win)
-        if d and a / d < self.spec_accept_floor:
-            self._spec_suspended_until = (
-                self._step_counter + self.spec_reprobe_steps
-            )
-            self._spec_gate_log.warning(
-                "speculation suspended: rolling acceptance %.2f < "
-                "floor %.2f over %d rounds; re-probing after %d steps",
-                a / d, self.spec_accept_floor, len(win),
-                self.spec_reprobe_steps,
-            )
-            win.clear()
-
-    def _spec_gate_open(self) -> bool:
-        """False while the acceptance gate holds speculation suspended."""
-        if self._step_counter < self._spec_suspended_until:
-            return False
-        if self._spec_suspended_until and (
-            self._step_counter == self._spec_suspended_until
-        ):
-            self._spec_gate_log.info(
-                "speculation re-probe at step %d", self._step_counter
-            )
-        return True
-
-    def _spec_applies(self) -> bool:
-        """Steady-state greedy decode with a draft model present —
-        the spec round needs every running request one-token-pending
-        and plain greedy (stochastic/penalized/seeded/logprob requests
-        fall back to the regular path; lossless rejection sampling for
-        stochastic requests is a known later phase)."""
-        sched = self.scheduler
-        if self.spec_k < 2 or sched.waiting or not sched.running:
-            return False
-        if self.multihost:
-            return False  # spec + multi-host composes in a later phase
-        if not self._spec_gate_open():
-            return False
-        if len(sched.running) > sched.config.max_num_seqs:
-            return False
-        for r in sched.running:
-            if not r.output_token_ids:
-                return False
-            if r.num_computed_tokens != r.num_tokens - 1:
-                return False
-            sp = r.sampling
-            if (
-                sp.has_penalties
-                or sp.logprobs
-                or sp.seed is not None
-                or sp.has_logit_adjustments
-                # plain temperature sampling is rejection-sampled
-                # losslessly; support-filtered dists are a later phase
-                or sp.top_p < 1.0
-                or sp.top_k > 0
-                or sp.min_p > 0.0
-            ):
-                return False
-        return True
-
-    def _step_spec(self) -> list[RequestOutput] | None:
-        """One speculative round: k-1 greedy draft steps + ONE target
-        verify forward emit 1..k tokens per sequence (spec_decode.py).
-        Returns None when pages or model-length headroom are missing —
-        the regular one-token step handles that case."""
-        from vllm_triton_backend_tpu.runtime.multistep import (
-            decode_steps,
-        )
-        from vllm_triton_backend_tpu.runtime.sampler import (
-            SamplingTensors,
-            make_sampling_tensors,
-        )
-        from vllm_triton_backend_tpu.runtime.spec_decode import (
-            verify_step,
-        )
-        from vllm_triton_backend_tpu.utils import cdiv
-
-        sched = self.scheduler
-        reqs = list(sched.running)
-        k = self.spec_k
-        bs = self.config.cache.block_size
-        # page + length headroom for k-1 lookahead positions
-        needed = 0
-        for r in reqs:
-            if r.num_tokens + k - 1 > sched.config.max_model_len:
-                return None
-            target_len = r.num_tokens + k - 1
-            needed += max(
-                0,
-                cdiv(target_len, bs)
-                - len(sched.allocator.block_table(r.req_id)),
-            )
-        if needed > sched.allocator.num_free_blocks:
-            return None
-        for r in reqs:
-            sched.allocator.append_slots(r.req_id, r.num_tokens + k - 1)
-
-        s_pad = sched.config.max_num_seqs
-        tokens = np.zeros(s_pad, np.int32)
-        lens = np.ones(s_pad, np.int32)
-        live = np.zeros(s_pad, bool)
-        tbl = np.zeros((s_pad, sched.max_blocks_per_seq), np.int32)
-        for i, r in enumerate(reqs):
-            tokens[i] = r.output_token_ids[-1]
-            lens[i] = r.num_tokens
-            live[i] = True
-            pages = sched.allocator.block_table(r.req_id)
-            tbl[i, : len(pages)] = pages
-        maxlen_bucket = max(
-            128,
-            next_power_of_2(max(r.num_tokens for r in reqs) + k),
-        )
-        st = SamplingTensors(
-            *(jnp.asarray(a) for a in make_sampling_tensors([], s_pad))
-        )
-        tokens_d, lens_d, live_d, tbl_d = (
-            jnp.asarray(tokens), jnp.asarray(lens),
-            jnp.asarray(live), jnp.asarray(tbl),
-        )
-        extras_d = ForwardExtras(
-            max_query_len=1, max_seq_len=maxlen_bucket,
-            k_scale=self.k_scale, v_scale=self.v_scale,
-        )
-        stochastic = any(
-            r.sampling.temperature > 0.0 for r in reqs
-        )
-        temp = np.zeros(s_pad, np.float32)
-        for i, r in enumerate(reqs):
-            temp[i] = r.sampling.temperature
-        q_dists = None
-        if (
-            self.draft_params is not None
-            and not stochastic
-            and self.tp == 1
-        ):
-            # FUSED multi-round speculation (spec_decode.spec_rounds):
-            # R = multistep/k rounds chained on device — the session
-            # treatment applied to speculation (the host-per-round
-            # version measured 5.6-7.7x slower than plain sessions,
-            # docs/spec_decode_tpu.md)
-            return self._step_spec_fused(
-                reqs, tokens, lens, live, tbl, maxlen_bucket, k, bs,
-                tokens_d, lens_d, live_d, tbl_d,
-            )
-        if self.draft_params is not None and not stochastic:
-            # k (not k-1) draft steps: the extra step's WRITE matters,
-            # not its token — after a fully-accepted round the next
-            # current token sits at position n+k-1 and the draft must
-            # already hold K/V for position n+k-2, which only the k-th
-            # step writes (its sampled token is discarded).
-            drafts_all, _lp, _t, _l, _key, self.draft_cache = (
-                decode_steps(
-                    self.draft_params, self.draft_config,
-                    tokens_d, lens_d, tbl_d, live_d,
-                    jnp.full_like(lens_d, 1 << 30),
-                    self.draft_cache, st, self._key,
-                    extras_d, k, bs, greedy_only=True,
-                )
-            )
-            drafts = drafts_all[: k - 1]
-        elif self.draft_params is not None:
-            from vllm_triton_backend_tpu.runtime.spec_decode import (
-                draft_steps_stochastic,
-            )
-
-            self._key, sub = jax.random.split(self._key)
-            drafts_all, q_all, self.draft_cache = (
-                draft_steps_stochastic(
-                    self.draft_params, self.draft_config,
-                    tokens_d, lens_d, tbl_d, live_d,
-                    self.draft_cache, jnp.asarray(temp), sub,
-                    extras_d, k, bs,
-                )
-            )
-            drafts = drafts_all[: k - 1]
-            q_dists = q_all[: k - 1]
-        else:
-            from vllm_triton_backend_tpu.runtime.spec_decode import (
-                ngram_propose,
-            )
-
-            dr = np.zeros((k - 1, s_pad), np.int32)
-            for i, r in enumerate(reqs):
-                prop = ngram_propose(
-                    r.all_token_ids, k - 1, self.spec_ngram_n
-                )
-                dr[:, i] = (
-                    prop if prop is not None
-                    else [tokens[i]] * (k - 1)
-                )
-            drafts = jnp.asarray(dr)
-            if stochastic:
-                # prompt-lookup proposals are deterministic: q is the
-                # proposal's one-hot (accept w.p. p(d), residual keeps
-                # the emitted marginal exactly p)
-                q_dists = jax.nn.one_hot(
-                    drafts, self.config.model.vocab_size,
-                    dtype=jnp.float32,
-                )
-        extras_v = ForwardExtras(
-            max_query_len=k, max_seq_len=maxlen_bucket,
-            k_scale=self.k_scale, v_scale=self.v_scale,
-        )
-        if self.tp > 1:
-            # TP verify: the sharded prefill executable computes the
-            # logits; acceptance runs in a small standalone jit
-            from vllm_triton_backend_tpu.parallel import (
-                make_sharded_forward,
-            )
-            from vllm_triton_backend_tpu.runtime.spec_decode import (
-                spec_accept,
-            )
-
-            step_fn = self._tp_steps.get(extras_v)
-            if step_fn is None:
-                step_fn = make_sharded_forward(
-                    self.config.model, self.mesh, extras_v,
-                    tp_overlap=self.config.parallel.overlap_collectives,
-                    multihost=self.multihost,
-                )
-                self._tp_steps[extras_v] = step_fn
-            fed = np.concatenate(
-                [np.asarray(tokens)[None], np.asarray(drafts)], axis=0
-            )  # [k, S]
-            flat_tokens = fed.T.reshape(-1)
-            offs = np.arange(k, dtype=np.int32)
-            positions = ((lens - 1)[:, None] + offs[None, :])
-            qsl = np.arange(s_pad + 1, dtype=np.int32) * k
-            vis = np.where(live, lens + (k - 1), lens).astype(np.int32)
-            page = np.take_along_axis(tbl, positions // bs, axis=1)
-            slots = np.where(
-                live[:, None], page * bs + positions % bs, -1
-            ).reshape(-1).astype(np.int32)
-            logits, self.kv_cache = step_fn(
-                self.params,
-                jnp.asarray(flat_tokens)[None],
-                jnp.asarray(positions.reshape(-1))[None],
-                self.kv_cache,
-                jnp.asarray(qsl)[None],
-                jnp.asarray(vis)[None],
-                tbl_d[None],
-                jnp.asarray(slots)[None],
-            )
-            self._key, sub = jax.random.split(self._key)
-            tgt, n_acc = spec_accept(
-                logits[0], drafts, jnp.asarray(temp), q_dists, sub,
-                k, stochastic=stochastic,
-            )
-        elif stochastic:
-            from vllm_triton_backend_tpu.runtime.spec_decode import (
-                verify_step_stochastic,
-            )
-
-            self._key, sub = jax.random.split(self._key)
-            tgt, n_acc, self.kv_cache = verify_step_stochastic(
-                self.params, self.config.model,
-                tokens_d, drafts, q_dists, jnp.asarray(temp),
-                lens_d, tbl_d, live_d,
-                self.kv_cache, sub, extras_v, k, bs,
-            )
-        else:
-            tgt, n_acc, self.kv_cache = verify_step(
-                self.params, self.config.model,
-                tokens_d, drafts, lens_d, tbl_d, live_d,
-                self.kv_cache, extras_v, k, bs,
-            )
-        tgt = np.asarray(tgt)  # [S, k]
-        n_acc = np.asarray(n_acc)
-        self._spec_stats["rounds"] += 1
-        self._spec_stats["drafted"] += (k - 1) * len(reqs)
-        self._spec_stats["accepted"] += int(n_acc[: len(reqs)].sum())
-        self._spec_record_round(
-            (k - 1) * len(reqs), int(n_acc[: len(reqs)].sum())
-        )
-        budget = n_acc.astype(np.int64) + 1  # emit t_0..t_{n_acc}
-        finished = self._process_chunk(reqs, tgt.T, budget)
-        return self._outputs(finished)
-
-    def _step_spec_fused(
-        self, reqs, tokens, lens, live, tbl, maxlen_bucket, k, bs,
-        tokens_d, lens_d, live_d, tbl_d,
-    ) -> list[RequestOutput] | None:
-        """R fused greedy speculative rounds in ONE dispatch (see
-        spec_decode.spec_rounds).  Reserves pages for up to R*k tokens
-        per row (rows whose reservation falls short freeze per-round on
-        the device and the host emits nothing for them that round)."""
-        from vllm_triton_backend_tpu.runtime.spec_decode import (
-            spec_rounds,
-        )
-        from vllm_triton_backend_tpu.utils import cdiv
-
-        sched = self.scheduler
-        rounds = max(1, self.multistep // k)
-        s_pad = sched.config.max_num_seqs
-        # reserve up to rounds*k growth per row, shrinking rounds if the
-        # pool cannot cover even one round for every row
-        while rounds >= 1:
-            need = 0
-            targets = []
-            for r in reqs:
-                # NOT capped at max_tokens: a row one token from its
-                # limit must still verify a full k (the host discards
-                # past max_tokens) — capping would freeze it on device
-                # forever while the host waits for tokens (livelock)
-                tgt_len = min(
-                    sched.config.max_model_len,
-                    r.num_tokens + rounds * k,
-                )
-                targets.append(tgt_len)
-                need += max(
-                    0,
-                    cdiv(tgt_len, bs)
-                    - len(sched.allocator.block_table(r.req_id)),
-                )
-            if need <= sched.allocator.num_free_blocks:
-                break
-            rounds //= 2
-        if rounds < 1:
-            return None  # pool exhausted: regular path
-        maxlen = np.ones(s_pad, np.int32)
-        for i, (r, tgt_len) in enumerate(zip(reqs, targets)):
-            sched.allocator.append_slots(r.req_id, tgt_len)
-            # refresh the table (append may have grown it)
-            pages = sched.allocator.block_table(r.req_id)
-            tbl[i, : len(pages)] = pages
-            maxlen[i] = tgt_len
-        tbl_d = jnp.asarray(tbl)
-        maxlen_bucket = max(
-            maxlen_bucket,
-            max(128, next_power_of_2(int(maxlen.max()) + k)),
-        )
-        extras_d = ForwardExtras(
-            max_query_len=1, max_seq_len=maxlen_bucket,
-            k_scale=self.k_scale, v_scale=self.v_scale,
-        )
-        extras_v = ForwardExtras(
-            max_query_len=k, max_seq_len=maxlen_bucket,
-            k_scale=self.k_scale, v_scale=self.v_scale,
-        )
-        (
-            tgt_r, acc_r, act_r, _toks, _lens,
-            self.kv_cache, self.draft_cache,
-        ) = spec_rounds(
-            self.params, self.draft_params,
-            self.config.model, self.draft_config,
-            tokens_d, lens_d, tbl_d, live_d, jnp.asarray(maxlen),
-            self.kv_cache, self.draft_cache,
-            extras_d, extras_v, k, rounds, bs,
-        )
-        tgt_r = np.asarray(tgt_r)  # [R, S, k]
-        acc_r = np.asarray(acc_r)  # [R, S]
-        act_r = np.asarray(act_r)  # [R, S]
-        finished_all: list[Request] = []
-        n_live = len(reqs)
-        for r_i in range(rounds):
-            emit = np.where(
-                act_r[r_i], acc_r[r_i] + 1, 0
-            ).astype(np.int64)
-            if not emit[:n_live].any():
-                continue
-            self._spec_stats["rounds"] += 1
-            self._spec_stats["drafted"] += (k - 1) * int(
-                act_r[r_i, :n_live].sum()
-            )
-            self._spec_stats["accepted"] += int(
-                acc_r[r_i, :n_live].sum()
-            )
-            self._spec_record_round(
-                (k - 1) * int(act_r[r_i, :n_live].sum()),
-                int(acc_r[r_i, :n_live].sum()),
-            )
-            finished_all += self._process_chunk(
-                reqs, tgt_r[r_i].T, emit
-            )
-        return self._outputs(finished_all)
 
     def _process_chunk(
         self, reqs, sampled: np.ndarray, budget=None, logprobs=None
@@ -1458,6 +1041,71 @@ class LLMEngine:
             with_logprob=with_logprob,
         )
 
+    def _drive_session(
+        self, *, scheds, all_reqs, k, reserved, horizon,
+        launch_chunk, commit_chunk,
+    ) -> tuple[list[Request], int]:
+        """THE fused-session driver (VERDICT r3 #9 / r4 #4): the launch-
+        condition + in-flight/pending bookkeeping shared by every session
+        mode.  ``launch_chunk()`` dispatches one K-step chunk (mutating
+        the caller's device carries) and returns (sampled, logprobs);
+        ``commit_chunk(tokens, logprobs)`` applies one chunk's host
+        tokens and returns finished requests.  Chunks are committed one
+        iteration LATE so the D2H overlaps the next chunk's execution.
+
+        Launch gating: per-row device-side ``max_lens`` freezing makes a
+        chunk that would overshoot the most-advanced row safe — only
+        global conditions (arrivals, finishes, page reservation, the
+        serving one-chunk-per-step hook) stop the session.
+        """
+        finished_all: list[Request] = []
+        pending = None
+        inflight = 0
+        launched_total = 0
+        chunks_launched = 0
+        while True:
+            launch = (
+                not any(s.waiting for s in scheds)
+                # serving (poll hook set): one chunk per step() call so
+                # streaming deltas flush and arrivals admit at chunk
+                # granularity; offline runs chain chunks device-side
+                and not (
+                    self.poll_new_work is not None
+                    and (
+                        chunks_launched >= 1 or self.poll_new_work()
+                    )
+                )
+                and not any(r.is_finished for r in all_reqs)
+                and any(
+                    len(r.output_token_ids) + inflight
+                    < r.sampling.max_tokens
+                    and r.num_tokens + inflight < horizon
+                    for r in all_reqs
+                )
+                and launched_total + k <= reserved
+            )
+            if launch:
+                sampled, lps = launch_chunk()
+                inflight += k
+                launched_total += k
+                chunks_launched += 1
+                # start the D2H now so the transfer overlaps the next
+                # chunk's execution — the host read one iteration later
+                # finds the data already local
+                try:
+                    sampled.copy_to_host_async()
+                except (AttributeError, NotImplementedError):
+                    pass
+            if pending is not None:
+                p_tok, p_lp = pending
+                finished_all += commit_chunk(p_tok, p_lp)
+                inflight -= k
+                pending = None
+            if not launch:
+                break
+            pending = (sampled, lps)
+        return finished_all, chunks_launched
+
     def _try_multistep(self) -> list[RequestOutput] | None:
         """Device-resident decode session.
 
@@ -1557,408 +1205,39 @@ class LLMEngine:
                 sidx[i] = self._slot_of[r.req_id]
             sidx_d = jnp.asarray(sidx)
 
-        finished_all: list[Request] = []
         tokens_d, lens_d, live_d, st_d = build_host_state(reqs)
         # static sampler specialization: skip the stochastic path (full-
         # vocab sort) entirely when every request decodes greedily
         greedy_only = all(r.sampling.temperature <= 0.0 for r in reqs)
         with_logprob = any(r.sampling.logprobs for r in reqs)
-        key_d = self._key
-        pending = None  # in-flight chunk's (sampled [K,S], logprobs|None)
-        # in-flight tokens per live req not yet applied on host
-        inflight = 0
-        launched_total = 0  # monotone: tokens launched this session
-        chunks_launched = 0
-        while True:
-            # No horizon gate on the leader here: each row's device-side
-            # ``max_lens`` (capped at horizon and at its reserved pages)
-            # freezes it individually, so a chunk that would overshoot
-            # the most-advanced row still safely advances the laggards.
-            launch = (
-                not sched.waiting
-                # serving (poll hook set): one chunk per step() call so
-                # streaming deltas flush and arrivals admit at chunk
-                # granularity; offline runs chain chunks device-side
-                and not (
-                    self.poll_new_work is not None
-                    and (chunks_launched >= 1 or self.poll_new_work())
-                )
-                and not any(r.is_finished for r in reqs)
-                and any(
-                    len(r.output_token_ids) + inflight
-                    < r.sampling.max_tokens
-                    and r.num_tokens + inflight < horizon
-                    for r in reqs
-                )
-                and launched_total + k <= reserved
+        carry = {"tokens": tokens_d, "lens": lens_d, "key": self._key}
+
+        def launch_chunk():
+            (
+                sampled, lps, carry["tokens"], carry["lens"],
+                carry["key"], self.kv_cache,
+            ) = self._launch_decode_chunk(
+                carry["tokens"], carry["lens"], tbl_d, live_d, maxlen_d,
+                st_d, carry["key"], extras, k, bs,
+                greedy_only, sidx_d, with_logprob,
             )
-            if launch:
-                (
-                    sampled, lps, tokens_d, lens_d, key_d, self.kv_cache,
-                ) = self._launch_decode_chunk(
-                    tokens_d, lens_d, tbl_d, live_d, maxlen_d,
-                    st_d, key_d, extras, k, bs,
-                    greedy_only, sidx_d, with_logprob,
-                )
-                inflight += k
-                launched_total += k
-                chunks_launched += 1
-                # start the D2H of this chunk's tokens now so the transfer
-                # overlaps with the next chunk's execution — the host read
-                # one iteration later finds the data already local
-                try:
-                    sampled.copy_to_host_async()
-                except (AttributeError, NotImplementedError):
-                    pass
-            if pending is not None:
-                p_tok, p_lp = pending
-                finished_all += self._process_chunk(
-                    reqs, np.asarray(p_tok), consumable,
-                    np.asarray(p_lp) if p_lp is not None else None,
-                )
-                inflight -= p_tok.shape[0]
-                pending = None
-            if not launch:
-                break
-            pending = (sampled, lps)
-        self._key = key_d
+            return sampled, lps
+
+        def commit_chunk(p_tok, p_lp):
+            return self._process_chunk(
+                reqs, np.asarray(p_tok), consumable,
+                np.asarray(p_lp) if p_lp is not None else None,
+            )
+
+        finished_all, chunks_launched = self._drive_session(
+            scheds=[sched], all_reqs=reqs, k=k, reserved=reserved,
+            horizon=horizon, launch_chunk=launch_chunk,
+            commit_chunk=commit_chunk,
+        )
+        self._key = carry["key"]
         if chunks_launched == 0:
             return None  # no progress possible: regular path handles it
         return self._outputs(finished_all)
-
-    # ---------------- data-parallel replica stepping ----------------
-
-    def _dp_session_applies(self) -> bool:
-        """Steady-state decode across EVERY replica (empty replicas OK)."""
-        if self.multistep <= 1:
-            return False
-        any_running = False
-        for sched in self.schedulers:
-            if sched.waiting:
-                return False
-            for r in sched.running:
-                any_running = True
-                if not r.output_token_ids:
-                    return False
-                if r.num_computed_tokens != r.num_tokens - 1:
-                    return False
-                if (
-                    r.sampling.has_penalties
-                    or r.sampling.seed is not None
-                    or r.sampling.has_logit_adjustments
-                ):
-                    return False
-        return any_running
-
-    def _try_multistep_dp(self) -> list[RequestOutput] | None:
-        """Stacked decode session over the data axis: one fused K-step
-        chunk drives every replica's batch at once."""
-        from vllm_triton_backend_tpu.parallel import (
-            make_sharded_decode_steps,
-        )
-
-        scheds = self.schedulers
-        reqs_r = [list(s.running) for s in scheds]
-        all_reqs = [r for reqs in reqs_r for r in reqs]
-        if not all_reqs:
-            return None
-        k = min(
-            self._session_chunk_budget(reqs) for reqs in reqs_r if reqs
-        )
-        if k < 2:
-            return None
-        sched0 = scheds[0]
-        s_pad = sched0.config.max_num_seqs
-        horizon = min(
-            max(
-                len(r.prompt_token_ids) + r.sampling.max_tokens + 1
-                for r in all_reqs
-            ),
-            sched0.config.max_model_len,
-        )
-        extras = ForwardExtras(
-            max_query_len=1,
-            # bucket floored at min(1024, model-len bucket) — see
-            # _try_multistep
-            max_seq_len=max(
-                min(
-                    1024,
-                    next_power_of_2(sched0.config.max_model_len),
-                ),
-                next_power_of_2(horizon),
-            ),
-            k_scale=self.k_scale,
-            v_scale=self.v_scale,
-        )
-        bs = self.config.cache.block_size
-        greedy_only = all(
-            r.sampling.temperature <= 0.0 for r in all_reqs
-        )
-
-        # budgeted page reservation, bounded by the tightest replica
-        reserved = None
-        for sched, reqs in zip(scheds, reqs_r):
-            if not reqs:
-                continue
-            got = _reserve_session_tokens(sched, reqs, horizon, bs, k)
-            reserved = got if reserved is None else min(reserved, got)
-        if not reserved or reserved < k:
-            return None
-
-        from vllm_triton_backend_tpu.runtime.sampler import (
-            SamplingTensors,
-            make_sampling_tensors,
-        )
-
-        d = self.dp
-        tokens = np.zeros((d, s_pad), np.int32)
-        lens = np.ones((d, s_pad), np.int32)
-        live = np.zeros((d, s_pad), bool)
-        maxlen = np.ones((d, s_pad), np.int32)
-        tbl = np.zeros(
-            (d, s_pad, sched0.max_blocks_per_seq), np.int32
-        )
-        st_rows = []
-        with_logprob = any(r.sampling.logprobs for r in all_reqs)
-        for di, (sched, reqs) in enumerate(zip(scheds, reqs_r)):
-            st_rows.append(
-                make_sampling_tensors(
-                    [r.sampling for r in reqs], pad_to=s_pad
-                )
-            )
-            for i, r in enumerate(reqs):
-                tokens[di, i] = r.output_token_ids[-1]
-                lens[di, i] = r.num_tokens
-                live[di, i] = True
-                maxlen[di, i] = min(
-                    len(r.prompt_token_ids) + r.sampling.max_tokens + 1,
-                    horizon,
-                    r.num_tokens + reserved,
-                )
-                pages = sched.allocator.block_table(r.req_id)
-                tbl[di, i, : len(pages)] = pages
-
-        sidx_d = None
-        if self.is_hybrid:
-            sidx = np.full((d, s_pad), -1, np.int32)
-            for di, reqs in enumerate(reqs_r):
-                for i, r in enumerate(reqs):
-                    sidx[di, i] = self._slot_of[r.req_id]
-            sidx_d = jnp.asarray(sidx)
-        step_key = (extras, k, greedy_only, with_logprob)
-        step_fn = self._tp_decode_steps.get(step_key)
-        if step_fn is None:
-            if self.is_hybrid:
-                from vllm_triton_backend_tpu.parallel.sharded import (
-                    make_sharded_hybrid_decode_steps,
-                )
-
-                step_fn = make_sharded_hybrid_decode_steps(
-                    self.config.model, self.mesh, extras, k, bs,
-                    greedy_only=greedy_only,
-                    with_logprob=with_logprob,
-                )
-            else:
-                step_fn = make_sharded_decode_steps(
-                    self.config.model, self.mesh, extras, k, bs,
-                    greedy_only=greedy_only,
-                    tp_overlap=self.config.parallel.overlap_collectives,
-                    with_logprob=with_logprob,
-                    multihost=self.multihost,
-                )
-            self._tp_decode_steps[step_key] = step_fn
-
-        tokens_d = jnp.asarray(tokens)
-        lens_d = jnp.asarray(lens)
-        tbl_d = jnp.asarray(tbl)
-        live_d = jnp.asarray(live)
-        maxlen_d = jnp.asarray(maxlen)
-        consumable = np.zeros((d, s_pad), np.int64)
-        for di, reqs in enumerate(reqs_r):
-            for i, r in enumerate(reqs):
-                consumable[di, i] = maxlen[di, i] - r.num_tokens
-        st_d = SamplingTensors(
-            *(
-                jnp.asarray(np.stack([getattr(row, f) for row in st_rows]))
-                for f in SamplingTensors._fields
-            )
-        )
-        key_d = self._key
-        finished_all: list[Request] = []
-        pending = None
-        inflight = 0
-        launched_total = 0
-        chunks_launched = 0
-        while True:
-            # per-row max_lens freezing makes a leader-overshooting
-            # chunk safe — see _try_multistep's launch condition
-            launch = (
-                not any(s.waiting for s in scheds)
-                and not (
-                    self.poll_new_work is not None
-                    and (chunks_launched >= 1 or self.poll_new_work())
-                )
-                and not any(r.is_finished for r in all_reqs)
-                and any(
-                    len(r.output_token_ids) + inflight
-                    < r.sampling.max_tokens
-                    and r.num_tokens + inflight < horizon
-                    for r in all_reqs
-                )
-                and launched_total + k <= reserved
-            )
-            if launch:
-                if self.is_hybrid:
-                    (
-                        sampled, lps, tokens_d, lens_d, key_d,
-                        self.kv_cache, self.conv_state, self.ssm_state,
-                    ) = step_fn(
-                        self.params, tokens_d, lens_d, tbl_d, live_d,
-                        maxlen_d, self.kv_cache,
-                        self.conv_state, self.ssm_state, sidx_d,
-                        st_d, key_d,
-                    )
-                else:
-                    (
-                        sampled, lps, tokens_d, lens_d, key_d,
-                        self.kv_cache,
-                    ) = step_fn(
-                        self.params, tokens_d, lens_d, tbl_d, live_d,
-                        maxlen_d, self.kv_cache,
-                        st_d, key_d,
-                    )
-                inflight += k
-                launched_total += k
-                chunks_launched += 1
-                try:
-                    sampled.copy_to_host_async()
-                except (AttributeError, NotImplementedError):
-                    pass
-            if pending is not None:
-                p_tok, p_lp = pending
-                host = np.asarray(p_tok)  # [D, K, S]
-                host_lp = (
-                    np.asarray(p_lp) if p_lp is not None else None
-                )
-                for di, reqs in enumerate(reqs_r):
-                    finished_all += self._process_chunk_for(
-                        scheds[di], reqs, host[di], consumable[di],
-                        host_lp[di] if host_lp is not None else None,
-                    )
-                inflight -= p_tok.shape[1]
-                pending = None
-            if not launch:
-                break
-            pending = (sampled, lps)
-        self._key = key_d
-        if chunks_launched == 0:
-            return None
-        return self._outputs(finished_all)
-
-    def _step_dp(self) -> list[RequestOutput]:
-        """One stacked regular step across the data replicas."""
-        from vllm_triton_backend_tpu.parallel import make_sharded_forward
-        from vllm_triton_backend_tpu.runtime.sampler import sample_replicas
-
-        batches = [s.schedule() for s in self.schedulers]
-        if all(b.is_empty for b in batches):
-            return []
-        bucket = max(b.token_ids.shape[0] for b in batches)
-        extras = self._mk_extras(
-            max(b.max_query_len for b in batches),
-            max(b.max_seq_len for b in batches),
-            batches=[b for b in batches if not b.is_empty],
-        )
-        d = self.dp
-        s_max = self.scheduler.config.max_num_seqs
-
-        def pad_to(a, fill):
-            out = np.full(bucket, fill, a.dtype)
-            out[: a.shape[0]] = a
-            return out
-
-        tok = np.stack([pad_to(b.token_ids, 0) for b in batches])
-        pos = np.stack([pad_to(b.positions, 0) for b in batches])
-        slot = np.stack([pad_to(b.slot_mapping, -1) for b in batches])
-        qsl = np.stack([b.query_start_loc for b in batches])
-        sl = np.stack([b.seq_lens for b in batches])
-        tbl = np.stack([b.block_table for b in batches])
-        li = np.stack([b.logits_indices for b in batches])
-        req_groups = [
-            [self.schedulers[di].requests[rid] for rid in b.req_ids]
-            for di, b in enumerate(batches)
-        ]
-        (
-            st_d, pt_d, greedy, with_logprob, with_seeds, adj_d,
-        ) = self._sampling_inputs(req_groups, s_max, stacked=True)
-
-        if self.is_hybrid:
-            from vllm_triton_backend_tpu.parallel.sharded import (
-                make_sharded_hybrid_forward,
-            )
-
-            state_idx = np.full((d, s_max), -1, np.int32)
-            for di, b in enumerate(batches):
-                for i, rid in enumerate(b.req_ids):
-                    if rid not in self._slot_of:
-                        self._slot_of[rid] = self._free_slots[di].pop()
-                    state_idx[di, i] = self._slot_of[rid]
-            step_fn = self._tp_steps.get(extras)
-            if step_fn is None:
-                step_fn = make_sharded_hybrid_forward(
-                    self.config.model, self.mesh, extras
-                )
-                self._tp_steps[extras] = step_fn
-            (
-                logits, self.kv_cache,
-                self.conv_state, self.ssm_state,
-            ) = step_fn(
-                self.params, jnp.asarray(tok), jnp.asarray(pos),
-                self.kv_cache, self.conv_state, self.ssm_state,
-                jnp.asarray(state_idx),
-                jnp.asarray(qsl), jnp.asarray(sl),
-                jnp.asarray(tbl), jnp.asarray(slot),
-            )
-        else:
-            step_fn = self._tp_steps.get(extras)
-            if step_fn is None:
-                step_fn = make_sharded_forward(
-                    self.config.model, self.mesh, extras,
-                    tp_overlap=self.config.parallel.overlap_collectives,
-                    multihost=self.multihost,
-                )
-                self._tp_steps[extras] = step_fn
-            logits, self.kv_cache = step_fn(
-                self.params, jnp.asarray(tok), jnp.asarray(pos),
-                self.kv_cache, jnp.asarray(qsl), jnp.asarray(sl),
-                jnp.asarray(tbl), jnp.asarray(slot),
-            )
-        if self.multihost:
-            # replicated global -> host -> local (see _launch_regular)
-            logits = jnp.asarray(np.asarray(logits))
-        self._key, sub = jax.random.split(self._key)
-        res = sample_replicas(
-            logits, jnp.asarray(li), st_d, sub,
-            greedy_only=greedy, with_logprob=with_logprob, pt=pt_d,
-            with_seeds=with_seeds,
-            seed_ctr=jnp.asarray(sl) if with_seeds else None,
-            logit_adj=adj_d,
-        )
-        if with_logprob:
-            sampled, lp = np.asarray(res[0]), np.asarray(res[1])
-        else:
-            sampled, lp = np.asarray(res), None
-        outputs: list[RequestOutput] = []
-        for di, b in enumerate(batches):
-            finished = self.schedulers[di].update(
-                b, sampled[di], self.eos_token_id,
-                lp[di] if lp is not None else None,
-            )
-            if self.is_hybrid:
-                for r in finished:
-                    self._hyb_free_slot(r.req_id, di)
-            outputs += self._outputs(finished)
-        return outputs
 
     # ---------------- pipeline-parallel stepping ----------------
 
