@@ -386,3 +386,62 @@ def test_engine_warmup_drains_clean():
         steps += 1
     out = [r for r in engine.all_requests().values()]
     assert any(len(r.output_token_ids) == 4 for r in out)
+
+
+def test_deferred_prefill_pipeline_matches_synchronous():
+    """Round 5: with prefill_priority, offline engines defer each
+    prefill step's D2H/commit one step (scheduler.advance plans the next
+    chunk from counts alone).  Outputs must be token-exact vs the
+    synchronous engine, including stop-token and max_tokens finishes."""
+    import dataclasses
+
+    import jax
+    import numpy as np
+
+    from vllm_triton_backend_tpu.config import (
+        CacheConfig, EngineConfig, ModelConfig, SchedulerConfig,
+    )
+    from vllm_triton_backend_tpu.models.llama import init_params
+    from vllm_triton_backend_tpu.runtime.engine import LLMEngine
+    from vllm_triton_backend_tpu.runtime.sampler import SamplingParams
+
+    cfg = EngineConfig(
+        model=ModelConfig.tiny(dtype="float32"),
+        cache=CacheConfig(block_size=16, num_blocks=96),
+        scheduler=SchedulerConfig(
+            max_num_seqs=4,
+            max_num_batched_tokens=32,  # chunks 70-token prompts
+            max_model_len=128,
+            token_buckets=(8, 16, 32),
+            prefill_priority=True,
+        ),
+    )
+    params = init_params(cfg.model, jax.random.key(0))
+    rng = np.random.default_rng(9)
+    prompts = [
+        rng.integers(0, cfg.model.vocab_size, size=n).tolist()
+        for n in (70, 45, 33, 12)
+    ]
+
+    def run(poll_hook):
+        engine = LLMEngine(cfg, params=params, multistep=4)
+        engine.poll_new_work = poll_hook  # None -> deferral eligible
+        for i, p in enumerate(prompts):
+            engine.add_request(
+                p, SamplingParams(max_tokens=10), req_id=f"r{i}"
+            )
+        out, steps = {}, 0
+        deferred = 0
+        while engine.has_unfinished():
+            deferred += engine._pending_step is not None
+            for o in engine.step():
+                out[o.req_id] = o.output_token_ids
+            steps += 1
+            assert steps < 200
+        assert engine._pending_step is None  # fully drained
+        return out, deferred
+
+    sync, _ = run(lambda: False and None or False)  # poll set: no defer
+    piped, n_def = run(None)
+    assert n_def > 0, "deferral never engaged"
+    assert piped == sync, f"pipeline diverged:\n{piped}\nvs\n{sync}"

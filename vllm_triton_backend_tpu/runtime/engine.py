@@ -309,6 +309,9 @@ class LLMEngine(SpecDecodeMixin, DataParallelMixin):
         # at concurrency 2-4).  Chunk granularity bounds the added TTFT
         # to K decode steps.
         self.poll_new_work = None
+        # Deferred prefill-pipeline step (batch, sampled_dev, lp_dev):
+        # see _defer_prefill_ok / _flush_pending
+        self._pending_step = None
         # Streaming low-latency mode (entrypoints.openai_server sets
         # this per step from live stream count x concurrency): caps the
         # fused-session chunk size so SSE deltas approach per-token
@@ -461,6 +464,7 @@ class LLMEngine(SpecDecodeMixin, DataParallelMixin):
         this automatically and counts it in ``/metrics``.
         """
         n = 0
+        self._pending_step = None  # its device buffers may be corrupt
         if self.cp > 1:
             from vllm_triton_backend_tpu.runtime.block_allocator import (
                 CPBlockAllocator,
@@ -1416,6 +1420,12 @@ class LLMEngine(SpecDecodeMixin, DataParallelMixin):
             return self._step_pp()
         if self.cp > 1:
             return self._regular_step()
+        if self._pending_step is not None and not self.scheduler.waiting:
+            # prefill phase just drained: commit the deferred tail so
+            # the decode session sees every request one-token-pending
+            out = self._flush_pending()
+            if out:
+                return out
         if (
             (self.draft_params is not None or self.spec_ngram)
             and self._spec_applies()
@@ -1429,11 +1439,44 @@ class LLMEngine(SpecDecodeMixin, DataParallelMixin):
                 return fast
         return self._regular_step()
 
+    def _defer_prefill_ok(self) -> bool:
+        """Pipeline the prefill phase (offline/bench runs): defer one
+        step's D2H + token commit until AFTER the next step is
+        dispatched.  Chunked-prefill scheduling depends only on
+        computed-token counts (scheduler.advance), never on the sampled
+        VALUES, so the device never idles waiting for the host's ~35 ms
+        tunnel round trip (measured: the blocking np.asarray was 197 of
+        a 203 ms prefill step wall at device 154 ms).  Rows awaiting
+        their deferred token are unschedulable in between (zero new
+        tokens), so ordering is preserved.  Serving keeps synchronous
+        steps (poll hook set): deltas there must flush every step."""
+        return (
+            self.poll_new_work is None
+            and self.scheduler.config.prefill_priority
+            and bool(self.scheduler.waiting)
+            and self.tp == 1 and self.cp == 1 and self.dp == 1
+            and not self.is_hybrid
+            and self.draft_params is None
+        )
+
+    def _flush_pending(self) -> list[RequestOutput]:
+        """Commit the deferred step's sampled tokens (if any)."""
+        if self._pending_step is None:
+            return []
+        batch, sampled_d, lp_d, completed = self._pending_step
+        self._pending_step = None
+        finished = self.scheduler.apply_sampled(
+            batch, np.asarray(sampled_d), self.eos_token_id,
+            np.asarray(lp_d) if lp_d is not None else None,
+            completed_rows=completed,
+        )
+        return self._outputs(finished)
+
     def _regular_step(self) -> list[RequestOutput]:
         """The shared schedule -> launch -> commit driver."""
         batch = self.scheduler.schedule()
         if batch.is_empty:
-            return []
+            return self._flush_pending()
         extras = self._mk_extras(
             batch.max_query_len, batch.max_seq_len,
             # the cp forward has its own attention path; keep its
@@ -1444,8 +1487,21 @@ class LLMEngine(SpecDecodeMixin, DataParallelMixin):
         sampling = self._sampling_inputs(
             reqs, batch.logits_indices.shape[0]
         )
+        defer = self._defer_prefill_ok()
         if self.cp > 1:
             sampled, logprobs = self._launch_cp(batch, extras, sampling)
+        elif defer:
+            sampled_d, lp_d = self._launch_regular(
+                batch, extras, sampling, defer=True
+            )
+            # next schedule() plans the following chunk from counts
+            self.scheduler.advance(batch)
+            completed = self.scheduler.completion_snapshot(batch)
+            # committing the PREVIOUS step now overlaps its D2H with
+            # THIS step's device execution
+            outs = self._flush_pending()
+            self._pending_step = (batch, sampled_d, lp_d, completed)
+            return outs
         else:
             sampled, logprobs = self._launch_regular(
                 batch, extras, sampling
@@ -1470,11 +1526,14 @@ class LLMEngine(SpecDecodeMixin, DataParallelMixin):
                     ),
                     extras,
                 )
-        return self._finish_step(batch, sampled, logprobs)
+        return self._flush_pending() + self._finish_step(
+            batch, sampled, logprobs
+        )
 
-    def _launch_regular(self, batch, extras, sampling):
+    def _launch_regular(self, batch, extras, sampling, defer=False):
         """Launch stage for the single-chip / TP / hybrid modes;
-        returns (sampled [S] np, logprobs [S] np | None)."""
+        returns (sampled [S] np, logprobs [S] np | None) — or the
+        DEVICE arrays when ``defer`` (single-chip prefill pipeline)."""
         (
             st_d, pt_d, greedy_only, with_logprob, with_seeds, adj_d,
         ) = sampling
@@ -1597,11 +1656,20 @@ class LLMEngine(SpecDecodeMixin, DataParallelMixin):
         )
         if with_logprob:
             sampled_d, lp_d, self._key, self.kv_cache = out
-            logprobs = np.asarray(lp_d)
         else:
             sampled_d, self._key, self.kv_cache = out
-            logprobs = None
-        return np.asarray(sampled_d), logprobs
+            lp_d = None
+        if defer:
+            # start the D2H now so the deferred flush (one step later)
+            # finds the data already local
+            try:
+                sampled_d.copy_to_host_async()
+            except (AttributeError, NotImplementedError):
+                pass
+            return sampled_d, lp_d
+        return np.asarray(sampled_d), (
+            np.asarray(lp_d) if lp_d is not None else None
+        )
 
 
 class LLM:

@@ -407,10 +407,24 @@ class Scheduler:
         consumed when the request's whole remaining context was computed
         (i.e. not mid-chunked-prefill).  ``logprobs[i]``, when given, is
         that token's logprob (stored for requests that asked for it).
+
+        Split into :meth:`advance` (host-only bookkeeping) +
+        :meth:`apply_sampled` (consumes device results) so the engine's
+        prefill pipeline can advance scheduling WITHOUT waiting for the
+        step's D2H (engine._pending_step; ~35 ms tunnel round trip per
+        step hidden under the next step's device time).
         """
-        finished = []
+        self.advance(batch)
+        return self.apply_sampled(batch, sampled, eos_token_id, logprobs)
+
+    def advance(self, batch: ScheduledBatch) -> None:
+        """Advance computed-token counts + prefix publication for one
+        scheduled step — everything the NEXT ``schedule()`` needs, none
+        of which depends on the step's sampled tokens."""
         for i, req_id in enumerate(batch.req_ids):
-            req = self.requests[req_id]
+            req = self.requests.get(req_id)
+            if req is None:  # aborted while in flight
+                continue
             n = int(
                 batch.query_start_loc[i + 1] - batch.query_start_loc[i]
             )
@@ -418,7 +432,43 @@ class Scheduler:
             self.allocator.publish_full_blocks(
                 req_id, req.all_token_ids[: req.num_computed_tokens]
             )
-            if req.num_computed_tokens < req.num_tokens:
+
+    def completion_snapshot(self, batch: ScheduledBatch) -> list[bool]:
+        """Which of this batch's rows have their full prompt computed —
+        taken immediately after :meth:`advance` for a deferred flush."""
+        out = []
+        for req_id in batch.req_ids:
+            req = self.requests.get(req_id)
+            out.append(
+                req is not None
+                and req.num_computed_tokens >= req.num_tokens
+            )
+        return out
+
+    def apply_sampled(
+        self, batch: ScheduledBatch, sampled: np.ndarray,
+        eos_token_id: int | None, logprobs: np.ndarray | None = None,
+        completed_rows: list[bool] | None = None,
+    ) -> list[Request]:
+        """Consume one (possibly deferred) step's sampled tokens for the
+        rows whose prompt completed in that step.
+
+        ``completed_rows`` is the completion snapshot taken right after
+        this batch's :meth:`advance` (see :meth:`completion_snapshot`).
+        A DEFERRED flush must pass it: by flush time a LATER batch may
+        have advanced a mid-prefill row to completion, and re-deriving
+        completion from current state would consume this batch's
+        garbage mid-chunk logit as that row's first token."""
+        finished = []
+        for i, req_id in enumerate(batch.req_ids):
+            req = self.requests.get(req_id)
+            if req is None:  # aborted while deferred
+                continue
+            done = (
+                completed_rows[i] if completed_rows is not None
+                else req.num_computed_tokens >= req.num_tokens
+            )
+            if not done:
                 continue  # chunked prefill still in flight
             tok = int(sampled[i])
             req.output_token_ids.append(tok)
