@@ -289,6 +289,7 @@ def test_acceptance_gate_suspends_weak_draft(setup, monkeypatch):
     suspends speculation (falling back to plain decode paths) and the
     output stays lossless; after the re-probe horizon spec re-engages."""
     monkeypatch.setenv("VTB_SPEC_GATE_WINDOW", "3")
+    monkeypatch.setenv("VTB_SPEC_GATE_MIN_DRAFTED", "6")
     monkeypatch.setenv("VTB_SPEC_REPROBE_STEPS", "6")
     cfg, params = setup
     prompts = _prompts(cfg, seed=11)
@@ -312,6 +313,7 @@ def test_acceptance_gate_suspends_weak_draft(setup, monkeypatch):
 def test_acceptance_gate_stays_open_for_good_draft(setup, monkeypatch):
     """A perfect draft must never trip the gate."""
     monkeypatch.setenv("VTB_SPEC_GATE_WINDOW", "3")
+    monkeypatch.setenv("VTB_SPEC_GATE_MIN_DRAFTED", "6")
     cfg, params = setup
     prompts = _prompts(cfg, seed=13)
     spec, eng = _run(

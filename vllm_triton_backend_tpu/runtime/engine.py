@@ -350,9 +350,14 @@ class LLMEngine(SpecDecodeMixin, DataParallelMixin):
         self.spec_reprobe_steps = int(
             os.environ.get("VTB_SPEC_REPROBE_STEPS", "512")
         )
-        # rounds the gate needs before judging (window cap = 2x)
+        # evidence the gate needs before judging: >= 2 rounds AND >=
+        # this many drafted tokens in the window (one 2-round probe at
+        # serving batch sizes; a batch-1 stream needs ~11 rounds)
         self.spec_gate_window = int(
-            os.environ.get("VTB_SPEC_GATE_WINDOW", "16")
+            os.environ.get("VTB_SPEC_GATE_WINDOW", "32")
+        )
+        self.spec_gate_min_drafted = int(
+            os.environ.get("VTB_SPEC_GATE_MIN_DRAFTED", "64")
         )
         self._spec_gate_log = logging.getLogger(__name__)
         self.draft_params = draft_params

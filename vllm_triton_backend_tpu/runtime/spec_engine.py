@@ -27,12 +27,12 @@ class SpecDecodeMixin:
         (see __init__ break-even note)."""
         win = self._spec_window
         win.append((drafted, accepted))
-        if len(win) > 2 * self.spec_gate_window:
+        if len(win) > self.spec_gate_window:
             del win[0]
-        if len(win) < self.spec_gate_window:
-            return
         d = sum(w[0] for w in win)
         a = sum(w[1] for w in win)
+        if len(win) < 2 or d < self.spec_gate_min_drafted:
+            return  # not enough evidence yet (see __init__)
         if d and a / d < self.spec_accept_floor:
             self._spec_suspended_until = (
                 self._step_counter + self.spec_reprobe_steps
@@ -44,6 +44,15 @@ class SpecDecodeMixin:
                 self.spec_reprobe_steps,
             )
             win.clear()
+
+    def _spec_probing(self) -> bool:
+        """True while the gate lacks evidence — fused dispatches cap
+        their round count so a probe costs ~2 rounds, not multistep/k."""
+        win = self._spec_window
+        return (
+            len(win) < 2
+            or sum(w[0] for w in win) < self.spec_gate_min_drafted
+        )
 
     def _spec_gate_open(self) -> bool:
         """False while the acceptance gate holds speculation suspended."""
@@ -325,6 +334,11 @@ class SpecDecodeMixin:
 
         sched = self.scheduler
         rounds = max(1, self.multistep // k)
+        if self._spec_probing():
+            # acceptance unknown: probe with 2 rounds instead of
+            # committing a full multistep/k-round dispatch to a draft
+            # that may be a measured loss (acceptance gate, r4 #7)
+            rounds = min(rounds, 2)
         s_pad = sched.config.max_num_seqs
         # reserve up to rounds*k growth per row, shrinking rounds if the
         # pool cannot cover even one round for every row
