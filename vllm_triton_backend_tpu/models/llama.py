@@ -27,6 +27,7 @@ from typing import Any, NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from vllm_triton_backend_tpu.config import ModelConfig
 from vllm_triton_backend_tpu.ops.attention import unified_attention
@@ -36,6 +37,7 @@ from vllm_triton_backend_tpu.ops.pallas.decode_attention import (
     paged_decode_append_attention,
 )
 from vllm_triton_backend_tpu.ops.pallas.quant_linear import (
+    PrequantAct,
     QuantizedLinear,
     linear,
     linear_at,
@@ -303,6 +305,8 @@ def apply_rope(
     positions: jax.Array,  # [T] int32
     inv_freq: jax.Array,  # [head_size // 2]
 ) -> jax.Array:
+    if x.shape[0] >= 512:
+        return rotate_half_mxu(x, *rope_cos_sin(positions, inv_freq))
     angles = positions[:, None].astype(jnp.float32) * inv_freq[None, :]
     cos = jnp.cos(angles)[:, None, :]  # [T, 1, hd/2]
     sin = jnp.sin(angles)[:, None, :]
@@ -311,6 +315,51 @@ def apply_rope(
         (x1 * cos - x2 * sin, x2 * cos + x1 * sin), axis=-1
     )
     return out.astype(x.dtype)
+
+
+def rope_cos_sin(
+    positions: jax.Array, inv_freq: jax.Array
+) -> tuple[jax.Array, jax.Array]:
+    """Materialized (cos, sin) [T, 1, hd] for :func:`rotate_half_mxu`.
+
+    The optimization barrier stops XLA from fusing these into the rope
+    multiply-add — fused, the [T, 1, hd] broadcast is rematerialized
+    PER ELEMENT, computing H x redundant transcendentals per token
+    (measured ~3 ms/step at the 2048-token granite prefill shape)."""
+    ang = positions[:, None].astype(jnp.float32) * inv_freq[None, :]
+    ang2 = jnp.concatenate([ang, ang], axis=-1)
+    return jax.lax.optimization_barrier(
+        (jnp.cos(ang2)[:, None, :], jnp.sin(ang2)[:, None, :])
+    )
+
+
+def rotate_half_mxu(
+    x: jax.Array,  # [T, H, hd]
+    cs: jax.Array,  # [T, 1, hd] f32
+    sn: jax.Array,  # [T, 1, hd] f32
+) -> jax.Array:
+    """Rotate-half RoPE with the rotation on the MXU.
+
+    At prefill sizes the split/concat formulation costs ~8 ms/step at
+    [2048, 32, 128] (the half-lane concat defeats XLA's tiled-layout
+    assignment; a Pallas kernel measured even slower — per-head 64-lane
+    sub-slices defeat Mosaic's vectorizer; both measured round 5).  The
+    TPU answer: rotate-half IS a constant signed permutation, so run it
+    on the MXU — rot(x) = x @ P with P[i+hd/2, i] = -1,
+    P[i-hd/2, i] = +1 — and fold cos/sin as one fused multiply-add.
+    The +-1 entries make the bf16 matmul exact, so numerics match the
+    split/concat path bit for bit."""
+    t, h, hd = x.shape
+    hd2 = hd // 2
+    perm = np.zeros((hd, hd), np.float32)
+    perm[np.arange(hd2) + hd2, np.arange(hd2)] = -1.0
+    perm[np.arange(hd2), np.arange(hd2) + hd2] = 1.0
+    rot = jnp.dot(
+        x.reshape(t * h, hd),  # free reshape (minor dims untouched)
+        jnp.asarray(perm, x.dtype),
+        preferred_element_type=jnp.float32,
+    ).reshape(t, h, hd)
+    return (x.astype(jnp.float32) * cs + rot * sn).astype(x.dtype)
 
 
 class ForwardExtras(NamedTuple):
@@ -458,6 +507,18 @@ def forward_fn(
             )
         )
 
+    # Hoist RoPE cos/sin out of the layer scan for prefill-size steps:
+    # they depend only on positions (layer-invariant unless the model
+    # uses per-layer frequencies) but XLA recomputes them inside every
+    # scan iteration — and, fused, rematerializes the head broadcast
+    # per element (see rope_cos_sin).
+    rope_cache = None
+    if (
+        cfg.sliding_window_pattern is None
+        and token_ids.shape[0] >= 512
+    ):
+        rope_cache = rope_cos_sin(positions, inv_freq)
+
     def layer_body(carry, xs, sw=cfg.sliding_window, freqs=None):
         inv = inv_freq if freqs is None else freqs
         h_in, kv = carry
@@ -517,8 +578,12 @@ def forward_fn(
             k = rms_norm(
                 k, lp.k_norm, cfg.rms_norm_eps, cfg.norm_add_unit_offset
             )
-        q = apply_rope(q, positions, inv)
-        k = apply_rope(k, positions, inv)
+        if freqs is None and rope_cache is not None:
+            q = rotate_half_mxu(q, *rope_cache)
+            k = rotate_half_mxu(k, *rope_cache)
+        else:
+            q = apply_rope(q, positions, inv)
+            k = apply_rope(k, positions, inv)
 
         # KV-sharing layers skip the cache write (slot -1 drops the
         # scatter rows; reference backend/triton_attn.py:393-395)
@@ -639,6 +704,37 @@ def forward_fn(
         if lp.gate_up_proj is not None:
             gu = lin(normed2, lp.gate_up_proj)  # [T, 2*inter] gate|up
             mi = gu.shape[-1] // 2  # local inter under TP
+            down_q = (
+                lp.down_proj if isinstance(lp.down_proj, QuantizedLinear)
+                else None
+            )
+            if (
+                extras.w8a8
+                and t >= 512
+                and gu.dtype == jnp.bfloat16
+                and down_q is not None
+                and down_q.w_q.dtype == jnp.int8
+                and cfg.hidden_act in ("silu", "gelu_tanh")
+            ):
+                # W8A8 prefill: act(gate)*up fused with the down-proj's
+                # int8 prequant in one Pallas pass — the XLA amax +
+                # silu*mul*quantize fusions over [T, 2*inter] cost
+                # 9.1 ms of a 154 ms pure-prefill step (measured,
+                # docs/decode_step_profile.md round 5)
+                from vllm_triton_backend_tpu.ops.pallas.act_quant import (
+                    silu_mul_quant,
+                )
+
+                pq = PrequantAct(*silu_mul_quant(
+                    gu, gelu=cfg.hidden_act == "gelu_tanh"
+                ))
+                mlp = reduce_proj(lin, pq, lp.down_proj)
+                if cfg.sandwich_norms:
+                    mlp = rms_norm(
+                        mlp, lp.post_ffw_norm, cfg.rms_norm_eps, uo
+                    )
+                h_out = h_mid + mlp * cfg.residual_multiplier
+                return (h_out, kv), None
             gate = act(gu[:, :mi].astype(jnp.float32))
             up = gu[:, mi:]
         else:

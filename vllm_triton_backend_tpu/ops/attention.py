@@ -151,6 +151,13 @@ class MixedSplitPlan(NamedTuple):
     q2_take: jax.Array  # [T2] gather index into flat q
     pf_scatter: jax.Array  # [T2] flat index to write pf_out (== total -> drop)
     seq_of_t: jax.Array  # [total] row of each flat token
+    # scalar bool: no decode riders AND the compaction is the identity
+    # permutation (pure-prefill steps — the whole TTFT phase under
+    # prefill-priority scheduling).  Lets the attention skip the q
+    # gather + out scatter, which cost 6.3 ms/step at the 2048-token
+    # prefill shape as near-identity [T, Hq, hd] row moves (measured,
+    # docs/decode_step_profile.md round 5).
+    identity: jax.Array
 
 
 def plan_mixed_split(
@@ -201,11 +208,23 @@ def plan_mixed_split(
     seq_of_t = jnp.clip(
         jnp.searchsorted(qsl, t, side="right") - 1, 0, num_seqs - 1
     ).astype(jnp.int32)
+    has_dec = jnp.any(dec_lens > 0)
+    if T2 == total:
+        # identity compaction: every real token maps to itself (tokens
+        # past the last real prefill token are bucket padding whose
+        # output is garbage on both paths)
+        identity = jnp.logical_and(
+            jnp.logical_not(has_dec),
+            jnp.all(jnp.where(t2_valid, src == t2, True)),
+        )
+    else:
+        identity = jnp.asarray(False)
     return MixedSplitPlan(
         dec_take=dec_take, dec_lens=dec_lens,
-        has_dec=jnp.any(dec_lens > 0),
+        has_dec=has_dec,
         pf_qsl=pf_qsl, pf_seq_lens=pf_seq_lens, pf_tbl=pf_tbl,
         q2_take=q2_take, pf_scatter=pf_scatter, seq_of_t=seq_of_t,
+        identity=identity,
     )
 
 
@@ -240,48 +259,67 @@ def _mixed_split_attention(
             metadata, total, num_prefill_rows, max_query_len
         )
 
-    # ---- decode rows: their single token sits at qsl[i] ----
-    dec_q = jnp.take(q, plan.dec_take, axis=0)  # [S, Hq, hd]
-
-    def _run_decode(dec_q):
-        return paged_decode_attention(
-            dec_q, kv_cache, layer_idx, plan.dec_lens,
-            metadata.block_table,
-            scale=scale, max_seq_len=max_seq_len,
+    def _prefill(q2):
+        return prefill_attention(
+            q2, kv_cache, layer_idx, plan.pf_qsl, plan.pf_seq_lens,
+            plan.pf_tbl,
+            scale=scale, max_query_len=max_query_len,
+            max_seq_len=max_seq_len,
             sliding_window=sliding_window,
             logits_soft_cap=logits_soft_cap,
             alibi_slopes=alibi_slopes, k_scale=k_scale, v_scale=v_scale,
             local_chunk_size=local_chunk_size,
-        ).astype(q.dtype)
+        )  # [T2, Hq, hd]
 
+    def _split(q):
+        # ---- decode rows: their single token sits at qsl[i] ----
+        dec_q = jnp.take(q, plan.dec_take, axis=0)  # [S, Hq, hd]
+
+        def _run_decode(dec_q):
+            return paged_decode_attention(
+                dec_q, kv_cache, layer_idx, plan.dec_lens,
+                metadata.block_table,
+                scale=scale, max_seq_len=max_seq_len,
+                sliding_window=sliding_window,
+                logits_soft_cap=logits_soft_cap,
+                alibi_slopes=alibi_slopes, k_scale=k_scale,
+                v_scale=v_scale,
+                local_chunk_size=local_chunk_size,
+            ).astype(q.dtype)
+
+        # mixed steps without riders take the identity branch below;
+        # this cond only guards fill-row-only compositions inside _split
+        # (e.g. direct callers without the hoisted plan)
+        dec_out = jax.lax.cond(
+            plan.has_dec, _run_decode,
+            lambda dec_q: jnp.zeros(
+                dec_q.shape[:1] + q.shape[1:], q.dtype
+            ),
+            dec_q,
+        )  # [S, Hq, hd]
+
+        # ---- prefill rows: compact to P rows ----
+        pf_out = _prefill(jnp.take(q, plan.q2_take, axis=0))
+
+        # ---- scatter both back to the flat token order ----
+        out = jnp.take(dec_out, plan.seq_of_t, axis=0)  # decode rows
+        out = out.at[plan.pf_scatter].set(
+            pf_out.astype(out.dtype), mode="drop"
+        )  # prefill rows overwrite their token ranges
+        return out.astype(q.dtype)
+
+    if plan.q2_take.shape[0] != total:
+        return _split(q)
     # pure-prefill steps (the whole TTFT phase under prefill-priority
-    # scheduling) share this executable; skip the decode launch when no
-    # real rider exists (40 no-op launches cost 1.7 ms/step, measured)
-    dec_out = jax.lax.cond(
-        plan.has_dec, _run_decode,
-        lambda dec_q: jnp.zeros(
-            dec_q.shape[:1] + q.shape[1:], q.dtype
-        ),
-        dec_q,
-    )  # [S, Hq, hd]
-
-    # ---- prefill rows: compact to P rows ----
-    q2 = jnp.take(q, plan.q2_take, axis=0)
-    pf_out = prefill_attention(
-        q2, kv_cache, layer_idx, plan.pf_qsl, plan.pf_seq_lens,
-        plan.pf_tbl,
-        scale=scale, max_query_len=max_query_len, max_seq_len=max_seq_len,
-        sliding_window=sliding_window, logits_soft_cap=logits_soft_cap,
-        alibi_slopes=alibi_slopes, k_scale=k_scale, v_scale=v_scale,
-        local_chunk_size=local_chunk_size,
-    )  # [T2, Hq, hd]
-
-    # ---- scatter both back to the flat token order ----
-    out = jnp.take(dec_out, plan.seq_of_t, axis=0)  # decode rows (+ garbage)
-    out = out.at[plan.pf_scatter].set(
-        pf_out.astype(out.dtype), mode="drop"
-    )  # prefill rows overwrite their token ranges
-    return out.astype(q.dtype)
+    # scheduling): the compaction is the identity permutation, so the
+    # [T, Hq, hd] q gather + out scatter (6.3 ms/step at the 2048-token
+    # shape, measured) are skipped and q feeds the kernel directly
+    return jax.lax.cond(
+        plan.identity,
+        lambda q: _prefill(q).astype(q.dtype),
+        _split,
+        q,
+    )
 
 
 def xla_paged_attention(

@@ -99,12 +99,32 @@ def _mm_body(x_tile, w_tile, acc_ref, a8: bool):
     )
 
 
+class PrequantAct(NamedTuple):
+    """Activations already quantized for the a8 path (int8 + per-token
+    scale).  ``linear``/``linear_at`` accept this in place of ``x`` so a
+    producer kernel (ops/pallas/act_quant.silu_mul_quant) can hand its
+    int8 output straight to the matmul without a bf16 round trip."""
+
+    x8: jax.Array  # [T, K] int8
+    sx: jax.Array  # [T, 1] f32
+
+
 def _prequant_tokens(x: jax.Array) -> tuple[jax.Array, jax.Array]:
     """Per-token symmetric int8 quantization of activations [T, K] ->
-    (x8 [T, K] int8, sx [T, 1] f32).  One cheap XLA pass per matmul call
-    (reads x once) instead of once per (N block x K tile) inside the
-    kernel; per-token granularity is the standard W8A8 choice (vLLM's
-    per-token dynamic scheme)."""
+    (x8 [T, K] int8, sx [T, 1] f32).  One pass per matmul call (reads x
+    once) instead of once per (N block x K tile) inside the kernel;
+    per-token granularity is the standard W8A8 choice (vLLM's per-token
+    dynamic scheme).  Prefill-size batches go through the Pallas
+    ``quant_rows`` kernel — the XLA fusion ran ~30x over the traffic
+    floor at [2048, 4096] (1.8 ms measured; docs/decode_step_profile.md
+    round 5) — while small (decode-size) batches keep the XLA pass,
+    which fuses into its neighbors for free."""
+    if x.shape[0] >= 512:
+        from vllm_triton_backend_tpu.ops.pallas.act_quant import (
+            quant_rows,
+        )
+
+        return quant_rows(x)
     xf = x.astype(jnp.float32)
     sx = jnp.maximum(
         jnp.max(jnp.abs(xf), axis=1, keepdims=True), 1e-6
@@ -140,11 +160,12 @@ def _qmm_kernel(*refs, n_k: int, a8: bool):
     jax.jit, static_argnames=("block_n", "block_k", "a8")
 )
 def quant_matmul(
-    x: jax.Array,  # [T, K] activations (bf16/f32)
+    x: jax.Array,  # [T, K] activations (bf16/f32; x8 carrier w/ prequant)
     qw: QuantizedLinear,  # w_q [K, N], scales [N]
     block_n: int = 512,
     block_k: int = 512,
     a8: bool = False,
+    prequant: "PrequantAct | None" = None,
 ) -> jax.Array:
     """x @ dequant(w_q) with fused per-channel scaling."""
     t, k_dim = x.shape
@@ -156,7 +177,12 @@ def quant_matmul(
     k_pad = round_up(k_dim, block_k)
     t_pad = round_up(t, 8)
 
-    a8 = a8 and _a8_supported(str(qw.w_q.dtype), str(x.dtype))
+    if prequant is not None:
+        a8 = True
+        out_dt = jnp.bfloat16
+    else:
+        a8 = a8 and _a8_supported(str(qw.w_q.dtype), str(x.dtype))
+        out_dt = x.dtype
     xp = x
     if t_pad != t or k_pad != k_dim:
         xp = jnp.pad(x, ((0, t_pad - t), (0, k_pad - k_dim)))
@@ -173,7 +199,15 @@ def quant_matmul(
     in_specs = [pl.BlockSpec((t_pad, block_k), lambda i, k: (0, k))]
     inputs = [xp]
     if a8:
-        xp, sx = _prequant_tokens(xp)
+        if prequant is not None:
+            xp, sx = prequant.x8, prequant.sx
+            if t_pad != t or k_pad != k_dim:
+                xp = jnp.pad(
+                    xp, ((0, t_pad - t), (0, k_pad - k_dim))
+                )
+                sx = jnp.pad(sx, ((0, t_pad - t), (0, 0)))
+        else:
+            xp, sx = _prequant_tokens(xp)
         in_specs = [
             pl.BlockSpec((t_pad, block_k), lambda i, k: (0, k)),
             pl.BlockSpec((t_pad, 1), lambda i, k: (0, 0)),
@@ -190,7 +224,7 @@ def quant_matmul(
         grid=grid,
         in_specs=in_specs,
         out_specs=pl.BlockSpec((t_pad, block_n), lambda i, k: (0, i)),
-        out_shape=jax.ShapeDtypeStruct((t_pad, n_pad), x.dtype),
+        out_shape=jax.ShapeDtypeStruct((t_pad, n_pad), out_dt),
         scratch_shapes=[
             pltpu.VMEM(
                 (t_pad, block_n), jnp.int32 if a8 else jnp.float32
@@ -241,12 +275,13 @@ def _qmm_stacked_kernel(lyr_ref, *refs, n_k: int, a8: bool):
     jax.jit, static_argnames=("block_n", "block_k", "a8")
 )
 def quant_matmul_stacked(
-    x: jax.Array,  # [T, K] activations (bf16/f32)
+    x: jax.Array,  # [T, K] activations (bf16/f32; x8 carrier w/ prequant)
     qw: QuantizedLinear,  # w_q [L, K, N] stacked, scales [L, N]
     layer_idx: jax.Array,  # scalar int32
     block_n: int = 512,
     block_k: int = 512,
     a8: bool = False,
+    prequant: PrequantAct | None = None,
 ) -> jax.Array:
     """x @ dequant(w_q[layer_idx]) reading tiles straight from the
     STACKED weight array via a scalar-prefetched layer index.
@@ -263,7 +298,12 @@ def quant_matmul_stacked(
     t, k_dim = x.shape
     n_layers, k2, n = qw.w_q.shape
     assert k_dim == k2
-    a8 = a8 and _a8_supported(str(qw.w_q.dtype), str(x.dtype))
+    if prequant is not None:  # int8 weights x bf16 acts by construction
+        a8 = True
+        out_dt = jnp.bfloat16
+    else:
+        a8 = a8 and _a8_supported(str(qw.w_q.dtype), str(x.dtype))
+        out_dt = x.dtype
     block_n = min(block_n, n)
     block_k = min(block_k, k_dim)
     assert n % block_n == 0 and k_dim % block_k == 0
@@ -277,7 +317,13 @@ def quant_matmul_stacked(
     in_specs = [pl.BlockSpec((t_pad, block_k), lambda i, k, lyr: (0, k))]
     inputs = [xp]
     if a8:
-        xp, sx = _prequant_tokens(xp)
+        if prequant is not None:
+            xp, sx = prequant.x8, prequant.sx
+            if t_pad != t:
+                xp = jnp.pad(xp, ((0, t_pad - t), (0, 0)))
+                sx = jnp.pad(sx, ((0, t_pad - t), (0, 0)))
+        else:
+            xp, sx = _prequant_tokens(xp)
         in_specs = [
             pl.BlockSpec((t_pad, block_k), lambda i, k, lyr: (0, k)),
             pl.BlockSpec((t_pad, 1), lambda i, k, lyr: (0, 0)),
@@ -310,7 +356,7 @@ def quant_matmul_stacked(
     out = pl.pallas_call(
         functools.partial(_qmm_stacked_kernel, n_k=n_k, a8=a8),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((t_pad, n), x.dtype),
+        out_shape=jax.ShapeDtypeStruct((t_pad, n), out_dt),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
         ),
@@ -443,7 +489,8 @@ _QMM_KEY = ["t_p2", "k_dim", "n", "w_dtype", "x_dtype", "a8"]
     search_max_t=600.0,
 )
 def _qmm_launch(
-    x, qw, *, t_p2, k_dim, n, w_dtype, x_dtype, a8, block_n, block_k
+    x, qw, prequant=None, *,
+    t_p2, k_dim, n, w_dtype, x_dtype, a8, block_n, block_k,
 ):
     t_pad = round_up(x.shape[0], 8)
     bn, bk = _fit_blocks(
@@ -451,7 +498,9 @@ def _qmm_launch(
         jnp.dtype(w_dtype).itemsize,
         1 if a8 else jnp.dtype(x_dtype).itemsize,
     )
-    return quant_matmul(x, qw, block_n=bn, block_k=bk, a8=a8)
+    return quant_matmul(
+        x, qw, block_n=bn, block_k=bk, a8=a8, prequant=prequant
+    )
 
 
 @autotune(
@@ -463,7 +512,7 @@ def _qmm_launch(
     search_max_t=600.0,
 )
 def _qmm_stacked_launch(
-    x, qw, layer_idx, *,
+    x, qw, layer_idx, prequant=None, *,
     t_p2, k_dim, n, w_dtype, x_dtype, a8, block_n, block_k,
 ):
     t_pad = round_up(x.shape[0], 8)
@@ -473,7 +522,8 @@ def _qmm_stacked_launch(
         1 if a8 else jnp.dtype(x_dtype).itemsize,
     )
     return quant_matmul_stacked(
-        x, qw, layer_idx, block_n=bn, block_k=bk, a8=a8
+        x, qw, layer_idx, block_n=bn, block_k=bk, a8=a8,
+        prequant=prequant,
     )
 
 
@@ -483,16 +533,22 @@ def linear_at(
     """Layer-indexed matmul against STACKED weights [L, K, N] (used
     inside the decoder's layer scan).  ``a8`` requests the int8-MXU
     activation-quantized path (ignored unless int8 weights × bf16
-    activations)."""
+    activations).  ``x`` may be a :class:`PrequantAct` (already-int8
+    activations from a producer kernel); requires int8 stacked weights."""
+    prequant = None
+    if isinstance(x, PrequantAct):
+        prequant, x = x, x.x8  # shape carrier; statics keyed as bf16
     if isinstance(w_stacked, QuantizedLinear):
         k_dim, n = w_stacked.w_q.shape[1:]
-        w_dtype, x_dtype = str(w_stacked.w_q.dtype), str(x.dtype)
+        w_dtype = str(w_stacked.w_q.dtype)
+        x_dtype = "bfloat16" if prequant is not None else str(x.dtype)
         if n % 128 == 0 and k_dim % 256 == 0:
             return _qmm_stacked_launch(
-                x, w_stacked, layer_idx,
+                x, w_stacked, layer_idx, prequant,
                 t_p2=next_power_of_2(x.shape[0]), k_dim=k_dim, n=n,
                 w_dtype=w_dtype, x_dtype=x_dtype,
-                a8=a8 and _a8_supported(w_dtype, x_dtype),
+                a8=(a8 or prequant is not None)
+                and _a8_supported(w_dtype, x_dtype),
             )
         sliced = QuantizedLinear(
             w_q=jax.lax.dynamic_index_in_dim(
@@ -502,21 +558,36 @@ def linear_at(
                 w_stacked.scales, layer_idx, keepdims=False
             ),
         )
-        return linear(x, sliced, a8=a8)
+        return linear(prequant if prequant is not None else x,
+                      sliced, a8=a8)
+    if prequant is not None:  # dense weights: dequantize the carrier
+        x = (
+            prequant.x8.astype(jnp.float32) * prequant.sx
+        ).astype(jnp.bfloat16)
     return x @ jax.lax.dynamic_index_in_dim(
         w_stacked, layer_idx, keepdims=False
     )
 
 
 def linear(x: jax.Array, w, a8: bool = False) -> jax.Array:
-    """Dense-or-quantized dispatch: the model's single matmul entry."""
+    """Dense-or-quantized dispatch: the model's single matmul entry.
+    ``x`` may be a :class:`PrequantAct` (int8 weights only)."""
+    prequant = None
+    if isinstance(x, PrequantAct):
+        prequant, x = x, x.x8
     if isinstance(w, QuantizedLinear):
         k_dim, n = w.w_q.shape
-        w_dtype, x_dtype = str(w.w_q.dtype), str(x.dtype)
+        w_dtype = str(w.w_q.dtype)
+        x_dtype = "bfloat16" if prequant is not None else str(x.dtype)
         return _qmm_launch(
-            x, w,
+            x, w, prequant,
             t_p2=next_power_of_2(x.shape[0]), k_dim=k_dim, n=n,
             w_dtype=w_dtype, x_dtype=x_dtype,
-            a8=a8 and _a8_supported(w_dtype, x_dtype),
+            a8=(a8 or prequant is not None)
+            and _a8_supported(w_dtype, x_dtype),
         )
+    if prequant is not None:
+        x = (
+            prequant.x8.astype(jnp.float32) * prequant.sx
+        ).astype(jnp.bfloat16)
     return x @ w
