@@ -2,6 +2,7 @@
 
 import asyncio
 import json
+import time
 
 import pytest
 
@@ -239,3 +240,51 @@ def test_chat_template_rendering():
     tok_plain.chat_template = None
     ids2 = _render_chat(tok_plain, msgs)
     assert vocab["hi"] in ids2 and vocab["there"] in ids2
+
+
+def test_sse_keepalive_on_stall(worker, monkeypatch):
+    """The serving-layer stall hedge: a step stalled past the keep-alive
+    interval emits SSE comment frames (``: keep-alive``) so streaming
+    clients are not left on a silent dead connection, and the stall is
+    counted in /metrics (docs/serving_percentiles.md TTFT-p99 hedge)."""
+    import vllm_triton_backend_tpu.entrypoints.openai_server as srv
+
+    monkeypatch.setattr(srv, "_KEEPALIVE_S", 0.05)
+    monkeypatch.setattr(srv, "_STALL_MS", 100.0)
+    orig_step = worker.engine.step
+    stalled = {"done": False}
+
+    def slow_step():
+        if not stalled["done"]:
+            stalled["done"] = True
+            time.sleep(0.4)  # simulated device/tunnel stall
+        return orig_step()
+
+    monkeypatch.setattr(worker.engine, "step", slow_step)
+
+    async def run():
+        app = build_app(worker)
+        server = TestServer(app)
+        client = TestClient(server)
+        await client.start_server()
+        try:
+            r = await client.post(
+                "/v1/completions",
+                json={
+                    "prompt": [5, 6, 7],
+                    "max_tokens": 4,
+                    "stream": True,
+                },
+            )
+            assert r.status == 200
+            body = await r.text()
+            assert ": keep-alive" in body
+            assert "data: [DONE]" in body.splitlines()
+            m = await client.get("/metrics")
+            text = await m.text()
+            assert "vtb_sse_keepalives_total" in text
+            assert "vtb_device_stalls_total" in text
+        finally:
+            await client.close()
+
+    asyncio.run(run())
