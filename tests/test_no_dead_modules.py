@@ -43,9 +43,15 @@ def test_every_package_module_is_imported_somewhere():
     source_files += [REPO / "bench.py", REPO / "__graft_entry__.py"]
 
     imported: set[str] = set()
+    # the imported-names group must not run past the end of the import
+    # statement: either a parenthesized list (may span lines) or a
+    # single-line name list.  A naive [A-Za-z0-9_,\s()]+ greedily eats
+    # the NEXT ``from`` line's keyword, hiding whichever module happens
+    # to follow a comma-name import (false "dead module" on
+    # runtime.dp_engine, found round 5).
     pat = re.compile(
         rf"(?:from|import)\s+({re.escape(PKG)}(?:\.[A-Za-z0-9_]+)*)"
-        r"(?:\s+import\s+([A-Za-z0-9_,\s()]+))?"
+        r"(?:\s+import\s+(\([^)]*\)|[A-Za-z0-9_, ]+))?"
     )
     for f in source_files:
         text = f.read_text(errors="ignore")
